@@ -1,0 +1,166 @@
+"""Read model (GATKRead/SAMRecord equivalent) as numpy-backed records.
+
+Positions are 0-based half-open internally (GATK uses 1-based closed in its public
+API but htsjdk stores 0-based; we standardize on 0-based and convert at I/O edges).
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import sam
+
+
+@dataclass
+class Read:
+    name: str
+    flag: int
+    ref_id: int
+    pos: int  # 0-based alignment start (POS-1); -1 if unmapped
+    mapq: int
+    cigar_ops: np.ndarray  # uint8
+    cigar_lens: np.ndarray  # int32
+    bases: np.ndarray  # uint8 ASCII
+    quals: np.ndarray  # uint8 phred
+    mate_ref_id: int = -1
+    mate_pos: int = -1
+    tlen: int = 0
+    tags: dict = field(default_factory=dict)
+
+    # --- flag helpers -------------------------------------------------------------
+    @property
+    def is_unmapped(self):
+        return bool(self.flag & sam.UNMAPPED)
+
+    @property
+    def is_paired(self):
+        return bool(self.flag & sam.PAIRED)
+
+    @property
+    def is_reverse(self):
+        return bool(self.flag & sam.REVERSE)
+
+    @property
+    def is_duplicate(self):
+        return bool(self.flag & sam.DUPLICATE)
+
+    @property
+    def is_secondary(self):
+        return bool(self.flag & sam.SECONDARY)
+
+    @property
+    def is_supplementary(self):
+        return bool(self.flag & sam.SUPPLEMENTARY)
+
+    @property
+    def mate_is_unmapped(self):
+        return bool(self.flag & sam.MATE_UNMAPPED)
+
+    @property
+    def fails_vendor_quality(self):
+        return bool(self.flag & sam.FAILS_VENDOR_QUALITY)
+
+    def __len__(self):
+        return len(self.bases)
+
+    @property
+    def end(self) -> int:
+        """0-based exclusive reference end of the alignment."""
+        return self.pos + sam.cigar_ref_length(self.cigar_ops, self.cigar_lens)
+
+    @property
+    def read_group(self):
+        return self.tags.get("RG")
+
+    def unclipped_start(self) -> int:
+        """Alignment start minus leading soft/hard clips (GATK getUnclippedStart)."""
+        p = self.pos
+        for o, l in zip(self.cigar_ops, self.cigar_lens):
+            if o in (sam.OP_S, sam.OP_H):
+                p -= int(l)
+            else:
+                break
+        return p
+
+    def unclipped_end(self) -> int:
+        p = self.end
+        for o, l in zip(self.cigar_ops[::-1], self.cigar_lens[::-1]):
+            if o in (sam.OP_S, sam.OP_H):
+                p += int(l)
+            else:
+                break
+        return p
+
+    def copy(self):
+        return Read(
+            self.name, self.flag, self.ref_id, self.pos, self.mapq,
+            self.cigar_ops.copy(), self.cigar_lens.copy(), self.bases.copy(),
+            self.quals.copy(), self.mate_ref_id, self.mate_pos, self.tlen,
+            dict(self.tags),
+        )
+
+
+_TAG_FMT = {
+    ord("c"): ("<b", 1), ord("C"): ("<B", 1), ord("s"): ("<h", 2), ord("S"): ("<H", 2),
+    ord("i"): ("<i", 4), ord("I"): ("<I", 4), ord("f"): ("<f", 4), ord("A"): ("<c", 1),
+}
+
+
+def parse_tags(buf: bytes) -> dict:
+    """Parse BAM auxiliary tags into a python dict."""
+    tags = {}
+    off = 0
+    n = len(buf)
+    while off + 3 <= n:
+        key = buf[off : off + 2].decode("ascii", "replace")
+        tp = buf[off + 2]
+        off += 3
+        if tp in _TAG_FMT:
+            fmt, sz = _TAG_FMT[tp]
+            (val,) = struct.unpack_from(fmt, buf, off)
+            if tp == ord("A"):
+                val = val.decode("ascii")
+            off += sz
+        elif tp in (ord("Z"), ord("H")):
+            endz = buf.index(b"\x00", off)
+            val = buf[off:endz].decode("ascii", "replace")
+            off = endz + 1
+        elif tp == ord("B"):
+            sub = buf[off]
+            cnt = struct.unpack_from("<I", buf, off + 1)[0]
+            fmt, sz = _TAG_FMT[sub]
+            val = np.frombuffer(buf, dtype=np.dtype(fmt[1]), count=cnt, offset=off + 5).copy()
+            off += 5 + cnt * sz
+        else:
+            raise ValueError(f"unknown tag type {chr(tp)} for {key}")
+        tags[key] = val
+    return tags
+
+
+def encode_tags(tags: dict) -> bytes:
+    out = []
+    for key, val in tags.items():
+        kb = key.encode()
+        if isinstance(val, str) and len(val) == 1 and key in ("XT",):
+            out.append(kb + b"A" + val.encode())
+        elif isinstance(val, str):
+            out.append(kb + b"Z" + val.encode() + b"\x00")
+        elif isinstance(val, (int, np.integer)):
+            iv = int(val)
+            if -2147483648 <= iv <= 2147483647:
+                out.append(kb + b"i" + struct.pack("<i", iv))
+            else:
+                raise ValueError("tag int out of range")
+        elif isinstance(val, (float, np.floating)):
+            out.append(kb + b"f" + struct.pack("<f", float(val)))
+        elif isinstance(val, np.ndarray):
+            code = {np.dtype(np.int8): b"c", np.dtype(np.uint8): b"C",
+                    np.dtype(np.int16): b"s", np.dtype(np.uint16): b"S",
+                    np.dtype(np.int32): b"i", np.dtype(np.uint32): b"I",
+                    np.dtype(np.float32): b"f"}[val.dtype]
+            out.append(kb + b"B" + code + struct.pack("<I", len(val)) + val.tobytes())
+        else:
+            raise ValueError(f"cannot encode tag {key}={val!r}")
+    return b"".join(out)

@@ -1,0 +1,279 @@
+"""Batched PairHMM as a Pallas TPU kernel.
+
+Replaces GATK's native AVX/OpenMP PairHMM (utils/pairhmm/VectorLoglessPairHMM.java,
+Intel GKL) with an anti-diagonal wavefront DP over batches of read×haplotype pairs:
+
+  * lanes (last dim, 128)  = independent pairs
+  * sublanes (first dim)   = read positions (the wavefront state vectors)
+  * grid                   = pair blocks
+
+The logless recurrence (utils/pairhmm/LoglessPairHMM.java:48-70) runs in f32 with the
+initial condition rescaled from 2^1020 to 2^100 and the final-row readout folded into
+a log-space accumulator.  f32 cannot span the full dynamic range of very poor
+alignments (a single anti-diagonal holds both the free-deletion boundary value and
+path products ~10^-500 below it), so — exactly like the reference's native kernel
+(Intel GKL: f32 by default, recompute-in-double below MIN_ACCEPTED;
+PairHMMNativeArgumentCollection.java:14-16) — results below MIN_ACCEPTED_LOG10 are
+recomputed on the host in f64.  Such pairs are rare in practice and are dominated by
+read-disqualification thresholds downstream (AlleleLikelihoods.normalizeLikelihoods).
+
+Variable lengths: reads shorter than the block length are padded with rows whose
+transitions are (tMI=1, tII=1, prior=0), which makes the insertion state carry
+M[r][j]+X[r][j] unchanged to the last padded row — so the final-row readout is the
+same fixed row for every pair.  Haplotype padding is masked at readout; padded cells
+cannot influence valid cells because dependencies only flow toward larger j.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN10 = math.log(10.0)
+LN2 = math.log(2.0)
+N_BASE = ord("N")
+TRISTATE_CORRECTION = 3.0
+LANES = 128
+INIT_LOG2 = 100  # initial condition 2^100 / hapLen (vs Java's 2^1020; log-corrected)
+MIN_ACCEPTED_LOG10 = -28.0  # below this, recompute in f64 on host (GKL contract)
+NEG_INF = -1e30
+
+
+def _roll1(x):
+    """Shift +1 along sublane axis: out[i] = x[i-1]; row 0 becomes garbage (masked)."""
+    return pltpu.roll(x, shift=1, axis=0)
+
+
+def _pairhmm_kernel(
+    # inputs (Rp, B) i32 / (He, B) i32 / (1, B) i32
+    rbase_ref, rq_ref, iq_ref, dq_ref, gcp_ref, e_ref, rlen_ref, hlen_ref,
+    # output (1, B) f32
+    out_ref,
+    # scratch
+    m_ref, x_ref, y_ref,  # (2, Rp, B) f32 state diagonals
+    tmm_ref, tim_ref, tmi_ref, tii_ref, tmd_ref, tdd_ref, peq_ref, pne_ref,  # (Rp, B) f32
+    acc_ref,  # (1, B) f32
+    *, rp: int, hmax: int,
+):
+    B = out_ref.shape[1]
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (rp, B), 0)
+
+    # ---- prologue: qual -> probability tables in VMEM ------------------------------
+    neg_ln10_over_10 = jnp.float32(-LN10 / 10.0)
+    e_ins = jnp.exp(iq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_del = jnp.exp(dq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_gcp = jnp.exp(gcp_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_base = jnp.exp(rq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+
+    rlen = rlen_ref[0, :][None, :]  # (1, B)
+    pad = iota_i > rlen  # padded read rows (i in 1..rp-1 beyond read length); row 0 unused
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+    tmm_ref[:] = jnp.where(pad, zero, one - jnp.minimum(one, e_ins + e_del))
+    tim_ref[:] = jnp.where(pad, zero, one - e_gcp)
+    tmi_ref[:] = jnp.where(pad, one, e_ins)
+    tii_ref[:] = jnp.where(pad, one, e_gcp)
+    tmd_ref[:] = jnp.where(pad, zero, e_del)
+    tdd_ref[:] = jnp.where(pad, zero, e_gcp)
+    peq_ref[:] = jnp.where(pad, zero, one - e_base)
+    pne_ref[:] = jnp.where(pad, zero, e_base * jnp.float32(1.0 / TRISTATE_CORRECTION))
+
+    # ---- state init ----------------------------------------------------------------
+    hlen_f = hlen_ref[0, :].astype(jnp.float32)[None, :]
+    y0 = jnp.float32(2.0**INIT_LOG2) / hlen_f  # (1, B)
+    m_ref[:] = jnp.zeros((2, rp, B), jnp.float32)
+    x_ref[:] = jnp.zeros((2, rp, B), jnp.float32)
+    # diagonal d=0 holds only cell (i=0, j=0): free-deletion boundary value
+    y_ref[1] = jnp.zeros((rp, B), jnp.float32)
+    y_ref[0] = jnp.where(iota_i == 0, jnp.broadcast_to(y0, (rp, B)), jnp.float32(0.0))
+    acc_ref[:] = jnp.full((1, B), NEG_INF, jnp.float32)
+
+    hlen_row = hlen_ref[0, :][None, :]  # (1, B) i32
+    rbase = rbase_ref[:]
+    last = rp - 1
+
+    num_d = rp - 1 + hmax  # diagonals 1..num_d
+
+    def body(d, _):
+        s = jax.lax.rem(d, 2)
+        ns = 1 - s
+        # haplotype bases along this anti-diagonal: W[i] = hap[d-i-1]
+        start = hmax + rp - 1 - d
+        w = e_ref[pl.ds(start, rp), :]
+        prior = jnp.where(
+            (rbase == w) | (rbase == N_BASE) | (w == N_BASE), peq_ref[:], pne_ref[:]
+        )
+
+        md2, xd2, yd2 = m_ref[s], x_ref[s], y_ref[s]
+        md1, xd1, yd1 = m_ref[ns], x_ref[ns], y_ref[ns]
+
+        m_new = prior * (tmm_ref[:] * _roll1(md2) + tim_ref[:] * (_roll1(xd2) + _roll1(yd2)))
+        x_new = tmi_ref[:] * _roll1(md1) + tii_ref[:] * _roll1(xd1)
+        y_new = tmd_ref[:] * md1 + tdd_ref[:] * yd1
+
+        jvalid = iota_i <= (d - 1)  # rows with j = d - i >= 1
+        interior = jvalid & (iota_i > 0)
+        m_new = jnp.where(interior, m_new, zero)
+        x_new = jnp.where(interior, x_new, zero)
+        y_new = jnp.where(iota_i == 0, jnp.broadcast_to(y0, (rp, B)), jnp.where(jvalid, y_new, zero))
+
+        m_ref[s] = m_new
+        x_ref[s] = x_new
+        y_ref[s] = y_new
+
+        # final-row contribution (sum over M+I of last row, LoglessPairHMM.java:63-70)
+        j_here = d - last
+        c = m_new[last, :][None, :] + x_new[last, :][None, :]
+        valid_c = (j_here >= 1) & (j_here <= hlen_row) & (c > 0)
+        c_ln = jnp.where(valid_c, jnp.log(jnp.maximum(c, 1e-44)) - jnp.float32(INIT_LOG2 * LN2), NEG_INF)
+        acc = acc_ref[:]
+        hi = jnp.maximum(acc, c_ln)
+        lo = jnp.minimum(acc, c_ln)
+        acc_ref[:] = hi + jnp.log1p(jnp.exp(lo - hi))
+        return 0
+
+    jax.lax.fori_loop(1, num_d + 1, body, 0)
+    out_ref[:] = acc_ref[:] * jnp.float32(1.0 / LN10)
+
+
+@functools.partial(jax.jit, static_argnames=("rp", "hmax", "interpret"))
+def _pairhmm_call(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax, interpret=False):
+    n = rbase.shape[1]
+    grid = n // LANES
+    he = e.shape[0]
+    row_spec = pl.BlockSpec((rp, LANES), lambda g: (0, g), memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((he, LANES), lambda g: (0, g), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((1, LANES), lambda g: (0, g), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_pairhmm_kernel, rp=rp, hmax=hmax)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[row_spec] * 5 + [e_spec, len_spec, len_spec],
+        out_specs=pl.BlockSpec((1, LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, rp, LANES), jnp.float32),  # M
+            pltpu.VMEM((2, rp, LANES), jnp.float32),  # X
+            pltpu.VMEM((2, rp, LANES), jnp.float32),  # Y
+        ]
+        + [pltpu.VMEM((rp, LANES), jnp.float32)] * 8
+        + [pltpu.VMEM((1, LANES), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=grid * (rp - 1 + hmax) * rp * LANES * 14,
+            bytes_accessed=(5 * rp + he + 3) * n * 4,
+            transcendentals=grid * (rp - 1 + hmax) * LANES * 2,
+        ),
+        interpret=interpret,
+    )(rbase, rq, iq, dq, gcp, e, rlen, hlen)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def pack_batch(reads, haps, pair_read_idx, pair_hap_idx, rp=None, hmax=None):
+    """Pack reads/haps into wavefront layout.
+
+    reads: list of dicts with keys bases (bytes/uint8), rq, iq, dq, gcp (uint8 arrays)
+    haps: list of bytes/uint8 haplotype bases
+    pair_read_idx/pair_hap_idx: int arrays of pair definitions
+    Returns dict of device-ready numpy arrays + (rp, hmax, n_pairs).
+    """
+    n_pairs = len(pair_read_idx)
+    max_r = max(len(r["bases"]) for r in reads)
+    max_h = max(len(h) for h in haps)
+    rp = rp or _round_up(max_r + 2, 8)
+    hmax = hmax or _round_up(max_h, 8)
+    if max_r > rp - 2 or max_h > hmax:
+        raise ValueError(f"bucket too small: R={max_r}->rp={rp}, H={max_h}->hmax={hmax}")
+    n = _round_up(max(n_pairs, 1), LANES)
+    he = hmax + 2 * rp
+
+    def as_u8(x):
+        return np.frombuffer(bytes(x), dtype=np.uint8) if isinstance(x, (bytes, bytearray)) else np.asarray(x, dtype=np.uint8)
+
+    nr = len(reads)
+    rbase_r = np.zeros((rp, nr), np.int32)
+    rq_r = np.zeros((rp, nr), np.int32)
+    iq_r = np.zeros((rp, nr), np.int32)
+    dq_r = np.zeros((rp, nr), np.int32)
+    gcp_r = np.zeros((rp, nr), np.int32)
+    rlen_r = np.zeros(nr, np.int32)
+    for k, r in enumerate(reads):
+        b = as_u8(r["bases"])
+        L = len(b)
+        rlen_r[k] = L
+        rbase_r[1 : L + 1, k] = b
+        # GATK maps qual bytes through (q & 0xff) then caps at MAX_QUAL; quals here are
+        # already uint8 so only the cap matters (no-op for sane inputs)
+        rq_r[1 : L + 1, k] = as_u8(r["rq"])
+        iq_r[1 : L + 1, k] = as_u8(r["iq"])
+        dq_r[1 : L + 1, k] = as_u8(r["dq"])
+        gcp_r[1 : L + 1, k] = as_u8(r["gcp"])
+
+    nh = len(haps)
+    e_h = np.zeros((he, nh), np.int32)
+    hlen_h = np.zeros(nh, np.int32)
+    p = rp - 1
+    for k, h in enumerate(haps):
+        b = as_u8(h)
+        hlen_h[k] = len(b)
+        # E[t] = hap[hmax - 1 - (t - p)]: reversed hap occupying t in [p + hmax - len, p + hmax)
+        rev = b[::-1]
+        e_h[p + hmax - len(b) : p + hmax, k] = rev
+
+    ri = np.asarray(pair_read_idx, np.int64)
+    hi = np.asarray(pair_hap_idx, np.int64)
+    out = {}
+    pad_cols = n - n_pairs
+
+    def sel(mat, idx, fill=0):
+        picked = mat[:, idx]
+        if pad_cols:
+            picked = np.concatenate([picked, np.full((mat.shape[0], pad_cols), fill, mat.dtype)], axis=1)
+        return picked
+
+    out["rbase"] = sel(rbase_r, ri)
+    out["rq"] = sel(rq_r, ri)
+    out["iq"] = sel(iq_r, ri)
+    out["dq"] = sel(dq_r, ri)
+    out["gcp"] = sel(gcp_r, ri)
+    out["e"] = sel(e_h, hi)
+    rlen = np.concatenate([rlen_r[ri], np.full(pad_cols, 1, np.int32)])
+    hlen = np.concatenate([hlen_h[hi], np.full(pad_cols, 1, np.int32)])
+    out["rlen"] = rlen[None, :].astype(np.int32)
+    out["hlen"] = hlen[None, :].astype(np.int32)
+    return out, rp, hmax, n_pairs
+
+
+def compute_log10_likelihoods(reads, haps, pair_read_idx, pair_hap_idx, interpret=None):
+    """End-to-end: pack on host, run the Pallas kernel, return (n_pairs,) float64.
+
+    Pairs whose f32 result falls below MIN_ACCEPTED_LOG10 (or is non-finite) are
+    recomputed on host in f64, mirroring the reference native kernel's
+    double-precision fallback.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    packed, rp, hmax, n_pairs = pack_batch(reads, haps, pair_read_idx, pair_hap_idx)
+    out = _pairhmm_call(
+        packed["rbase"], packed["rq"], packed["iq"], packed["dq"], packed["gcp"],
+        packed["e"], packed["rlen"], packed["hlen"], rp=rp, hmax=hmax, interpret=interpret,
+    )
+    res = np.asarray(out)[0, :n_pairs].astype(np.float64)
+    bad = ~(res > MIN_ACCEPTED_LOG10)
+    if bad.any():
+        from . import pairhmm_host
+
+        for k in np.nonzero(bad)[0]:
+            r = reads[pair_read_idx[k]]
+            h = haps[pair_hap_idx[k]]
+            res[k] = pairhmm_host.compute_log10_likelihood(
+                h, r["bases"], r["rq"], r["iq"], r["dq"], r["gcp"]
+            )
+    return res

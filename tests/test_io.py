@@ -1,0 +1,103 @@
+"""I/O layer tests against real reference-bundled test files."""
+import os
+
+import numpy as np
+import pytest
+
+from gatk_tpu.io import bam, bgzf, fasta, sam, vcf
+from gatk_tpu.utils.testdata import reference_path
+
+MITO_DIR = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/mutect/mito")
+MITO_BAM = os.path.join(MITO_DIR, "NA12878.bam")
+MITO_FASTA = os.path.join(MITO_DIR, "Homo_sapiens_assembly38.mt_only.fasta")
+MITO_VCF = os.path.join(MITO_DIR, "unfiltered.vcf")
+
+needs_ref = pytest.mark.skipif(not os.path.exists(MITO_BAM), reason="reference data missing")
+
+
+@needs_ref
+def test_bam_read_header_and_records():
+    r = bam.BamReader(MITO_BAM)
+    assert r.header.sequences, "no sequences in header"
+    names = [s.name for s in r.header.sequences]
+    assert "chrM" in names
+    reads = list(r)
+    assert len(reads) > 1000
+    rd = reads[0]
+    assert len(rd.bases) == len(rd.quals)
+    assert set(rd.bases.tobytes()) <= set(b"ACGTN")
+    # cigar read length must equal seq length for mapped reads with cigars
+    for rd in reads[:200]:
+        if not rd.is_unmapped and len(rd.cigar_ops):
+            assert sam.cigar_read_length(rd.cigar_ops, rd.cigar_lens) == len(rd.bases)
+
+
+@needs_ref
+def test_bam_roundtrip(tmp_path):
+    r = bam.BamReader(MITO_BAM)
+    reads = list(r)[:500]
+    out = str(tmp_path / "rt.bam")
+    w = bam.BamWriter(out, r.header)
+    for rd in reads:
+        w.write(rd)
+    w.close()
+    r2 = bam.BamReader(out)
+    reads2 = list(r2)
+    assert len(reads2) == len(reads)
+    for a, b in zip(reads, reads2):
+        assert a.name == b.name and a.flag == b.flag and a.pos == b.pos
+        np.testing.assert_array_equal(a.bases, b.bases)
+        np.testing.assert_array_equal(a.quals, b.quals)
+        np.testing.assert_array_equal(a.cigar_ops, b.cigar_ops)
+        assert a.tags.keys() == b.tags.keys()
+
+
+@needs_ref
+def test_fasta_fetch():
+    f = fasta.FastaReference(MITO_FASTA)
+    assert f.contig_length("chrM") == 16569
+    seq = f.fetch("chrM", 0, 20)
+    assert len(seq) == 20
+    assert set(seq.tobytes()) <= set(b"ACGTN")
+    # cross-check a slice against reads: most bases of a high-MAPQ read should match
+    r = bam.BamReader(MITO_BAM)
+    for rd in r:
+        if rd.mapq >= 60 and len(rd.cigar_ops) == 1 and rd.cigar_ops[0] == sam.OP_M:
+            ref_slice = f.fetch("chrM", rd.pos, rd.end)
+            matches = np.mean(ref_slice == rd.bases)
+            assert matches > 0.9
+            break
+
+
+@needs_ref
+def test_vcf_reader():
+    v = vcf.VcfReader(MITO_VCF)
+    recs = list(v)
+    assert len(recs) >= 5
+    assert all(r.contig == "chrM" for r in recs)
+    assert v.samples
+    r0 = recs[0]
+    assert r0.ref and r0.alts
+
+
+def test_vcf_writer_roundtrip(tmp_path):
+    out = str(tmp_path / "t.vcf")
+    w = vcf.VcfWriter(out, ["s1"], contigs=[("chr1", 1000)])
+    w.write(
+        vcf.Variant(
+            "chr1", 99, "A", ("T",), qual=51.27, filters=(),
+            info={"DP": 10}, samples=[{"GT": "0/1", "DP": "10"}], fmt_keys=("GT", "DP"),
+        )
+    )
+    w.close()
+    r = vcf.VcfReader(out)
+    recs = list(r)
+    assert len(recs) == 1
+    assert recs[0].pos == 99 and recs[0].ref == "A" and recs[0].alts == ("T",)
+    assert recs[0].samples[0]["GT"] == "0/1"
+
+
+def test_bgzf_roundtrip():
+    payload = os.urandom(200000) + b"tail"
+    comp = bgzf.compress_bytes(payload)
+    assert bgzf.decompress_bytes(comp) == payload

@@ -9,34 +9,8 @@ import numpy as np
 import pytest
 
 from gatk_tpu.ops import pairhmm_host
-from tests.conftest import reference_path
-
-GOLDEN = reference_path(
-    "src/test/resources/org/broadinstitute/hellbender/tools/haplotypecaller",
-    "expected.Java.hmmresults.txt",
-)
-
-
-def load_golden_cases(path):
-    cases = []
-    with open(path) as fh:
-        for line in fh:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            hap, rbases, rq, iq, dq, gcp, expected = line.split()
-            cases.append(
-                (
-                    hap.encode(),
-                    rbases.encode(),
-                    np.frombuffer(rq.encode(), dtype=np.uint8) - 33,
-                    np.frombuffer(iq.encode(), dtype=np.uint8) - 33,
-                    np.frombuffer(dq.encode(), dtype=np.uint8) - 33,
-                    np.frombuffer(gcp.encode(), dtype=np.uint8) - 33,
-                    float(expected),
-                )
-            )
-    return cases
+from gatk_tpu.utils.testdata import HMM_GOLDEN as GOLDEN
+from gatk_tpu.utils.testdata import load_hmm_golden_cases as load_golden_cases
 
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN), reason="reference test data not present")
