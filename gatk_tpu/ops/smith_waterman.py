@@ -1,0 +1,206 @@
+"""Affine-gap Smith-Waterman with GATK-compatible cigars.
+
+Reference behavior: utils/smithwaterman/SmithWatermanJavaAligner.java (matrix
+:109-230, cigar :261-380) and SmithWatermanAlignmentConstants.java (parameter
+presets). Replaces the Intel GKL AVX aligner.
+
+Implementation: per-row numpy vectorization. Vertical gaps are tracked with the same
+running best/size arrays as the reference (elementwise over columns). Horizontal
+gaps use a two-pass prefix-max: pass 1 computes gap values from diag/vertical-derived
+cells (gap-from-gap is never strictly better when |open| > |extend|, which holds for
+every preset), pass 2 recomputes the prefix argmax over the final row values with
+earliest-index tie-breaking — reproducing the reference's sequential update
+(strict-greater reset, ties keep the earlier/longer gap) exactly.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io import sam
+
+MATRIX_MIN_CUTOFF = int(-1.0e8)
+LOW_INIT = -(2**31) // 2
+
+
+@dataclass(frozen=True)
+class SWParameters:
+    match: int
+    mismatch: int
+    gap_open: int
+    gap_extend: int
+
+
+# presets (SmithWatermanAlignmentConstants.java)
+ORIGINAL_DEFAULT = SWParameters(3, -1, -4, -3)
+STANDARD_NGS = SWParameters(25, -50, -110, -6)  # dangling head/tail recovery
+NEW_SW_PARAMETERS = SWParameters(200, -150, -260, -11)  # haplotype-to-reference
+ALIGNMENT_TO_BEST_HAPLOTYPE = SWParameters(10, -15, -30, -5)  # read-to-haplotype
+
+SOFTCLIP = "SOFTCLIP"
+INDEL = "INDEL"
+LEADING_INDEL = "LEADING_INDEL"
+IGNORE = "IGNORE"
+
+
+@dataclass
+class SWAlignment:
+    cigar_ops: np.ndarray
+    cigar_lens: np.ndarray
+    offset: int
+    score: int
+
+    @property
+    def cigar(self) -> str:
+        return sam.cigar_to_string(self.cigar_ops, self.cigar_lens)
+
+
+def align(ref, alt, params: SWParameters, overhang: str = SOFTCLIP) -> SWAlignment:
+    """Align alt against ref; indels are expressed w.r.t. alt (I consumes alt)."""
+    ref = np.frombuffer(bytes(ref), dtype=np.uint8) if isinstance(ref, (bytes, bytearray)) else np.asarray(ref, dtype=np.uint8)
+    alt = np.frombuffer(bytes(alt), dtype=np.uint8) if isinstance(alt, (bytes, bytearray)) else np.asarray(alt, dtype=np.uint8)
+    n, m = len(ref), len(alt)
+    if n == 0 or m == 0:
+        raise ValueError("empty sequences")
+
+    # exact-match fast path (SmithWatermanJavaAligner.align :69-77)
+    if overhang == SOFTCLIP and n == m and np.array_equal(ref, alt):
+        return SWAlignment(np.array([sam.OP_M], np.uint8), np.array([m], np.int32), 0,
+                           m * params.match)
+
+    w_open, w_ext = params.gap_open, params.gap_extend
+    H = np.zeros((n + 1, m + 1), np.int64)
+    btrack = np.zeros((n + 1, m + 1), np.int32)
+    if overhang in (INDEL, LEADING_INDEL):
+        H[0, 1:] = w_open + np.arange(m) * w_ext
+        H[1:, 0] = w_open + np.arange(n) * w_ext
+
+    best_v = np.full(m + 1, LOW_INIT, np.int64)
+    size_v = np.zeros(m + 1, np.int64)
+    jcols = np.arange(m + 1)
+
+    for i in range(1, n + 1):
+        prev = H[i - 1]
+        # vertical gap tracking (elementwise, identical to the reference update rule)
+        prev_gap = prev + w_open
+        best_v += w_ext
+        reset = prev_gap > best_v
+        best_v = np.where(reset, prev_gap, best_v)
+        size_v = np.where(reset, 1, size_v + 1)
+
+        s = np.where(alt == ref[i - 1], params.match, params.mismatch)
+        step_diag = prev[:-1] + s  # for j=1..m
+        step_down = best_v[1:]
+        h0 = np.maximum(step_diag, step_down)
+
+        # pass 1: horizontal gap values from h0 (+ column 0)
+        r = np.empty(m + 1, np.int64)
+        r[0] = H[i, 0]
+        r[1:] = h0
+        r -= jcols * w_ext
+        runmax = np.maximum.accumulate(r)
+        F = runmax[:-1] + w_open + jcols[1:] * w_ext - w_ext  # F[j] for j=1..m
+
+        h_final = np.maximum(h0, F)
+        # pass 2: earliest-argmax over final values for gap sizes
+        r2 = np.empty(m + 1, np.int64)
+        r2[0] = H[i, 0]
+        r2[1:] = h_final
+        r2 -= jcols * w_ext
+        runmax2 = np.maximum.accumulate(r2)
+        changed = np.empty(m + 1, bool)
+        changed[0] = True
+        changed[1:] = r2[1:] > runmax2[:-1]
+        argmax2 = np.maximum.accumulate(np.where(changed, jcols, -1))
+        step_right = runmax2[:-1] + w_open + (jcols[1:] - 1) * w_ext
+        ki = jcols[1:] - argmax2[:-1]
+
+        diag_best = (step_diag >= step_down) & (step_diag >= step_right)
+        right_best = ~diag_best & (step_right >= step_down)
+        btrack[i, 1:] = np.where(diag_best, 0, np.where(right_best, -ki, size_v[1:]))
+        H[i, 1:] = np.maximum(
+            MATRIX_MIN_CUTOFF,
+            np.where(diag_best, step_diag, np.where(right_best, step_right, step_down)),
+        )
+
+    return _calculate_cigar(H, btrack, overhang)
+
+
+def _calculate_cigar(H, btrack, overhang) -> SWAlignment:
+    n = H.shape[0] - 1
+    m = H.shape[1] - 1
+    segment_length = 0
+    if overhang == INDEL:
+        p1, p2 = n, m
+        maxscore = int(H[n, m])
+    else:
+        # best score in rightmost column (>= keeps the last, i.e. closest-to-diagonal)
+        col = H[1:, m]
+        p1 = int(np.flatnonzero(col == col.max())[-1]) + 1
+        p2 = m
+        maxscore = int(col.max())
+        if overhang != LEADING_INDEL:
+            row = H[n, 1:]
+            for j in range(1, m + 1):
+                cur = int(row[j - 1])
+                if cur > maxscore or (cur == maxscore and abs(n - j) < abs(p1 - p2)):
+                    p1, p2 = n, j
+                    maxscore = cur
+                    segment_length = m - j
+
+    ops, lens = [], []
+    if segment_length > 0 and overhang == SOFTCLIP:
+        ops.append(sam.OP_S)
+        lens.append(segment_length)
+        segment_length = 0
+
+    state = sam.OP_M
+    while True:
+        btr = int(btrack[p1, p2])
+        if btr > 0:
+            new_state, step = sam.OP_D, btr
+            p1 -= btr
+        elif btr < 0:
+            new_state, step = sam.OP_I, -btr
+            p2 += btr
+        else:
+            new_state, step = sam.OP_M, 1
+            p1 -= 1
+            p2 -= 1
+        if new_state == state:
+            segment_length += step
+        else:
+            if segment_length > 0:
+                ops.append(state)
+                lens.append(segment_length)
+            segment_length = step
+            state = new_state
+        if not (p1 > 0 and p2 > 0):
+            break
+
+    if overhang == SOFTCLIP:
+        ops.append(state)
+        lens.append(segment_length)
+        if p2 > 0:
+            ops.append(sam.OP_S)
+            lens.append(p2)
+        offset = p1
+    elif overhang == IGNORE:
+        ops.append(state)
+        lens.append(segment_length + p2)
+        offset = p1 - p2
+    else:  # INDEL / LEADING_INDEL
+        ops.append(state)
+        lens.append(segment_length)
+        if p1 > 0:
+            ops.append(sam.OP_D)
+            lens.append(p1)
+        elif p2 > 0:
+            ops.append(sam.OP_I)
+            lens.append(p2)
+        offset = 0
+
+    return SWAlignment(
+        np.array(ops[::-1], np.uint8), np.array(lens[::-1], np.int32), offset, maxscore
+    )
