@@ -1,0 +1,256 @@
+"""Read clipping (utils/clipping/ReadClipper + ClippingOp equivalents).
+
+Reference behavior: utils/clipping/ReadClipper.java — hard-clip both ends to a
+region, revert soft clips, clip low-quality tails — as used by
+AssemblyBasedCallerUtils.finalizeRegion (haplotypecaller/AssemblyBasedCallerUtils.java:124).
+
+All operations return new Read objects; coordinates stay consistent with the cigar
+(hard clips remove bases and adjust alignment start).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..io import sam
+from ..io.reads import Read
+
+
+def _rebuild(read: Read, new_ops, new_lens, new_start, new_bases, new_quals) -> Read:
+    r = read.copy()
+    ops = np.asarray(new_ops, np.uint8)
+    lens = np.asarray(new_lens, np.int32)
+    keep = lens > 0
+    r.cigar_ops = ops[keep]
+    r.cigar_lens = lens[keep]
+    r.pos = new_start
+    r.bases = np.asarray(new_bases, np.uint8)
+    r.quals = np.asarray(new_quals, np.uint8)
+    return r
+
+
+def _read_coord_of_ref(read: Read, ref_pos: int, left: bool) -> int:
+    """Read-offset corresponding to a reference position.
+
+    For clipping the left side, returns the first read index at or after ref_pos;
+    for the right side, the last read index at or before ref_pos.
+    """
+    cur_ref = read.pos
+    cur_read = 0
+    result = 0 if left else len(read.bases) - 1
+    for op, ln in zip(read.cigar_ops, read.cigar_lens):
+        ln = int(ln)
+        cr = sam.CONSUMES_READ[op]
+        cf = sam.CONSUMES_REF[op]
+        if cf and cr:
+            if cur_ref <= ref_pos < cur_ref + ln:
+                return cur_read + (ref_pos - cur_ref)
+            cur_ref += ln
+            cur_read += ln
+        elif cf:
+            if cur_ref <= ref_pos < cur_ref + ln:
+                # position falls in a deletion: clip at the boundary
+                return cur_read if left else cur_read - 1
+            cur_ref += ln
+        elif cr:
+            cur_read += ln
+    return len(read.bases) if left else len(read.bases) - 1
+
+
+def hard_clip_by_read_coords(read: Read, start: int, stop: int) -> Read:
+    """Remove read bases in [start, stop] (inclusive, read coordinates)."""
+    n = len(read.bases)
+    if start == 0 and stop == n - 1:
+        # fully clipped: return an empty read
+        return _rebuild(read, [], [], read.pos, np.empty(0, np.uint8), np.empty(0, np.uint8))
+    if start == 0:
+        return _clip_left(read, stop + 1)
+    return _clip_right(read, start)
+
+
+def _expand_cigar(read: Read):
+    """Per-base cigar op array for read bases, plus ref offsets consumed before each."""
+    ops = []
+    for op, ln in zip(read.cigar_ops, read.cigar_lens):
+        if sam.CONSUMES_READ[op]:
+            ops.extend([int(op)] * int(ln))
+    return np.array(ops, np.uint8)
+
+
+def _collapse(ops_per_base, lead_ops=None, tail_ops=None):
+    """Collapse per-base ops into (ops, lens); lead/tail_ops are (op, len) extras."""
+    out_ops, out_lens = [], []
+    if lead_ops:
+        for o, l in lead_ops:
+            if l > 0:
+                out_ops.append(o)
+                out_lens.append(l)
+    for op in ops_per_base:
+        if out_ops and out_ops[-1] == op:
+            out_lens[-1] += 1
+        else:
+            out_ops.append(int(op))
+            out_lens.append(1)
+    if tail_ops:
+        for o, l in tail_ops:
+            if l > 0:
+                out_ops.append(o)
+                out_lens.append(l)
+    return out_ops, out_lens
+
+
+def _clip_left(read: Read, n_bases: int) -> Read:
+    """Hard-clip the first n_bases read bases (adjusting start by ref consumed)."""
+    ref_consumed = 0
+    read_consumed = 0
+    new_ops, new_lens = [], []
+    started = False
+    for op, ln in zip(read.cigar_ops, read.cigar_lens):
+        ln = int(ln)
+        op = int(op)
+        if started:
+            new_ops.append(op)
+            new_lens.append(ln)
+            continue
+        cr = sam.CONSUMES_READ[op]
+        cf = sam.CONSUMES_REF[op]
+        if cr:
+            if read_consumed + ln <= n_bases:
+                read_consumed += ln
+                if cf:
+                    ref_consumed += ln
+                continue
+            take = n_bases - read_consumed
+            read_consumed = n_bases
+            if cf:
+                ref_consumed += take
+            if ln - take > 0:
+                new_ops.append(op)
+                new_lens.append(ln - take)
+            started = True
+        else:
+            if read_consumed < n_bases or not started:
+                # leading D/N consumed entirely while clipping; H/P dropped
+                if cf:
+                    ref_consumed += ln
+                continue
+    # drop leading deletions left at the start
+    while new_ops and not sam.CONSUMES_READ[new_ops[0]]:
+        if sam.CONSUMES_REF[new_ops[0]]:
+            ref_consumed += new_lens[0]
+        new_ops.pop(0)
+        new_lens.pop(0)
+    return _rebuild(
+        read, new_ops, new_lens, read.pos + ref_consumed,
+        read.bases[n_bases:], read.quals[n_bases:],
+    )
+
+
+def _clip_right(read: Read, first_clipped: int) -> Read:
+    """Hard-clip read bases from index first_clipped to the end."""
+    n_keep = first_clipped
+    read_consumed = 0
+    new_ops, new_lens = [], []
+    for op, ln in zip(read.cigar_ops, read.cigar_lens):
+        ln = int(ln)
+        op = int(op)
+        cr = sam.CONSUMES_READ[op]
+        if cr:
+            if read_consumed >= n_keep:
+                break
+            take = min(ln, n_keep - read_consumed)
+            read_consumed += take
+            new_ops.append(op)
+            new_lens.append(take)
+            if take < ln:
+                break
+        else:
+            if read_consumed >= n_keep:
+                break
+            new_ops.append(op)
+            new_lens.append(ln)
+    # drop trailing deletions
+    while new_ops and not sam.CONSUMES_READ[new_ops[-1]]:
+        new_ops.pop()
+        new_lens.pop()
+    return _rebuild(read, new_ops, new_lens, read.pos, read.bases[:n_keep], read.quals[:n_keep])
+
+
+def hard_clip_to_interval(read: Read, start: int, end: int) -> Read:
+    """Hard-clip bases aligned outside [start, end) (ReadClipper.hardClipToRegion)."""
+    r = read
+    if r.pos < start:
+        cut = _read_coord_of_ref(r, start, left=True)
+        if cut > 0:
+            r = _clip_left(r, cut)
+    if len(r.bases) and r.end > end:
+        cut = _read_coord_of_ref(r, end - 1, left=False)
+        if cut < len(r.bases) - 1:
+            r = _clip_right(r, cut + 1)
+    return r
+
+
+def revert_soft_clipped_bases(read: Read) -> Read:
+    """Turn soft clips into aligned M bases (ReadClipper.revertSoftClippedBases).
+
+    The alignment start moves left by the leading soft-clip length, but never
+    before position 0 (htsjdk clips at contig start via extra soft clip — here we
+    keep the soft clip if reverting would go negative).
+    """
+    ops = list(read.cigar_ops)
+    lens = list(read.cigar_lens)
+    if not ops:
+        return read
+    new_start = read.pos
+    if ops[0] == sam.OP_S:
+        if read.pos - int(lens[0]) >= 0:
+            new_start = read.pos - int(lens[0])
+            ops[0] = sam.OP_M
+    if ops and ops[-1] == sam.OP_S:
+        ops[-1] = sam.OP_M
+    # merge adjacent M
+    m_ops, m_lens = [], []
+    for o, l in zip(ops, lens):
+        if m_ops and m_ops[-1] == o:
+            m_lens[-1] += int(l)
+        else:
+            m_ops.append(int(o))
+            m_lens.append(int(l))
+    return _rebuild(read, m_ops, m_lens, new_start, read.bases, read.quals)
+
+
+def hard_clip_soft_clipped_bases(read: Read) -> Read:
+    """Remove soft-clipped bases entirely (ReadClipper.hardClipSoftClippedBases)."""
+    r = read
+    ops = r.cigar_ops
+    lens = r.cigar_lens
+    if len(ops) == 0:
+        return r
+    if ops[-1] == sam.OP_S:
+        r = _clip_right(r, len(r.bases) - int(lens[-1]))
+    ops = r.cigar_ops
+    lens = r.cigar_lens
+    if len(ops) and ops[0] == sam.OP_S:
+        r = _clip_left(r, int(lens[0]))
+    return r
+
+
+def hard_clip_low_qual_ends(read: Read, min_qual: int) -> Read:
+    """Clip trailing/leading bases with qual <= min_qual (clipLowQualEnds)."""
+    q = read.quals
+    n = len(q)
+    lo = 0
+    while lo < n and q[lo] <= min_qual:
+        lo += 1
+    hi = n - 1
+    while hi >= lo and q[hi] <= min_qual:
+        hi -= 1
+    if lo == 0 and hi == n - 1:
+        return read
+    if lo > hi:
+        return _rebuild(read, [], [], read.pos, np.empty(0, np.uint8), np.empty(0, np.uint8))
+    r = read
+    if hi < n - 1:
+        r = _clip_right(r, hi + 1)
+    if lo > 0:
+        r = _clip_left(r, lo)
+    return r
