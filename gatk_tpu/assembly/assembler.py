@@ -1,0 +1,139 @@
+"""Read-threading assembler orchestration (ReadThreadingAssembler equivalent).
+
+Reference behavior: readthreading/ReadThreadingAssembler.java — runLocalAssembly
+:138 (kmer iteration {10,25} with +10 retries to 65 on cycles/non-unique-ref),
+createGraph :620, chain pruning (pruneFactor=2 default), findBestPaths :229-324
+(k-best = 128, haplotype-to-ref SW with NEW_SW_PARAMETERS, SOFTCLIP).
+Dangling-end recovery is TODO for exact parity on region edges.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops import smith_waterman as sw
+from . import kbest
+from .haplotype import Haplotype, build_event_map
+from .rtgraph import ReadThreadingGraph
+
+DEFAULT_KMER_SIZES = (10, 25)
+MAX_KMER_ITERATIONS = 6
+KMER_SIZE_ITERATION_INCREASE = 10
+MAX_ALLOWED_KMER = 65  # maxAllowedKmerSize (ReadThreadingAssembler)
+DEFAULT_PRUNE_FACTOR = 2
+DEFAULT_NUM_BEST_HAPLOTYPES = 128
+MIN_HAPLOTYPE_REFERENCE_LENGTH = 30
+
+
+@dataclass
+class AssemblyResult:
+    haplotypes: list  # list[Haplotype], ref haplotype first
+    ref_haplotype: Haplotype = None
+    failed: bool = False
+    graphs: dict = field(default_factory=dict)
+
+
+def assemble(
+    reads,
+    ref_bases: np.ndarray,
+    ref_start: int,
+    kmer_sizes=DEFAULT_KMER_SIZES,
+    prune_factor: int = DEFAULT_PRUNE_FACTOR,
+    min_base_qual: int = 10,
+    num_best: int = DEFAULT_NUM_BEST_HAPLOTYPES,
+    allow_non_unique_kmers_in_ref: bool = False,
+    recover_dangling: bool = True,
+) -> AssemblyResult:
+    """Assemble region reads against the padded reference sequence.
+
+    ref_bases: uint8 padded reference; ref_start: genomic position of ref_bases[0].
+    Returns haplotypes with cigars/events vs the padded reference.
+    """
+    ref_hap = Haplotype(
+        bases=ref_bases.tobytes(), is_ref=True,
+        cigar_ops=np.array([0], np.uint8),
+        cigar_lens=np.array([len(ref_bases)], np.int32),
+        alignment_start=ref_start,
+    )
+    result = AssemblyResult(haplotypes=[ref_hap], ref_haplotype=ref_hap)
+
+    if b"N" in ref_hap.bases:
+        # reference with Ns cannot be threaded (ReadThreadingAssembler behavior)
+        return result
+
+    seen = {ref_hap.bases}
+    for base_k in kmer_sizes:
+        graph = _try_kmer_sizes(reads, ref_hap.bases, base_k, min_base_qual,
+                                allow_non_unique_kmers_in_ref)
+        if graph is None:
+            continue
+        result.graphs[graph.kmer_size] = graph
+        graph.prune_low_weight_chains(prune_factor)
+        if graph.ref_source() is None or graph.ref_sink() is None:
+            continue
+        paths = kbest.find_k_best_paths(graph, num_best)
+        for path, score in paths:
+            bases = kbest.path_to_bases(graph, path)
+            if bases in seen:
+                continue
+            seen.add(bases)
+            if len(bases) < graph.kmer_size:
+                continue
+            aln = sw.align(ref_hap.bases, bases, sw.NEW_SW_PARAMETERS, sw.SOFTCLIP)
+            if _too_clipped(aln):
+                continue
+            hap = Haplotype(
+                bases=bases, is_ref=False, score=score, kmer_size=graph.kmer_size,
+                cigar_ops=aln.cigar_ops, cigar_lens=aln.cigar_lens,
+                alignment_start=ref_start + aln.offset,
+            )
+            result.haplotypes.append(hap)
+
+    for hap in result.haplotypes:
+        build_event_map(hap, ref_bases, ref_start)
+    return result
+
+
+def _too_clipped(aln) -> bool:
+    """Reject alignments that are mostly soft clip (degenerate paths)."""
+    total = int(aln.cigar_lens.sum())
+    clipped = int(aln.cigar_lens[aln.cigar_ops == 4].sum()) if len(aln.cigar_ops) else 0
+    return total > 0 and clipped * 2 > total
+
+
+def _try_kmer_sizes(reads, ref_bases: bytes, base_k: int, min_base_qual: int,
+                    allow_non_unique_ref: bool):
+    """Build a graph at base_k, increasing kmer size on ref-non-uniqueness/cycles
+    (ReadThreadingAssembler.createGraph retry loop)."""
+    k = base_k
+    for attempt in range(MAX_KMER_ITERATIONS):
+        if k > MAX_ALLOWED_KMER or k >= len(ref_bases):
+            return None
+        g = _build_graph(reads, ref_bases, k, min_base_qual, allow_non_unique_ref)
+        if g is not None:
+            g.kmer_size = k
+            return g
+        k += KMER_SIZE_ITERATION_INCREASE
+    return None
+
+
+def _build_graph(reads, ref_bases: bytes, k: int, min_base_qual: int, allow_non_unique_ref: bool):
+    g = ReadThreadingGraph(k, min_base_qual)
+    # reference kmers must be unique
+    if not allow_non_unique_ref:
+        seen = set()
+        for i in range(len(ref_bases) - k + 1):
+            km = ref_bases[i : i + k]
+            if km in seen:
+                return None
+            seen.add(km)
+    g.add_sequence("ref", ref_bases, 0, len(ref_bases), 1, True)
+    for r in reads:
+        g.add_read(r.name, r.bases, r.quals)
+    g.build()
+    if g.has_cycles():
+        return None
+    if g.is_low_quality():
+        return None
+    return g

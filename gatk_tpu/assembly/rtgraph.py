@@ -1,0 +1,289 @@
+"""Read-threading de Bruijn graph (AbstractReadThreadingGraph/ReadThreadingGraph
+equivalents).
+
+Reference behavior: readthreading/AbstractReadThreadingGraph.java (threading
+:270-320, extendChainByOne :1009-1031, addRead quality runs :1040-1065),
+readthreading/ReadThreadingGraph.java (non-unique kmer handling :67-141,
+unique-kmer merge targets :187-193).
+
+Vertices are integer ids; kmers are bytes. Non-unique kmers (duplicated within any
+single added sequence) never become merge targets — threading through them creates
+fresh vertices, preserving read-path identity like the reference.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+DEFAULT_MIN_BASE_QUAL = 10
+
+
+@dataclass
+class Edge:
+    multiplicity: int = 0
+    is_ref: bool = False
+
+
+@dataclass
+class SeqForKmers:
+    name: str
+    seq: bytes
+    start: int
+    stop: int
+    count: int
+    is_ref: bool
+
+
+class ReadThreadingGraph:
+    def __init__(self, kmer_size: int, min_base_qual: int = DEFAULT_MIN_BASE_QUAL):
+        self.kmer_size = kmer_size
+        self.min_base_qual = min_base_qual
+        self.pending: list[SeqForKmers] = []
+        self.already_built = False
+        # graph storage
+        self.vertex_seq: list[bytes] = []  # vertex id -> kmer bytes
+        self.out_edges: list[dict] = []  # vid -> {target_vid: Edge}
+        self.in_edges: list[dict] = []  # vid -> {source_vid: Edge}
+        self.kmer_to_vertex: dict = {}  # unique kmer -> vid
+        self.non_unique_kmers: set = set()
+        self.ref_path: list[int] | None = None
+        self.ref_source_vid: int | None = None
+
+    # ---- construction ----------------------------------------------------------
+    def add_sequence(self, name: str, seq: bytes, start: int, stop: int, count: int, is_ref: bool):
+        assert not self.already_built
+        self.pending.append(SeqForKmers(name, seq, start, stop, count, is_ref))
+
+    def add_read(self, name: str, bases: np.ndarray, quals: np.ndarray):
+        """Split the read into maximal usable runs and add those >= kmer size."""
+        seq = bytes(bases)
+        n = len(seq)
+        last_good = -1
+        for end in range(n + 1):
+            usable = end < n and seq[end] != ord("N") and quals[end] >= self.min_base_qual
+            if not usable:
+                if last_good != -1 and end - last_good >= self.kmer_size:
+                    self.add_sequence(f"{name}_{last_good}_{end}", seq, last_good, end, 1, False)
+                last_good = -1
+            elif last_good == -1:
+                last_good = end
+        return self
+
+    def _new_vertex(self, kmer: bytes) -> int:
+        vid = len(self.vertex_seq)
+        self.vertex_seq.append(kmer)
+        self.out_edges.append({})
+        self.in_edges.append({})
+        # track unique kmers only (ReadThreadingGraph.trackKmer)
+        if kmer not in self.non_unique_kmers and kmer not in self.kmer_to_vertex:
+            self.kmer_to_vertex[kmer] = vid
+        return vid
+
+    def _add_edge(self, src: int, dst: int, count: int, is_ref: bool):
+        e = self.out_edges[src].get(dst)
+        if e is None:
+            e = Edge(0, False)
+            self.out_edges[src][dst] = e
+            self.in_edges[dst][src] = e
+        e.multiplicity += count
+        e.is_ref = e.is_ref or is_ref
+
+    def build(self):
+        if self.already_built:
+            return self
+        # non-unique kmers: duplicated within any single sequence
+        for s in self.pending:
+            seen = set()
+            dup = set()
+            for i in range(s.start, s.stop - self.kmer_size + 1):
+                k = s.seq[i : i + self.kmer_size]
+                if k in seen:
+                    dup.add(k)
+                else:
+                    seen.add(k)
+            self.non_unique_kmers |= dup
+        for s in self.pending:
+            self._thread_sequence(s)
+        self.already_built = True
+        self.pending = []
+        return self
+
+    def _find_start(self, s: SeqForKmers) -> int:
+        if s.is_ref:
+            return s.start
+        for i in range(s.start, s.stop - self.kmer_size):
+            if s.seq[i : i + self.kmer_size] not in self.non_unique_kmers:
+                return i
+        return -1
+
+    def _thread_sequence(self, s: SeqForKmers):
+        start_pos = self._find_start(s)
+        if start_pos == -1:
+            return
+        kmer0 = s.seq[start_pos : start_pos + self.kmer_size]
+        vid = self.kmer_to_vertex.get(kmer0)
+        if vid is None or kmer0 in self.non_unique_kmers:
+            vid = self._new_vertex(kmer0)
+        self._increase_counts_backwards(vid, s, start_pos)
+        if s.is_ref:
+            if self.ref_source_vid is not None:
+                raise ValueError("two reference sources")
+            self.ref_path = [vid]
+            self.ref_source_vid = vid
+        for i in range(start_pos + 1, s.stop - self.kmer_size + 1):
+            vid = self._extend_chain(vid, s.seq, i, s.count, s.is_ref)
+            if s.is_ref:
+                self.ref_path.append(vid)
+
+    def _extend_chain(self, prev: int, seq: bytes, kmer_start: int, count: int, is_ref: bool) -> int:
+        next_base = seq[kmer_start + self.kmer_size - 1]
+        for tgt, e in self.out_edges[prev].items():
+            if self.vertex_seq[tgt][-1] == next_base:
+                e.multiplicity += count
+                return tgt
+        kmer = seq[kmer_start : kmer_start + self.kmer_size]
+        merge = None
+        if kmer not in self.non_unique_kmers:
+            merge = self.kmer_to_vertex.get(kmer)
+            if is_ref and merge is not None:
+                raise ValueError("unique kmer merging into reference path")
+        nxt = self._new_vertex(kmer) if merge is None else merge
+        self._add_edge(prev, nxt, count, is_ref)
+        return nxt
+
+    def _increase_counts_backwards(self, start_vid: int, s: SeqForKmers, start_pos: int):
+        """Credit edges backwards from the threading start while the predecessor
+        kmer matches the sequence (increaseCountsInMatchedKmers): walk back one
+        vertex at a time while exactly one in-edge source equals the expected
+        preceding kmer."""
+        vid = start_vid
+        pos = start_pos  # kmer start position of current vertex
+        while pos > s.start:
+            want = s.seq[pos - 1 : pos - 1 + self.kmer_size]
+            matches = [
+                (src, e) for src, e in self.in_edges[vid].items() if self.vertex_seq[src] == want
+            ]
+            if len(matches) != 1:
+                break
+            src, e = matches[0]
+            e.multiplicity += s.count
+            vid = src
+            pos -= 1
+
+    # ---- queries ---------------------------------------------------------------
+    @property
+    def num_vertices(self):
+        return len(self.vertex_seq)
+
+    def sources(self):
+        return [v for v in range(self.num_vertices) if not self.in_edges[v]]
+
+    def sinks(self):
+        return [v for v in range(self.num_vertices) if not self.out_edges[v]]
+
+    def ref_sink(self):
+        return self.ref_path[-1] if self.ref_path else None
+
+    def ref_source(self):
+        return self.ref_path[0] if self.ref_path else None
+
+    def has_cycles(self) -> bool:
+        """DFS cycle check."""
+        color = [0] * self.num_vertices
+        for root in range(self.num_vertices):
+            if color[root]:
+                continue
+            stack = [(root, iter(self.out_edges[root]))]
+            color[root] = 1
+            while stack:
+                v, it = stack[-1]
+                advanced = False
+                for w in it:
+                    if color[w] == 1:
+                        return True
+                    if color[w] == 0:
+                        color[w] = 1
+                        stack.append((w, iter(self.out_edges[w])))
+                        advanced = True
+                        break
+                if not advanced:
+                    color[v] = 2
+                    stack.pop()
+        return False
+
+    def is_low_quality(self) -> bool:
+        """>20% non-unique kmers (ReadThreadingGraph.isLowQualityGraph)."""
+        return len(self.non_unique_kmers) * 4 > len(self.kmer_to_vertex)
+
+    # ---- pruning & cleanup -----------------------------------------------------
+    def _linear_chains(self):
+        """Maximal linear chains of edges: paths through vertices with in==out==1."""
+
+        def is_chain_internal(v):
+            return len(self.in_edges[v]) == 1 and len(self.out_edges[v]) == 1
+
+        chains = []
+        visited_edges = set()
+        for v in range(self.num_vertices):
+            if is_chain_internal(v):
+                continue
+            for w in self.out_edges[v]:
+                if (v, w) in visited_edges:
+                    continue
+                chain = [(v, w)]
+                visited_edges.add((v, w))
+                cur = w
+                while is_chain_internal(cur):
+                    nxt = next(iter(self.out_edges[cur]))
+                    if (cur, nxt) in visited_edges:
+                        break
+                    chain.append((cur, nxt))
+                    visited_edges.add((cur, nxt))
+                    cur = nxt
+                chains.append(chain)
+        # cycles made purely of internal vertices are unreachable above; fine for DAG use
+        return chains
+
+    def prune_low_weight_chains(self, prune_factor: int):
+        """LowWeightChainPruner: drop chains whose every edge has multiplicity <
+        pruneFactor and no reference edge."""
+        to_remove = []
+        for chain in self._linear_chains():
+            if all(
+                self.out_edges[a][b].multiplicity < prune_factor and not self.out_edges[a][b].is_ref
+                for a, b in chain
+            ):
+                to_remove.extend(chain)
+        for a, b in to_remove:
+            self.out_edges[a].pop(b, None)
+            self.in_edges[b].pop(a, None)
+        self._remove_orphans()
+
+    def _remove_orphans(self):
+        """Remove vertices unreachable from ref source or not reaching ref sink."""
+        if self.ref_path is None:
+            return
+        fwd = self._reachable(self.ref_source(), self.out_edges)
+        bwd = self._reachable(self.ref_sink(), self.in_edges)
+        keep = fwd & bwd
+        for v in range(self.num_vertices):
+            if v not in keep:
+                for w in list(self.out_edges[v]):
+                    self.in_edges[w].pop(v, None)
+                self.out_edges[v] = {}
+                for u in list(self.in_edges[v]):
+                    self.out_edges[u].pop(v, None)
+                self.in_edges[v] = {}
+
+    def _reachable(self, start, adj):
+        seen = {start}
+        stack = [start]
+        while stack:
+            v = stack.pop()
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        return seen
