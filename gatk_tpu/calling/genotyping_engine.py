@@ -1,0 +1,165 @@
+"""Assembly-based genotyping (HaplotypeCallerGenotypingEngine equivalent).
+
+Reference behavior: haplotypecaller/HaplotypeCallerGenotypingEngine.java:120-292 —
+per event-start locus: merge events across haplotypes into a variant context,
+build the allele->haplotype map, marginalize read likelihoods, compute diploid GLs,
+run the exact AF calculation, emit calls above the confidence threshold.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..assembly.haplotype import Event
+from ..io.vcf import Variant
+from . import genotyper
+from .likelihoods import AlleleLikelihoods
+
+STANDARD_CONFIDENCE_FOR_CALLING = 30.0
+ALLELE_EXTENSION = 2
+MAX_ALT_ALLELES = 6
+
+
+@dataclass
+class MergedAllele:
+    """An allele at a merged locus: VCF-style ref/alt strings."""
+
+    ref: str
+    alt: str
+    is_ref: bool = False
+
+
+def merge_events_at_locus(events_here: list) -> tuple:
+    """Merge events starting at one locus into common-ref representation
+    (AssemblyBasedCallerUtils.makeMergedVariantContext semantics):
+    ref = longest event ref; shorter events' alts get the ref suffix appended."""
+    longest_ref = max((e.ref for e in events_here), key=len)
+    alts = []
+    for e in events_here:
+        suffix = longest_ref[len(e.ref) :]
+        alt = e.alt + suffix
+        if alt not in alts and alt != longest_ref:
+            alts.append(alt)
+    return longest_ref, alts
+
+
+def event_to_merged_alt(e: Event, longest_ref: str) -> str:
+    return e.alt + longest_ref[len(e.ref) :]
+
+
+def assign_genotype_likelihoods(
+    haplotypes,
+    read_likelihoods: AlleleLikelihoods,
+    ref_bases: np.ndarray,
+    ref_start: int,
+    span_start: int,
+    span_end: int,
+    contig: str,
+    sample: str,
+    af_calc: genotyper.AlleleFrequencyCalculator | None = None,
+    standard_confidence: float = STANDARD_CONFIDENCE_FOR_CALLING,
+    ploidy: int = 2,
+    emit_all_active: bool = False,
+):
+    """Produce Variant records for one assembled region.
+
+    read_likelihoods: haplotype-level AlleleLikelihoods (alleles = haplotypes).
+    span_start/span_end: the unpadded active region span (calls outside are dropped).
+    """
+    af_calc = af_calc or genotyper.AlleleFrequencyCalculator(ploidy=ploidy)
+    start_positions = sorted(
+        {e.start for h in haplotypes for e in h.events if span_start <= e.start < span_end}
+    )
+    variants = []
+    for loc in start_positions:
+        events_here = []
+        seen = set()
+        for h in haplotypes:
+            for e in h.events:
+                if e.start == loc and (e.ref, e.alt) not in seen:
+                    seen.add((e.ref, e.alt))
+                    events_here.append(e)
+        if not events_here:
+            continue
+        longest_ref, alts = merge_events_at_locus(events_here)
+        if not alts:
+            continue
+        alts = alts[:MAX_ALT_ALLELES]
+        alleles = [MergedAllele(longest_ref, longest_ref, is_ref=True)] + [
+            MergedAllele(longest_ref, a) for a in alts
+        ]
+
+        # allele -> supporting haplotypes (haplotypes with no event at loc support ref)
+        allele_map = {a: [] for a in alleles}
+        for h in haplotypes:
+            ev = next((e for e in h.events if e.start == loc), None)
+            if ev is None:
+                # spanning deletion from an upstream event makes the haplotype
+                # support neither ref nor alt here; GATK uses the span-del allele.
+                spanning = any(e.start < loc < e.end - 1 and e.is_indel() for e in h.events)
+                if not spanning:
+                    allele_map[alleles[0]].append(h)
+                continue
+            alt = event_to_merged_alt(ev, longest_ref)
+            target = next((a for a in alleles[1:] if a.alt == alt), None)
+            if target is not None:
+                allele_map[target].append(h)
+        # drop alt alleles with no supporting haplotype
+        for a in list(allele_map.keys()):
+            if not a.is_ref and not allele_map[a]:
+                del allele_map[a]
+        alleles = list(allele_map.keys())
+        if len(alleles) < 2:
+            continue
+
+        marginal = read_likelihoods.marginalize(allele_map)
+        # keep reads overlapping the variant (with small extension)
+        marginal.retain_reads_overlapping(loc - ALLELE_EXTENSION + 1, loc + len(longest_ref) + ALLELE_EXTENSION - 1)
+        if marginal.n_reads == 0:
+            continue
+
+        gl = genotyper.compute_genotype_likelihoods(marginal.values, ploidy)
+        pl = genotyper.gls_to_pls(gl)
+        gl_quantized = genotyper.pls_to_gls(pl)
+
+        allele_lengths = [len(longest_ref)] + [len(a.alt) for a in alleles[1:]]
+        af = af_calc.calculate(allele_lengths, len(longest_ref), [gl_quantized], ploidy)
+        phred_no_variant = -10.0 * af.log10_p_no_variant
+        if phred_no_variant < standard_confidence and not emit_all_active:
+            continue
+
+        # genotype assignment from PLs (USE_PLS_TO_ASSIGN)
+        gts = genotyper.genotype_allele_counts(ploidy, len(alleles))
+        best_gt_idx = int(np.argmin(pl))
+        gt_tuple = gts[best_gt_idx]
+        # GQ: difference between best and second-best PL
+        pl_sorted = np.sort(pl)
+        gq = int(min(pl_sorted[1] - pl_sorted[0], 99))
+
+        counts = marginal.counts_by_allele()
+        dp = int(counts.sum())
+        qual = float(np.round(phred_no_variant, 2))
+
+        variants.append(
+            Variant(
+                contig=contig,
+                pos=loc,
+                ref=longest_ref,
+                alts=tuple(a.alt for a in alleles[1:]),
+                qual=qual,
+                filters=(),
+                info={},
+                fmt_keys=("GT", "AD", "DP", "GQ", "PL"),
+                samples=[
+                    {
+                        "GT": "/".join(str(a) for a in gt_tuple),
+                        "AD": ",".join(str(int(c)) for c in counts),
+                        "DP": str(dp),
+                        "GQ": str(gq),
+                        "PL": ",".join(str(int(p)) for p in pl),
+                    }
+                ],
+            )
+        )
+    return variants

@@ -1,0 +1,259 @@
+"""HaplotypeCaller engine: end-to-end single-sample germline calling.
+
+Reference behavior: haplotypecaller/HaplotypeCallerEngine.java (isActive :663-726,
+callRegion :735-1037) and engine/AssemblyRegionWalker.java traversal. Host side
+orchestrates per-region work; the PairHMM runs as one batched Pallas call per
+region batch (TPU) or via the host f64 reference (CPU testing).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..assembly import assembler
+from ..engine import activity, clipping, filters
+from ..engine.intervals import Interval
+from ..io import fasta
+from ..ops import pairhmm_tpu
+from . import genotyping_engine, read_prep
+from .likelihoods import AlleleLikelihoods
+
+DEFAULT_MAX_READS_PER_START = 50
+REGION_PADDING = activity.DEFAULT_REGION_PADDING
+MIN_TAIL_QUALITY = 9
+GLOBAL_READ_MISMAPPING_RATE_CAP = -4.5  # phred 45 / -10
+EXPECTED_ERROR_RATE_PER_BASE = 0.02
+HALF_PCR_SNV_QUAL = 20
+
+
+@dataclass
+class HCArgs:
+    min_base_quality_score: int = 10
+    min_mapping_quality: int = 20
+    standard_confidence: float = 30.0
+    ploidy: int = 2
+    max_reads_per_alignment_start: int = DEFAULT_MAX_READS_PER_START
+    use_pairhmm_device: bool = False  # True => Pallas kernel; False => host f64
+    dont_use_soft_clipped_bases: bool = False
+
+
+@dataclass
+class AssemblyRegionCall:
+    span: Interval
+    padded: Interval
+    n_reads: int
+    n_haplotypes: int
+    variants: list = field(default_factory=list)
+
+
+def positional_downsample(reads, max_per_start: int):
+    """Keep at most max_per_start reads per alignment start (PositionalDownsampler;
+    deterministic first-k selection for now — the reference uses a seeded reservoir)."""
+    out = []
+    count = {}
+    for r in reads:
+        key = (r.ref_id, r.pos)
+        c = count.get(key, 0)
+        if c < max_per_start:
+            out.append(r)
+            count[key] = c + 1
+    return out
+
+
+def correct_overlapping_pairs(reads):
+    """Cap overlapping mate base quals (FragmentUtils.adjustQualsOfOverlappingPairedFragments,
+    setConflictingToZero=True, cap=HALF_PCR_SNV_QUAL)."""
+    by_name = {}
+    for r in reads:
+        by_name.setdefault(r.name, []).append(r)
+    for group in by_name.values():
+        if len(group) != 2:
+            continue
+        a, b = group
+        first, second = (a, b) if a.pos <= b.pos else (b, a)
+        if first.end <= second.pos:
+            continue
+        # aligned index in first read of second.pos
+        off = _read_index_at(first, second.pos)
+        if off is None:
+            continue
+        n_overlap = min(len(first.bases) - off, len(second.bases))
+        f_b = first.bases[off : off + n_overlap]
+        s_b = second.bases[:n_overlap]
+        f_q = first.quals.copy()
+        s_q = second.quals.copy()
+        same = f_b == s_b
+        f_q[off : off + n_overlap] = np.where(
+            same, np.minimum(f_q[off : off + n_overlap], HALF_PCR_SNV_QUAL), 0
+        )
+        s_q[:n_overlap] = np.where(same, np.minimum(s_q[:n_overlap], HALF_PCR_SNV_QUAL), 0)
+        first.quals = f_q
+        second.quals = s_q
+    return reads
+
+
+def _read_index_at(read, ref_pos):
+    from ..io import sam
+
+    cur_ref = read.pos
+    cur_read = 0
+    for op, ln in zip(read.cigar_ops, read.cigar_lens):
+        ln = int(ln)
+        cr = sam.CONSUMES_READ[op]
+        cf = sam.CONSUMES_REF[op]
+        if cf and cr:
+            if cur_ref <= ref_pos < cur_ref + ln:
+                return cur_read + (ref_pos - cur_ref)
+            cur_ref += ln
+            cur_read += ln
+        elif cf:
+            if cur_ref <= ref_pos < cur_ref + ln:
+                return None  # falls in deletion
+            cur_ref += ln
+        elif cr:
+            cur_read += ln
+    return None
+
+
+def finalize_region_reads(region_reads, padded: Interval, args: HCArgs):
+    """AssemblyBasedCallerUtils.finalizeRegion equivalent."""
+    out = []
+    for r in region_reads:
+        rr = (
+            clipping.hard_clip_soft_clipped_bases(r)
+            if args.dont_use_soft_clipped_bases or not _well_defined_fragment(r)
+            else clipping.revert_soft_clipped_bases(r)
+        )
+        rr = clipping.hard_clip_low_qual_ends(rr, MIN_TAIL_QUALITY)
+        if len(rr.bases) == 0 or rr.is_unmapped:
+            continue
+        rr = clipping.hard_clip_to_interval(rr, padded.start, padded.end)
+        if len(rr.bases) > 0 and rr.pos < rr.end and rr.pos < padded.end and rr.end > padded.start:
+            out.append(rr)
+    out.sort(key=lambda r: (r.pos, r.name))
+    correct_overlapping_pairs(out)
+    return out
+
+
+def _well_defined_fragment(r):
+    """ReadUtils.hasWellDefinedFragmentSize."""
+    if r.tlen == 0 or not r.is_paired or r.mate_is_unmapped:
+        return False
+    if r.is_reverse == bool(r.flag & 0x20):  # same strand as mate
+        return False
+    if r.is_reverse:
+        return r.end > r.mate_pos
+    return r.pos <= r.mate_pos + r.tlen
+
+
+def compute_pairhmm_likelihoods(haplotypes, reads, args: HCArgs) -> AlleleLikelihoods:
+    """reads x haplotypes log10 likelihood matrix via Pallas kernel or host f64."""
+    prepped = [read_prep.prepare_read_for_pairhmm(r) for r in reads]
+    hap_bases = [h.bases for h in haplotypes]
+    n_r, n_h = len(reads), len(haplotypes)
+    ri = np.repeat(np.arange(n_r), n_h)
+    hi = np.tile(np.arange(n_h), n_r)
+    if args.use_pairhmm_device:
+        flat = pairhmm_tpu.compute_log10_likelihoods(prepped, hap_bases, ri, hi, interpret=False)
+    else:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            flat = pairhmm_tpu.compute_log10_likelihoods(prepped, hap_bases, ri, hi)
+        else:
+            from ..ops import pairhmm_host
+
+            flat = np.array(
+                [
+                    pairhmm_host.compute_log10_likelihood(
+                        hap_bases[h], prepped[r]["bases"], prepped[r]["rq"],
+                        prepped[r]["iq"], prepped[r]["dq"], prepped[r]["gcp"],
+                    )
+                    for r, h in zip(ri, hi)
+                ]
+            )
+    values = np.asarray(flat, np.float64).reshape(n_r, n_h).T  # (n_haps, n_reads)
+    lik = AlleleLikelihoods(list(haplotypes), list(reads), values)
+    lik.normalize_likelihoods(GLOBAL_READ_MISMAPPING_RATE_CAP)
+    lik.filter_poorly_modeled_reads(
+        lambda r: min(2.0, np.ceil(len(r.bases) * EXPECTED_ERROR_RATE_PER_BASE)) * -4.0
+    )
+    return lik
+
+
+class HaplotypeCallerEngine:
+    def __init__(self, reference: fasta.FastaReference, sample: str = "SAMPLE", args: HCArgs | None = None):
+        self.ref = reference
+        self.sample = sample
+        self.args = args or HCArgs()
+
+    def call_interval(self, reads, interval: Interval):
+        """Call variants on one interval; reads must be coordinate-sorted and
+        overlap the interval. Returns (variants, region_summaries)."""
+        args = self.args
+        contig_len = self.ref.contig_length(interval.contig)
+        usable = [
+            r
+            for r in reads
+            if filters.hc_read_filter(r, args.min_mapping_quality, contig_len)
+        ]
+        usable = positional_downsample(usable, args.max_reads_per_alignment_start)
+
+        span_start = max(0, interval.start - REGION_PADDING)
+        span_end = min(contig_len, interval.end + REGION_PADDING)
+        ref_span = self.ref.fetch(interval.contig, span_start, span_end)
+
+        probs, sc_mean = activity.compute_raw_activity(
+            usable, span_start, span_end, ref_span,
+            ploidy=args.ploidy, min_base_qual=args.min_base_quality_score,
+        )
+        smoothed = activity.band_pass(probs, sc_mean, (span_start, contig_len))
+        raw_regions = activity.pop_regions(smoothed)
+
+        all_variants = []
+        summaries = []
+        for rr in raw_regions:
+            if not rr.is_active:
+                continue
+            region_span = Interval(
+                interval.contig, span_start + rr.start, span_start + rr.end
+            )
+            if region_span.end <= interval.start or region_span.start >= interval.end:
+                continue
+            variants, summary = self.call_region(usable, region_span)
+            all_variants.extend(variants)
+            summaries.append(summary)
+        # only keep variants inside the requested interval
+        all_variants = [v for v in all_variants if interval.start <= v.pos < interval.end]
+        return all_variants, summaries
+
+    def call_region(self, reads, span: Interval):
+        args = self.args
+        contig_len = self.ref.contig_length(span.contig)
+        padded = span.expand(REGION_PADDING, contig_len)
+        region_reads = [r for r in reads if r.pos < padded.end and r.end > padded.start]
+        final_reads = finalize_region_reads(region_reads, padded, args)
+        summary = AssemblyRegionCall(span, padded, len(final_reads), 0)
+        if not final_reads:
+            return [], summary
+
+        ref_bases = self.ref.fetch(span.contig, padded.start, padded.end)
+        result = assembler.assemble(final_reads, ref_bases, padded.start,
+                                    min_base_qual=args.min_base_quality_score)
+        haplotypes = result.haplotypes
+        summary.n_haplotypes = len(haplotypes)
+        if len(haplotypes) <= 1:
+            return [], summary
+        has_events = any(h.events for h in haplotypes)
+        if not has_events:
+            return [], summary
+
+        lik = compute_pairhmm_likelihoods(haplotypes, final_reads, args)
+        variants = genotyping_engine.assign_genotype_likelihoods(
+            haplotypes, lik, ref_bases, padded.start, span.start, span.end,
+            span.contig, self.sample,
+            standard_confidence=args.standard_confidence, ploidy=args.ploidy,
+        )
+        summary.variants = variants
+        return variants, summary

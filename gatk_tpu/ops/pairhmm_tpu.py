@@ -176,6 +176,20 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+# Fixed shape buckets: each distinct (rp, hmax) pair costs one Mosaic compile
+# (tiny shapes compile pathologically slowly through the remote-compile path), so
+# pad up to a small set of large shapes. rp covers reads to 158bp in one bucket.
+RP_BUCKETS = (160, 320)
+HMAX_BUCKETS = (256, 512, 1024, 2048)
+
+
+def _bucket(value, buckets):
+    for b in buckets:
+        if value <= b:
+            return b
+    return _round_up(value, buckets[-1])
+
+
 def pack_batch(reads, haps, pair_read_idx, pair_hap_idx, rp=None, hmax=None):
     """Pack reads/haps into wavefront layout.
 
@@ -187,8 +201,8 @@ def pack_batch(reads, haps, pair_read_idx, pair_hap_idx, rp=None, hmax=None):
     n_pairs = len(pair_read_idx)
     max_r = max(len(r["bases"]) for r in reads)
     max_h = max(len(h) for h in haps)
-    rp = rp or _round_up(max_r + 2, 8)
-    hmax = hmax or _round_up(max_h, 8)
+    rp = rp or _bucket(max_r + 2, RP_BUCKETS)
+    hmax = hmax or _bucket(max_h, HMAX_BUCKETS)
     if max_r > rp - 2 or max_h > hmax:
         raise ValueError(f"bucket too small: R={max_r}->rp={rp}, H={max_h}->hmax={hmax}")
     n = _round_up(max(n_pairs, 1), LANES)
