@@ -1,0 +1,65 @@
+"""CLI front-end (gatk launcher + Main dispatch + Barclay equivalents).
+
+Usage: python -m gatk_tpu ToolName --args...  — tool names and the core flag names
+mirror GATK4 so its command lines port directly (reference: gatk script :77-399,
+Main.java:149-370).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+TOOL_REGISTRY = {}
+
+
+def register_tool(name):
+    def deco(fn):
+        TOOL_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help", "--list"):
+        print("gatk_tpu: TPU-native variant calling toolkit. Tools:")
+        for name, fn in sorted(TOOL_REGISTRY.items()):
+            doc = (fn.__doc__ or "").strip().splitlines()
+            print(f"  {name:28s} {doc[0] if doc else ''}")
+        return 0
+    tool = argv[0]
+    if tool not in TOOL_REGISTRY:
+        print(f"ERROR: unknown tool '{tool}'. Use --list to see tools.", file=sys.stderr)
+        return 2
+    t0 = time.time()
+    try:
+        rc = TOOL_REGISTRY[tool](argv[1:]) or 0
+    except UserError as e:
+        print(f"A USER ERROR has occurred: {e}", file=sys.stderr)
+        return 2
+    print(f"{tool} done. Elapsed time: {time.time() - t0:.2f} seconds.", file=sys.stderr)
+    return rc
+
+
+class UserError(Exception):
+    """Error caused by bad user input (exit code 2, no traceback — Main.java:204)."""
+
+
+def standard_io_parser(description: str, reference_required=True):
+    p = argparse.ArgumentParser(description=description, add_help=True)
+    p.add_argument("-I", "--input", action="append", required=True, help="BAM input(s)")
+    p.add_argument("-R", "--reference", required=reference_required, help="reference FASTA")
+    p.add_argument("-O", "--output", required=True, help="output path")
+    p.add_argument("-L", "--intervals", action="append", default=None, help="intervals")
+    return p
+
+
+# import tool modules for registration side effects
+def _register_builtin_tools():
+    from .tools import hc_tool  # noqa: F401
+    from .tools import basic_tools  # noqa: F401
+
+
+_register_builtin_tools()
