@@ -21,7 +21,7 @@ ALLELE_EXTENSION = 2
 MAX_ALT_ALLELES = 6
 
 
-@dataclass
+@dataclass(frozen=True)
 class MergedAllele:
     """An allele at a merged locus: VCF-style ref/alt strings."""
 

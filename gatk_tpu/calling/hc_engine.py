@@ -148,32 +148,12 @@ def _well_defined_fragment(r):
 
 
 def compute_pairhmm_likelihoods(haplotypes, reads, args: HCArgs) -> AlleleLikelihoods:
-    """reads x haplotypes log10 likelihood matrix via Pallas kernel or host f64."""
+    """reads x haplotypes log10 likelihood matrix via the cartesian Pallas kernel
+    (interpret mode on CPU backends)."""
     prepped = [read_prep.prepare_read_for_pairhmm(r) for r in reads]
     hap_bases = [h.bases for h in haplotypes]
-    n_r, n_h = len(reads), len(haplotypes)
-    ri = np.repeat(np.arange(n_r), n_h)
-    hi = np.tile(np.arange(n_h), n_r)
-    if args.use_pairhmm_device:
-        flat = pairhmm_tpu.compute_log10_likelihoods(prepped, hap_bases, ri, hi, interpret=False)
-    else:
-        import jax
-
-        if jax.default_backend() != "cpu":
-            flat = pairhmm_tpu.compute_log10_likelihoods(prepped, hap_bases, ri, hi)
-        else:
-            from ..ops import pairhmm_host
-
-            flat = np.array(
-                [
-                    pairhmm_host.compute_log10_likelihood(
-                        hap_bases[h], prepped[r]["bases"], prepped[r]["rq"],
-                        prepped[r]["iq"], prepped[r]["dq"], prepped[r]["gcp"],
-                    )
-                    for r, h in zip(ri, hi)
-                ]
-            )
-    values = np.asarray(flat, np.float64).reshape(n_r, n_h).T  # (n_haps, n_reads)
+    mat = pairhmm_tpu.compute_likelihood_matrix(prepped, hap_bases)  # (n_reads, n_haps)
+    values = mat.T  # (n_haps, n_reads)
     lik = AlleleLikelihoods(list(haplotypes), list(reads), values)
     lik.normalize_likelihoods(GLOBAL_READ_MISMAPPING_RATE_CAP)
     lik.filter_poorly_modeled_reads(

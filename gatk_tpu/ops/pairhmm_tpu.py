@@ -141,6 +141,133 @@ def _pairhmm_kernel(
     out_ref[:] = acc_ref[:] * jnp.float32(1.0 / LN10)
 
 
+def _pairhmm_matrix_kernel(
+    # read block (Rp, B) i32; hap block (He, 1) i32; rlen (1, B); hlen (1, 1)
+    rbase_ref, rq_ref, iq_ref, dq_ref, gcp_ref, e_ref, rlen_ref, hlen_ref,
+    out_ref,  # (1, B) f32 — likelihood of each read in the block vs this hap
+    m_ref, x_ref, y_ref,
+    tmm_ref, tim_ref, tmi_ref, tii_ref, tmd_ref, tdd_ref, peq_ref, pne_ref,
+    acc_ref,
+    *, rp: int, hmax: int,
+):
+    """Cartesian form: lanes = 128 reads, one haplotype per grid column.
+
+    Identical DP to _pairhmm_kernel but with read data loaded once per read block
+    (the hap axis varies fastest in the grid) and the haplotype broadcast across
+    lanes — no per-pair duplication in HBM. This matches the HaplotypeCaller
+    access pattern (likelihoods for ALL reads x ALL haplotypes of a region).
+    """
+    B = out_ref.shape[1]
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (rp, B), 0)
+
+    # prologue only on the first hap of each read block (constants persist in
+    # scratch across grid steps; hap index is grid dim 1, iterated fastest)
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        neg_ln10_over_10 = jnp.float32(-LN10 / 10.0)
+        e_ins = jnp.exp(iq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+        e_del = jnp.exp(dq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+        e_gcp = jnp.exp(gcp_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+        e_base = jnp.exp(rq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+        rlen = rlen_ref[0, :][None, :]
+        pad = iota_i > rlen
+        zero = jnp.float32(0.0)
+        one = jnp.float32(1.0)
+        tmm_ref[:] = jnp.where(pad, zero, one - jnp.minimum(one, e_ins + e_del))
+        tim_ref[:] = jnp.where(pad, zero, one - e_gcp)
+        tmi_ref[:] = jnp.where(pad, one, e_ins)
+        tii_ref[:] = jnp.where(pad, one, e_gcp)
+        tmd_ref[:] = jnp.where(pad, zero, e_del)
+        tdd_ref[:] = jnp.where(pad, zero, e_gcp)
+        peq_ref[:] = jnp.where(pad, zero, one - e_base)
+        pne_ref[:] = jnp.where(pad, zero, e_base * jnp.float32(1.0 / TRISTATE_CORRECTION))
+
+    zero = jnp.float32(0.0)
+    hlen_f = hlen_ref[0, 0].astype(jnp.float32)
+    y0 = jnp.float32(2.0**INIT_LOG2) / hlen_f  # scalar
+    m_ref[:] = jnp.zeros((2, rp, B), jnp.float32)
+    x_ref[:] = jnp.zeros((2, rp, B), jnp.float32)
+    y_ref[1] = jnp.zeros((rp, B), jnp.float32)
+    y_ref[0] = jnp.where(iota_i == 0, y0, zero)
+    acc_ref[:] = jnp.full((1, B), NEG_INF, jnp.float32)
+
+    hlen = hlen_ref[0, 0]
+    rbase = rbase_ref[:]
+    last = rp - 1
+    num_d = rp - 1 + hmax
+
+    def body(d, _):
+        s = jax.lax.rem(d, 2)
+        ns = 1 - s
+        start = hmax + rp - 1 - d
+        w = e_ref[pl.ds(start, rp), :]  # (rp, 1) broadcasts across lanes
+        prior = jnp.where(
+            (rbase == w) | (rbase == N_BASE) | (w == N_BASE), peq_ref[:], pne_ref[:]
+        )
+        md2, xd2, yd2 = m_ref[s], x_ref[s], y_ref[s]
+        md1, xd1, yd1 = m_ref[ns], x_ref[ns], y_ref[ns]
+        m_new = prior * (tmm_ref[:] * _roll1(md2) + tim_ref[:] * (_roll1(xd2) + _roll1(yd2)))
+        x_new = tmi_ref[:] * _roll1(md1) + tii_ref[:] * _roll1(xd1)
+        y_new = tmd_ref[:] * md1 + tdd_ref[:] * yd1
+        jvalid = iota_i <= (d - 1)
+        interior = jvalid & (iota_i > 0)
+        m_new = jnp.where(interior, m_new, zero)
+        x_new = jnp.where(interior, x_new, zero)
+        y_new = jnp.where(iota_i == 0, y0, jnp.where(jvalid, y_new, zero))
+        m_ref[s] = m_new
+        x_ref[s] = x_new
+        y_ref[s] = y_new
+        j_here = d - last
+        c = m_new[last, :][None, :] + x_new[last, :][None, :]
+        valid_c = (j_here >= 1) & (j_here <= hlen) & (c > 0)
+        c_ln = jnp.where(valid_c, jnp.log(jnp.maximum(c, 1e-44)) - jnp.float32(INIT_LOG2 * LN2), NEG_INF)
+        acc = acc_ref[:]
+        hi = jnp.maximum(acc, c_ln)
+        lo = jnp.minimum(acc, c_ln)
+        acc_ref[:] = hi + jnp.log1p(jnp.exp(lo - hi))
+        return 0
+
+    jax.lax.fori_loop(1, num_d + 1, body, 0)
+    out_ref[:] = acc_ref[:] * jnp.float32(1.0 / LN10)
+
+
+@functools.partial(jax.jit, static_argnames=("rp", "hmax", "interpret"))
+def _pairhmm_matrix_call(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax, interpret=False):
+    """Full (n_haps, n_reads_padded) likelihood matrix.
+
+    rbase..gcp: (rp, NR) i32; e: (He, NH) i32; rlen: (1, NR); hlen: (1, NH).
+    """
+    nr = rbase.shape[1]
+    nh = e.shape[1]
+    he = e.shape[0]
+    grid = (nr // LANES, nh)
+    read_spec = pl.BlockSpec((rp, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((he, 1), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    rlen_spec = pl.BlockSpec((1, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    hlen_spec = pl.BlockSpec((1, 1), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_pairhmm_matrix_kernel, rp=rp, hmax=hmax)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[read_spec] * 5 + [e_spec, rlen_spec, hlen_spec],
+        out_specs=pl.BlockSpec((1, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nh, nr), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, rp, LANES), jnp.float32),
+            pltpu.VMEM((2, rp, LANES), jnp.float32),
+            pltpu.VMEM((2, rp, LANES), jnp.float32),
+        ]
+        + [pltpu.VMEM((rp, LANES), jnp.float32)] * 8
+        + [pltpu.VMEM((1, LANES), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=grid[0] * grid[1] * (rp - 1 + hmax) * rp * LANES * 14,
+            bytes_accessed=(5 * rp + 2) * nr * 4 + he * nh * 4 + nh * nr * 4,
+            transcendentals=grid[0] * grid[1] * (rp - 1 + hmax) * LANES * 2,
+        ),
+        interpret=interpret,
+    )(rbase, rq, iq, dq, gcp, e, rlen, hlen)
+
+
 @functools.partial(jax.jit, static_argnames=("rp", "hmax", "interpret"))
 def _pairhmm_call(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax, interpret=False):
     n = rbase.shape[1]
@@ -263,6 +390,89 @@ def pack_batch(reads, haps, pair_read_idx, pair_hap_idx, rp=None, hmax=None):
     out["rlen"] = rlen[None, :].astype(np.int32)
     out["hlen"] = hlen[None, :].astype(np.int32)
     return out, rp, hmax, n_pairs
+
+
+def pack_reads(reads, rp=None):
+    """Pack read data into (rp, NR_padded) arrays (NR padded to LANES)."""
+    max_r = max(len(r["bases"]) for r in reads)
+    rp = rp or _bucket(max_r + 2, RP_BUCKETS)
+    if max_r > rp - 2:
+        raise ValueError(f"read bucket too small: {max_r} -> rp={rp}")
+    nr = _round_up(max(len(reads), 1), LANES)
+
+    def as_u8(x):
+        return np.frombuffer(bytes(x), dtype=np.uint8) if isinstance(x, (bytes, bytearray)) else np.asarray(x, dtype=np.uint8)
+
+    rbase = np.zeros((rp, nr), np.int32)
+    rq = np.zeros((rp, nr), np.int32)
+    iq = np.zeros((rp, nr), np.int32)
+    dq = np.zeros((rp, nr), np.int32)
+    gcp = np.zeros((rp, nr), np.int32)
+    rlen = np.ones((1, nr), np.int32)
+    for k, r in enumerate(reads):
+        b = as_u8(r["bases"])
+        L = len(b)
+        rlen[0, k] = L
+        rbase[1 : L + 1, k] = b
+        rq[1 : L + 1, k] = as_u8(r["rq"])
+        iq[1 : L + 1, k] = as_u8(r["iq"])
+        dq[1 : L + 1, k] = as_u8(r["dq"])
+        gcp[1 : L + 1, k] = as_u8(r["gcp"])
+    return dict(rbase=rbase, rq=rq, iq=iq, dq=dq, gcp=gcp, rlen=rlen), rp
+
+
+def pack_haps(haps, rp, hmax=None):
+    """Pack haplotypes into the reversed-extended (He, NH) array + lengths."""
+    max_h = max(len(h) for h in haps)
+    hmax = hmax or _bucket(max_h, HMAX_BUCKETS)
+    if max_h > hmax:
+        raise ValueError(f"hap bucket too small: {max_h} -> hmax={hmax}")
+    nh = len(haps)
+    he = hmax + 2 * rp
+    e = np.zeros((he, nh), np.int32)
+    hlen = np.ones((1, nh), np.int32)
+    p = rp - 1
+
+    def as_u8(x):
+        return np.frombuffer(bytes(x), dtype=np.uint8) if isinstance(x, (bytes, bytearray)) else np.asarray(x, dtype=np.uint8)
+
+    for k, h in enumerate(haps):
+        b = as_u8(h)
+        hlen[0, k] = len(b)
+        e[p + hmax - len(b) : p + hmax, k] = b[::-1]
+    return e, hlen, hmax
+
+
+def compute_likelihood_matrix(reads, haps, interpret=None, floor="clamp"):
+    """(n_reads, n_haps) float64 log10 likelihood matrix via the cartesian kernel.
+
+    floor='clamp': values at/below the f32 floor become MIN_ACCEPTED_LOG10 — safe
+    for HC because downstream normalization caps at best-4.5 and reads whose best
+    is below -8 are filtered (see module docstring). floor='host': recompute such
+    entries exactly on the host (GKL double-fallback semantics).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    packed, rp = pack_reads(reads)
+    e, hlen, hmax = pack_haps(haps, rp)
+    out = _pairhmm_matrix_call(
+        packed["rbase"], packed["rq"], packed["iq"], packed["dq"], packed["gcp"],
+        e, packed["rlen"], hlen, rp=rp, hmax=hmax, interpret=interpret,
+    )
+    mat = np.asarray(out, np.float64)[:, : len(reads)].T  # (n_reads, n_haps)
+    bad = ~(mat > MIN_ACCEPTED_LOG10)
+    if bad.any():
+        if floor == "host":
+            from . import pairhmm_host
+
+            for r_i, h_i in zip(*np.nonzero(bad)):
+                r = reads[r_i]
+                mat[r_i, h_i] = pairhmm_host.compute_log10_likelihood(
+                    haps[h_i], r["bases"], r["rq"], r["iq"], r["dq"], r["gcp"]
+                )
+        else:
+            mat[bad] = MIN_ACCEPTED_LOG10
+    return mat
 
 
 def compute_log10_likelihoods(reads, haps, pair_read_idx, pair_hap_idx, interpret=None):
