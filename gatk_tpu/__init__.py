@@ -12,3 +12,27 @@ jax.sharding data parallelism over interval shards.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persist XLA compiles across processes (~tens of seconds each through the
+    remote-compile path; the whole HaplotypeCaller shape ladder is reused run to
+    run). Set GATK_TPU_NO_CACHE=1 to disable."""
+    if _os.environ.get("GATK_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.join(
+            _os.path.expanduser("~"), ".cache", "gatk_tpu", "xla_cache"
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

@@ -142,12 +142,12 @@ def _pairhmm_kernel(
 
 
 def _pairhmm_matrix_kernel(
-    # read block (Rp, B) i32; hap block (He, 1) i32; rlen (1, B); hlen (1, 1)
+    # read block (Rp, B) i32; full hap array (He, NH) i32; rlen (1, B); hlen (1, NH)
     rbase_ref, rq_ref, iq_ref, dq_ref, gcp_ref, e_ref, rlen_ref, hlen_ref,
     out_ref,  # (1, B) f32 — likelihood of each read in the block vs this hap
     m_ref, x_ref, y_ref,
     tmm_ref, tim_ref, tmi_ref, tii_ref, tmd_ref, tdd_ref, peq_ref, pne_ref,
-    acc_ref,
+    acc_ref, whap_ref,
     *, rp: int, hmax: int,
 ):
     """Cartesian form: lanes = 128 reads, one haplotype per grid column.
@@ -156,9 +156,23 @@ def _pairhmm_matrix_kernel(
     (the hap axis varies fastest in the grid) and the haplotype broadcast across
     lanes — no per-pair duplication in HBM. This matches the HaplotypeCaller
     access pattern (likelihoods for ALL reads x ALL haplotypes of a region).
+
+    The hap array rides along unblocked (Mosaic forbids lane-dim-1 blocks); the
+    current hap column is extracted once per grid step into whap_ref scratch via a
+    masked reduction over lanes.
     """
     B = out_ref.shape[1]
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (rp, B), 0)
+    j = pl.program_id(1)
+
+    # extract this grid step's haplotype column and length
+    he, nh = e_ref.shape
+    lane_iota_e = jax.lax.broadcasted_iota(jnp.int32, (he, nh), 1)
+    whap_ref[:] = jnp.sum(
+        jnp.where(lane_iota_e == j, e_ref[:], 0), axis=1, keepdims=True
+    )
+    lane_iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, nh), 1)
+    hlen = jnp.sum(jnp.where(lane_iota_h == j, hlen_ref[:], 0))
 
     # prologue only on the first hap of each read block (constants persist in
     # scratch across grid steps; hap index is grid dim 1, iterated fastest)
@@ -183,52 +197,60 @@ def _pairhmm_matrix_kernel(
         pne_ref[:] = jnp.where(pad, zero, e_base * jnp.float32(1.0 / TRISTATE_CORRECTION))
 
     zero = jnp.float32(0.0)
-    hlen_f = hlen_ref[0, 0].astype(jnp.float32)
-    y0 = jnp.float32(2.0**INIT_LOG2) / hlen_f  # scalar
-    m_ref[:] = jnp.zeros((2, rp, B), jnp.float32)
-    x_ref[:] = jnp.zeros((2, rp, B), jnp.float32)
-    y_ref[1] = jnp.zeros((rp, B), jnp.float32)
-    y_ref[0] = jnp.where(iota_i == 0, y0, zero)
-    acc_ref[:] = jnp.full((1, B), NEG_INF, jnp.float32)
 
-    hlen = hlen_ref[0, 0]
-    rbase = rbase_ref[:]
-    last = rp - 1
-    num_d = rp - 1 + hmax
+    # pad haplotypes (hlen == 0, from NH bucketing) skip the whole DP sweep
+    @pl.when(hlen > 0)
+    def _run():
+        y0 = jnp.float32(2.0**INIT_LOG2) / hlen.astype(jnp.float32)  # scalar
+        m_ref[:] = jnp.zeros((2, rp, B), jnp.float32)
+        x_ref[:] = jnp.zeros((2, rp, B), jnp.float32)
+        y_ref[1] = jnp.zeros((rp, B), jnp.float32)
+        y_ref[0] = jnp.where(iota_i == 0, y0, zero)
+        acc_ref[:] = jnp.full((1, B), NEG_INF, jnp.float32)
 
-    def body(d, _):
-        s = jax.lax.rem(d, 2)
-        ns = 1 - s
-        start = hmax + rp - 1 - d
-        w = e_ref[pl.ds(start, rp), :]  # (rp, 1) broadcasts across lanes
-        prior = jnp.where(
-            (rbase == w) | (rbase == N_BASE) | (w == N_BASE), peq_ref[:], pne_ref[:]
-        )
-        md2, xd2, yd2 = m_ref[s], x_ref[s], y_ref[s]
-        md1, xd1, yd1 = m_ref[ns], x_ref[ns], y_ref[ns]
-        m_new = prior * (tmm_ref[:] * _roll1(md2) + tim_ref[:] * (_roll1(xd2) + _roll1(yd2)))
-        x_new = tmi_ref[:] * _roll1(md1) + tii_ref[:] * _roll1(xd1)
-        y_new = tmd_ref[:] * md1 + tdd_ref[:] * yd1
-        jvalid = iota_i <= (d - 1)
-        interior = jvalid & (iota_i > 0)
-        m_new = jnp.where(interior, m_new, zero)
-        x_new = jnp.where(interior, x_new, zero)
-        y_new = jnp.where(iota_i == 0, y0, jnp.where(jvalid, y_new, zero))
-        m_ref[s] = m_new
-        x_ref[s] = x_new
-        y_ref[s] = y_new
-        j_here = d - last
-        c = m_new[last, :][None, :] + x_new[last, :][None, :]
-        valid_c = (j_here >= 1) & (j_here <= hlen) & (c > 0)
-        c_ln = jnp.where(valid_c, jnp.log(jnp.maximum(c, 1e-44)) - jnp.float32(INIT_LOG2 * LN2), NEG_INF)
-        acc = acc_ref[:]
-        hi = jnp.maximum(acc, c_ln)
-        lo = jnp.minimum(acc, c_ln)
-        acc_ref[:] = hi + jnp.log1p(jnp.exp(lo - hi))
-        return 0
+        rbase = rbase_ref[:]
+        last = rp - 1
+        num_d = rp - 1 + hmax
 
-    jax.lax.fori_loop(1, num_d + 1, body, 0)
-    out_ref[:] = acc_ref[:] * jnp.float32(1.0 / LN10)
+        def body(d, _):
+            s = jax.lax.rem(d, 2)
+            ns = 1 - s
+            start = hmax + rp - 1 - d
+            w = whap_ref[pl.ds(start, rp), :]  # (rp, 1) broadcasts across lanes
+            prior = jnp.where(
+                (rbase == w) | (rbase == N_BASE) | (w == N_BASE), peq_ref[:], pne_ref[:]
+            )
+            md2, xd2, yd2 = m_ref[s], x_ref[s], y_ref[s]
+            md1, xd1, yd1 = m_ref[ns], x_ref[ns], y_ref[ns]
+            m_new = prior * (tmm_ref[:] * _roll1(md2) + tim_ref[:] * (_roll1(xd2) + _roll1(yd2)))
+            x_new = tmi_ref[:] * _roll1(md1) + tii_ref[:] * _roll1(xd1)
+            y_new = tmd_ref[:] * md1 + tdd_ref[:] * yd1
+            jvalid = iota_i <= (d - 1)
+            interior = jvalid & (iota_i > 0)
+            m_new = jnp.where(interior, m_new, zero)
+            x_new = jnp.where(interior, x_new, zero)
+            y_new = jnp.where(iota_i == 0, y0, jnp.where(jvalid, y_new, zero))
+            m_ref[s] = m_new
+            x_ref[s] = x_new
+            y_ref[s] = y_new
+            j_here = d - last
+            c = m_new[last, :][None, :] + x_new[last, :][None, :]
+            valid_c = (j_here >= 1) & (j_here <= hlen) & (c > 0)
+            c_ln = jnp.where(valid_c, jnp.log(jnp.maximum(c, 1e-44)) - jnp.float32(INIT_LOG2 * LN2), NEG_INF)
+            acc = acc_ref[:]
+            hi = jnp.maximum(acc, c_ln)
+            lo = jnp.minimum(acc, c_ln)
+            acc_ref[:] = hi + jnp.log1p(jnp.exp(lo - hi))
+            return 0
+
+        jax.lax.fori_loop(1, num_d + 1, body, 0)
+
+    # out block is (NH, B), resident across the whole hap sweep for this read
+    # block; write this hap's row via a dynamic sublane store. (acc_ref holds
+    # garbage for pad haps — masked off by the where.)
+    out_ref[pl.ds(j, 1), :] = jnp.where(
+        hlen > 0, acc_ref[:] * jnp.float32(1.0 / LN10), NEG_INF
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("rp", "hmax", "interpret"))
@@ -242,15 +264,14 @@ def _pairhmm_matrix_call(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax, int
     he = e.shape[0]
     grid = (nr // LANES, nh)
     read_spec = pl.BlockSpec((rp, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM)
-    e_spec = pl.BlockSpec((he, 1), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # unblocked (hap data)
     rlen_spec = pl.BlockSpec((1, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM)
-    hlen_spec = pl.BlockSpec((1, 1), lambda i, j: (0, j), memory_space=pltpu.VMEM)
     kernel = functools.partial(_pairhmm_matrix_kernel, rp=rp, hmax=hmax)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[read_spec] * 5 + [e_spec, rlen_spec, hlen_spec],
-        out_specs=pl.BlockSpec((1, LANES), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        in_specs=[read_spec] * 5 + [full_spec, rlen_spec, full_spec],
+        out_specs=pl.BlockSpec((nh, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nh, nr), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, rp, LANES), jnp.float32),
@@ -258,7 +279,7 @@ def _pairhmm_matrix_call(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax, int
             pltpu.VMEM((2, rp, LANES), jnp.float32),
         ]
         + [pltpu.VMEM((rp, LANES), jnp.float32)] * 8
-        + [pltpu.VMEM((1, LANES), jnp.float32)],
+        + [pltpu.VMEM((1, LANES), jnp.float32), pltpu.VMEM((he, 1), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=grid[0] * grid[1] * (rp - 1 + hmax) * rp * LANES * 14,
             bytes_accessed=(5 * rp + 2) * nr * 4 + he * nh * 4 + nh * nr * 4,
@@ -303,11 +324,15 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-# Fixed shape buckets: each distinct (rp, hmax) pair costs one Mosaic compile
-# (tiny shapes compile pathologically slowly through the remote-compile path), so
-# pad up to a small set of large shapes. rp covers reads to 158bp in one bucket.
+# Fixed shape buckets: each distinct (rp, hmax, nr, nh) tuple costs one Mosaic
+# compile (tens of seconds through the remote-compile path), so pad every axis up
+# to a small ladder of shapes. rp covers reads to 158bp in one bucket. nr (reads,
+# lane axis) uses a ~1.33x geometric ladder of 128-multiples; nh (haps, grid axis)
+# is coarse because pad haps (hlen=0) skip the DP entirely via pl.when.
 RP_BUCKETS = (160, 320)
 HMAX_BUCKETS = (256, 512, 1024, 2048)
+NR_BLOCK_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+NH_BUCKETS = (8, 16, 32, 64, 128)
 
 
 def _bucket(value, buckets):
@@ -398,7 +423,7 @@ def pack_reads(reads, rp=None):
     rp = rp or _bucket(max_r + 2, RP_BUCKETS)
     if max_r > rp - 2:
         raise ValueError(f"read bucket too small: {max_r} -> rp={rp}")
-    nr = _round_up(max(len(reads), 1), LANES)
+    nr = LANES * _bucket(-(-max(len(reads), 1) // LANES), NR_BLOCK_BUCKETS)
 
     def as_u8(x):
         return np.frombuffer(bytes(x), dtype=np.uint8) if isinstance(x, (bytes, bytearray)) else np.asarray(x, dtype=np.uint8)
@@ -427,10 +452,11 @@ def pack_haps(haps, rp, hmax=None):
     hmax = hmax or _bucket(max_h, HMAX_BUCKETS)
     if max_h > hmax:
         raise ValueError(f"hap bucket too small: {max_h} -> hmax={hmax}")
-    nh = len(haps)
+    # pad columns carry hlen=0: the kernel skips their DP sweep entirely
+    nh = _bucket(len(haps), NH_BUCKETS)
     he = hmax + 2 * rp
     e = np.zeros((he, nh), np.int32)
-    hlen = np.ones((1, nh), np.int32)
+    hlen = np.zeros((1, nh), np.int32)
     p = rp - 1
 
     def as_u8(x):
@@ -459,7 +485,7 @@ def compute_likelihood_matrix(reads, haps, interpret=None, floor="clamp"):
         packed["rbase"], packed["rq"], packed["iq"], packed["dq"], packed["gcp"],
         e, packed["rlen"], hlen, rp=rp, hmax=hmax, interpret=interpret,
     )
-    mat = np.asarray(out, np.float64)[:, : len(reads)].T  # (n_reads, n_haps)
+    mat = np.asarray(out, np.float64)[: len(haps), : len(reads)].T  # (n_reads, n_haps)
     bad = ~(mat > MIN_ACCEPTED_LOG10)
     if bad.any():
         if floor == "host":
