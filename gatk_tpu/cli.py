@@ -39,6 +39,14 @@ def main(argv=None):
     except UserError as e:
         print(f"A USER ERROR has occurred: {e}", file=sys.stderr)
         return 2
+    except FileNotFoundError as e:
+        print(f"A USER ERROR has occurred: file not found: {e.filename}", file=sys.stderr)
+        return 2
+    except KeyError as e:
+        # contig/identifier lookups against user inputs (Main.java maps these
+        # input mismatches to UserException as well)
+        print(f"A USER ERROR has occurred: unknown identifier {e}", file=sys.stderr)
+        return 2
     print(f"{tool} done. Elapsed time: {time.time() - t0:.2f} seconds.", file=sys.stderr)
     return rc
 
@@ -60,6 +68,7 @@ def standard_io_parser(description: str, reference_required=True):
 def _register_builtin_tools():
     from .tools import hc_tool  # noqa: F401
     from .tools import basic_tools  # noqa: F401
+    from .tools import bqsr_tools  # noqa: F401
 
 
 _register_builtin_tools()

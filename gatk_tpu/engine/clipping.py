@@ -254,3 +254,40 @@ def hard_clip_low_qual_ends(read: Read, min_qual: int) -> Read:
     if lo > 0:
         r = _clip_left(r, lo)
     return r
+
+
+def consolidate_cigar(read: Read) -> Read:
+    """Collapse zero-length and repeated adjacent cigar elements (CigarBuilder.make)."""
+    ops, lens = [], []
+    for o, l in zip(read.cigar_ops, read.cigar_lens):
+        l = int(l)
+        if l == 0:
+            continue
+        if ops and ops[-1] == int(o):
+            lens[-1] += l
+        else:
+            ops.append(int(o))
+            lens.append(l)
+    if len(ops) == len(read.cigar_ops) and all(
+        int(a) == b for a, b in zip(read.cigar_ops, ops)
+    ):
+        return read
+    return _rebuild(read, ops, lens, read.pos, read.bases, read.quals)
+
+
+def hard_clip_left_tail_to_ref(read: Read, ref_stop: int) -> Read:
+    """Hard-clip the left tail through 0-based reference position ref_stop
+    inclusive (ReadClipper.hardClipByReferenceCoordinatesLeftTail)."""
+    idx = _read_coord_of_ref(read, ref_stop, left=False)
+    if idx < 0:
+        return read
+    return hard_clip_by_read_coords(read, 0, idx)
+
+
+def hard_clip_right_tail_from_ref(read: Read, ref_start: int) -> Read:
+    """Hard-clip the right tail from 0-based reference position ref_start
+    inclusive (ReadClipper.hardClipByReferenceCoordinatesRightTail)."""
+    idx = _read_coord_of_ref(read, ref_start, left=True)
+    if idx >= len(read.bases):
+        return read
+    return hard_clip_by_read_coords(read, idx, len(read.bases) - 1)

@@ -1,0 +1,186 @@
+"""BaseRecalibrator / ApplyBQSR command line tools.
+
+Reference behavior: tools/walkers/bqsr/BaseRecalibrator.java, ApplyBQSR.java.
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..cli import UserError, register_tool
+from ..engine import intervals as iv
+from ..io import bam, fasta, vcf
+from ..recal import engine as recal_engine
+from ..recal.apply import BQSRReadTransformer, RecalibrationReport
+from ..recal.engine import BaseRecalibrationEngine, RecalArgs, bqsr_read_filter
+
+
+def _read_group_identifiers(header):
+    """(ordered identifiers, RG-id -> identifier map); identifier is PU if
+    present else ID (ReadGroupCovariate.getReadGroupIdentifier)."""
+    out = []
+    id_map = {}
+    for rg in header.read_groups:
+        ident = rg.get("PU") or rg.get("ID")
+        id_map[rg.get("ID")] = ident
+        if ident not in out:
+            out.append(ident)
+    return out, id_map
+
+
+class _KnownSites:
+    """In-memory per-contig sorted known-site spans with sweep queries."""
+
+    def __init__(self, paths):
+        self.by_contig = {}
+        for path in paths:
+            for v in vcf.VcfReader(path):
+                # 1-based [start, end]; end covers the ref allele span
+                self.by_contig.setdefault(v.contig, []).append((v.pos + 1, v.pos + len(v.ref)))
+        for c in self.by_contig:
+            self.by_contig[c].sort()
+            self._starts = None
+
+    def overlapping(self, contig, start_1b, end_1b):
+        sites = self.by_contig.get(contig)
+        if not sites:
+            return []
+        import bisect
+
+        # all sites with start <= end_1b and end >= start_1b; starts sorted
+        hi = bisect.bisect_right(sites, (end_1b + 1,)) if sites else 0
+        out = []
+        for s, e in sites[:hi]:
+            if e >= start_1b:
+                out.append((s, e))
+        return out
+
+
+@register_tool("BaseRecalibrator")
+def base_recalibrator(argv):
+    """Generate a base quality score recalibration table (pass 1 of BQSR)."""
+    p = argparse.ArgumentParser(description="BaseRecalibrator")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--known-sites", action="append", default=[])
+    p.add_argument("--indels-context-size", type=int, default=3)
+    p.add_argument("--mismatches-context-size", type=int, default=2)
+    p.add_argument("--low-quality-tail", type=int, default=2)
+    p.add_argument("--maximum-cycle-value", type=int, default=500)
+    p.add_argument("--quantizing-levels", type=int, default=16)
+    p.add_argument("--enable-baq", action="store_true")
+    p.add_argument("-indels", "--indels", action="store_true", default=True,
+                   help="compute indel BQSR tables (default on, as in GATK4)")
+    p.add_argument("--bqsr-baq-gap-open-penalty", type=float, default=40.0)
+    args = p.parse_args(argv)
+
+    if not args.known_sites:
+        raise UserError("This calculation is critically dependent on being able to "
+                        "skip over known variant sites; please provide --known-sites")
+
+    ref = fasta.FastaReference(args.reference)
+    known = _KnownSites(args.known_sites)
+    rargs = RecalArgs(
+        mismatches_context_size=args.mismatches_context_size,
+        indels_context_size=args.indels_context_size,
+        low_quality_tail=args.low_quality_tail,
+        maximum_cycle_value=args.maximum_cycle_value,
+        quantizing_levels=args.quantizing_levels,
+        enable_baq=args.enable_baq,
+        baq_gop=args.bqsr_baq_gap_open_penalty,
+    )
+
+    n = 0
+    eng = None
+    for path in args.input:
+        reader = bam.BamReader(path)
+        if eng is None:
+            idents, id_map = _read_group_identifiers(reader.header)
+            eng = BaseRecalibrationEngine(idents, rargs, id_map)
+        lengths = {s.name: s.length for s in reader.header.sequences}
+        contig_cache = {}
+
+        def ref_fetch_for(contig):
+            if contig not in contig_cache:
+                contig_cache.clear()  # keep one contig resident
+                contig_cache[contig] = ref.fetch(contig, 0, lengths[contig])
+            seq = contig_cache[contig]
+
+            def fetch(s, e):
+                return seq[s:e]
+
+            return fetch
+
+        if args.intervals:
+            read_iter = (
+                r
+                for s in args.intervals
+                for t in [iv.parse_interval(s, lengths)]
+                for r in reader.query(t.contig, t.start, t.end)
+            )
+        else:
+            read_iter = iter(reader)
+        for read in read_iter:
+            if not bqsr_read_filter(read):
+                continue
+            contig = reader.header.sequences[read.ref_id].name
+            fetch = ref_fetch_for(contig)
+            sites = known.overlapping(contig, read.pos + 1, read.end)
+            eng.process_read(read, fetch, lengths[contig], sites)
+            n += 1
+
+    eng.finalize()
+    eng.write_report(args.output)
+    print(f"processed {n} reads; wrote {args.output}")
+    return 0
+
+
+@register_tool("ApplyBQSR")
+def apply_bqsr(argv):
+    """Apply a recalibration table to base qualities (pass 2 of BQSR)."""
+    p = argparse.ArgumentParser(description="ApplyBQSR")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--bqsr-recal-file", "-bqsr", required=True)
+    p.add_argument("--quantize-quals", type=int, default=0)
+    p.add_argument("--preserve-qscores-less-than", type=int, default=6)
+    p.add_argument("--global-qscore-prior", type=float, default=-1.0)
+    p.add_argument("--allow-missing-read-groups", action="store_true")
+    args = p.parse_args(argv)
+
+    report = RecalibrationReport(args.bqsr_recal_file)
+    n = 0
+    for path in args.input:
+        reader = bam.BamReader(path)
+        _idents, id_map = _read_group_identifiers(reader.header)
+        transformer = BQSRReadTransformer(
+            report, quantization_levels=args.quantize_quals,
+            global_q_score_prior=args.global_qscore_prior,
+            preserve_q_less_than=args.preserve_qscores_less_than,
+            allow_missing_read_groups=args.allow_missing_read_groups,
+            rg_id_to_identifier=id_map,
+        )
+        writer = bam.BamWriter(args.output, reader.header)
+        if args.intervals:
+            lengths = {s.name: s.length for s in reader.header.sequences}
+            read_iter = (
+                r
+                for s in args.intervals
+                for t in [iv.parse_interval(s, lengths)]
+                for r in reader.query(t.contig, t.start, t.end)
+            )
+        else:
+            read_iter = iter(reader)
+        for read in read_iter:
+            if len(read.quals):  # unmapped reads are recalibrated too (ReadWalker)
+                transformer.apply(read)
+            writer.write(read)
+            n += 1
+        writer.close()
+    print(f"wrote {n} reads to {args.output}")
+    return 0

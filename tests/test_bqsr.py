@@ -1,0 +1,94 @@
+"""BQSR golden tests vs reference-bundled expected outputs (chr17 69k-70k set)."""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from gatk_tpu.io import bam
+from gatk_tpu.recal import covariates as cov
+from gatk_tpu.recal.report import quantize_quals
+from gatk_tpu.utils.testdata import reference_path
+
+BQSR_DIR = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/BQSR")
+CHR17_REF = reference_path("src/test/resources/human_g1k_v37.chr17_1Mb.fasta")
+CHR17_BAM = os.path.join(BQSR_DIR, "NA12878.chr17_69k_70k.dictFix.bam")
+CHR17_DBSNP = os.path.join(BQSR_DIR, "dbsnp_132.b37.excluding_sites_after_129.chr17_69k_70k.vcf")
+
+needs_ref = pytest.mark.skipif(not os.path.exists(CHR17_BAM), reason="reference data missing")
+
+
+def test_context_key_roundtrip():
+    for s in ("AC", "TTT", "ACGT"):
+        assert cov.context_from_key(cov.key_from_context(s)) == s
+    assert cov.key_from_context("AN") == -1
+
+
+def test_context_keys_vs_scalar():
+    rng = np.random.default_rng(0)
+    bases = rng.choice(list(b"ACGTN"), 40, p=[0.24, 0.24, 0.24, 0.24, 0.04]).astype(np.uint8)
+    keys = cov.context_keys(bases, 3)
+    s = bases.tobytes().decode()
+    for i in range(len(s)):
+        if i < 2:
+            assert keys[i] == -1
+        else:
+            assert keys[i] == cov.key_from_context(s[i - 2 : i + 1])
+
+
+def test_cycle_keys_signs():
+    # forward first-of-pair: cycles 1..n
+    k = cov.cycle_keys(5, False, False, False)
+    assert [cov.cycle_from_key(x) for x in k] == [1, 2, 3, 4, 5]
+    # reverse second-of-pair: cycles -n..-1 ascending offset
+    k = cov.cycle_keys(5, True, True, False)
+    assert [cov.cycle_from_key(x) for x in k] == [-5, -4, -3, -2, -1]
+    # indel cushion masks 4 bases each end
+    k = cov.cycle_keys(10, False, False, True)
+    assert (k[:4] == -1).all() and (k[-4:] == -1).all() and (k[4:6] >= 0).all()
+
+
+def test_quantizer_identityish():
+    hist = [0] * 94
+    hist[30] = 1000
+    hist[40] = 500
+    m = quantize_quals(hist, 16)
+    assert m[30] == 30 and m[40] == 40
+
+
+@needs_ref
+def test_base_recalibrator_matches_gatk_golden(tmp_path):
+    """Byte-identical recal table vs GATK's expected.NA12878.chr17_69k_70k.txt
+    (BaseRecalibratorIntegrationTest row :91, args '-indels --enable-baq')."""
+    from gatk_tpu.tools.bqsr_tools import base_recalibrator
+
+    out = str(tmp_path / "recal.txt")
+    base_recalibrator([
+        "-I", CHR17_BAM, "-R", CHR17_REF, "--known-sites", CHR17_DBSNP,
+        "--enable-baq", "-O", out,
+    ])
+    with open(out) as fh, open(os.path.join(BQSR_DIR, "expected.NA12878.chr17_69k_70k.txt")) as eh:
+        assert fh.read() == eh.read()
+
+
+@needs_ref
+def test_apply_bqsr_matches_gatk_golden(tmp_path):
+    """Recalibrated quals identical to expected...recalibrated.DIQ.bam
+    (ApplyBQSRIntegrationTest row :76)."""
+    from gatk_tpu.tools.bqsr_tools import apply_bqsr
+
+    table = str(tmp_path / "t.table")
+    with gzip.open(os.path.join(BQSR_DIR, "HiSeq.20mb.1RG.table.gz"), "rt") as fh:
+        open(table, "w").write(fh.read())
+    out = str(tmp_path / "out.bam")
+    apply_bqsr([
+        "-I", os.path.join(BQSR_DIR, "HiSeq.1mb.1RG.2k_lines.alternate.bam"),
+        "--bqsr-recal-file", table, "-O", out,
+    ])
+    exp = list(bam.BamReader(os.path.join(
+        BQSR_DIR, "expected.HiSeq.1mb.1RG.2k_lines.alternate.recalibrated.DIQ.bam")))
+    got = list(bam.BamReader(out))
+    assert len(exp) == len(got)
+    for e, g in zip(exp, got):
+        assert e.name == g.name
+        assert np.array_equal(e.quals, g.quals), e.name
