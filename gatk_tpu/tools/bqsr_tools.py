@@ -184,3 +184,33 @@ def apply_bqsr(argv):
         writer.close()
     print(f"wrote {n} reads to {args.output}")
     return 0
+
+
+@register_tool("MarkDuplicates")
+def mark_duplicates_tool(argv):
+    """Mark duplicate reads (MarkDuplicatesSpark/Picard-compatible flags)."""
+    p = argparse.ArgumentParser(description="MarkDuplicates")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-M", "--metrics-file", default=None)
+    p.add_argument("--do-not-mark-unmapped-mates", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..preprocessing import markdup
+
+    n_dup_total = 0
+    for path in args.input:
+        reader = bam.BamReader(path)
+        reads = list(reader)
+        n_dup, _ = markdup.mark_duplicates(
+            reads, reader.header, dont_mark_unmapped_mates=args.do_not_mark_unmapped_mates)
+        n_dup_total += n_dup
+        writer = bam.BamWriter(args.output, reader.header)
+        for r in reads:
+            writer.write(r)
+        writer.close()
+    if args.metrics_file:
+        with open(args.metrics_file, "w") as fh:
+            fh.write(f"## METRICS\nDUPLICATES\t{n_dup_total}\n")
+    print(f"marked {n_dup_total} duplicates")
+    return 0

@@ -92,3 +92,34 @@ def test_apply_bqsr_matches_gatk_golden(tmp_path):
     for e, g in zip(exp, got):
         assert e.name == g.name
         assert np.array_equal(e.quals, g.quals), e.name
+
+
+MD_DIR = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/walkers/MarkDuplicatesGATK")
+needs_md = pytest.mark.skipif(not os.path.isdir(MD_DIR), reason="reference data missing")
+
+
+def _dup_flags(path):
+    from gatk_tpu.io import sam
+
+    return {
+        (r.name, r.flag & ~sam.DUPLICATE, r.pos): bool(r.flag & sam.DUPLICATE)
+        for r in bam.BamReader(path)
+    }
+
+
+@needs_md
+@pytest.mark.parametrize("name,expected", [
+    ("example.chr1.1-1K.unmarkedDups", "example.chr1.1-1K.markedDups"),
+    ("mdOrderBug", "expected.mdOrderBug"),
+    ("mdOrderBug2", "expected.mdOrderBug2"),
+])
+def test_mark_duplicates_matches_gatk(tmp_path, name, expected):
+    """Duplicate flags identical to MarkDuplicatesSpark's expected outputs
+    (MarkDuplicatesSparkUnitTest :27-29)."""
+    from gatk_tpu.tools.bqsr_tools import mark_duplicates_tool
+
+    out = str(tmp_path / "md.bam")
+    mark_duplicates_tool(["-I", os.path.join(MD_DIR, name + ".bam"), "-O", out])
+    exp = _dup_flags(os.path.join(MD_DIR, expected + ".bam"))
+    got = _dup_flags(out)
+    assert exp == got
