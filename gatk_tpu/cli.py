@@ -69,6 +69,7 @@ def _register_builtin_tools():
     from .tools import hc_tool  # noqa: F401
     from .tools import basic_tools  # noqa: F401
     from .tools import bqsr_tools  # noqa: F401
+    from .tools import mutect_tool  # noqa: F401
 
 
 _register_builtin_tools()

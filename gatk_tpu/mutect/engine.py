@@ -1,0 +1,274 @@
+"""Mutect2 engine: tumor(-normal) somatic calling on assembled regions.
+
+Reference behavior: mutect/Mutect2Engine.java (callRegion :254-330, read filters
+:193-206), mutect/SomaticGenotypingEngine.java (callMutations :32-260,
+somaticLogOdds :296-315, addGenotypes :317-338, diploidAltLogOdds :355+),
+M2ArgumentCollection.java (defaults; mitochondria mode :169-189).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..assembly import assembler
+from ..calling import read_prep
+from ..calling.genotyping_engine import MergedAllele, event_to_merged_alt, merge_events_at_locus
+from ..calling.hc_engine import HCArgs, correct_overlapping_pairs, finalize_region_reads, positional_downsample
+from ..calling.likelihoods import AlleleLikelihoods
+from ..engine.intervals import Interval
+from ..io import fasta, sam
+from ..io.vcf import Variant
+from ..ops import pairhmm_tpu
+from . import activity as m2_activity
+from . import somatic_likelihoods as sle
+
+LN10 = math.log(10.0)
+REGION_PADDING = 100
+READ_QUALITY_FILTER_THRESHOLD = 20
+MIN_READ_LENGTH = 30
+GLOBAL_MISMAPPING_RATE = 45  # phredScaledGlobalReadMismappingRate
+INFORMATIVE_READ_OVERLAP_MARGIN = 2  # M2ArgumentCollection default
+
+
+@dataclass
+class M2Args:
+    emission_log10_odds: float = 3.0
+    initial_log10_odds: float = 2.0
+    mitochondria_mode: bool = False
+    min_af: float = 0.0
+    max_reads_per_alignment_start: int = 50
+    min_base_quality_score: int = 10
+    pcr_snv_qual: int = 40
+    max_mnp_distance: int = 1
+    callable_depth: int = 10
+
+    def __post_init__(self):
+        if self.mitochondria_mode:
+            # mito mode lowers emission and initial LODs to 0 (M2ArgumentCollection:181-188)
+            self.emission_log10_odds = 0.0
+            self.initial_log10_odds = 0.0
+
+    @property
+    def emission_log_odds(self):
+        return self.emission_log10_odds * LN10
+
+    @property
+    def initial_log_odds(self):
+        return self.initial_log10_odds * LN10
+
+    @property
+    def alt_pseudocount(self):
+        return 1.0 if self.min_af == 0.0 else 1.0 - math.log(2) / math.log(self.min_af)
+
+
+def m2_read_filter(read, min_mapq=READ_QUALITY_FILTER_THRESHOLD):
+    """makeStandardMutect2ReadFilters (Mutect2Engine.java:193-206)."""
+    if read.is_unmapped or read.is_secondary or read.is_duplicate or read.fails_vendor_quality:
+        return False
+    if read.mapq < min_mapq or read.mapq == 255:
+        return False
+    if len(read.bases) < MIN_READ_LENGTH or len(read.bases) != len(read.quals):
+        return False
+    ops = read.cigar_ops
+    if len(ops) == 0 or (ops == sam.OP_N).any():
+        return False
+    if sam.cigar_read_length(ops, read.cigar_lens) != len(read.bases):
+        return False
+    if sam.cigar_ref_length(ops, read.cigar_lens) == 0:
+        return False
+    return True
+
+
+def _fragment_groups(reads):
+    """Group read indices by name (AlleleLikelihoods.groupEvidence by GATKRead::getName)."""
+    groups = {}
+    for i, r in enumerate(reads):
+        groups.setdefault(r.name, []).append(i)
+    return list(groups.values())
+
+
+@dataclass
+class M2Call:
+    variant: Variant
+    tumor_log10_odds: tuple
+
+
+class Mutect2Engine:
+    def __init__(self, reference: fasta.FastaReference, tumor_sample: str = "SAMPLE",
+                 normal_samples=(), args: M2Args | None = None):
+        self.ref = reference
+        self.args = args or M2Args()
+        self.tumor_sample = tumor_sample
+        self.normal_samples = set(normal_samples)
+
+    # ---------------- interval driver ----------------
+
+    def call_interval(self, reads, interval: Interval, sample_of_read=None):
+        """reads: coordinate-sorted reads overlapping the interval. sample_of_read:
+        optional fn(read)->sample name for tumor/normal separation."""
+        args = self.args
+        contig_len = self.ref.contig_length(interval.contig)
+        usable = [r for r in reads if m2_read_filter(r)]
+        usable = positional_downsample(usable, args.max_reads_per_alignment_start)
+
+        span_start = max(0, interval.start - REGION_PADDING)
+        span_end = min(contig_len, interval.end + REGION_PADDING)
+        ref_span = self.ref.fetch(interval.contig, span_start, span_end)
+
+        raw_regions = m2_activity.find_active_regions(
+            usable, span_start, span_end, ref_span, contig_len,
+            args.initial_log_odds, args.pcr_snv_qual)
+
+        all_variants = []
+        for rr in raw_regions:
+            if not rr.is_active:
+                continue
+            region_span = Interval(interval.contig, span_start + rr.start, span_start + rr.end)
+            if region_span.end <= interval.start or region_span.start >= interval.end:
+                continue
+            all_variants.extend(self.call_region(usable, region_span, sample_of_read))
+        return [v for v in all_variants if interval.start <= v.pos < interval.end]
+
+    # ---------------- region calling ----------------
+
+    def call_region(self, reads, span: Interval, sample_of_read=None):
+        args = self.args
+        contig_len = self.ref.contig_length(span.contig)
+        padded = span.expand(REGION_PADDING, contig_len)
+        region_reads = [r for r in reads if r.pos < padded.end and r.end > padded.start]
+        hc_args = HCArgs(min_base_quality_score=args.min_base_quality_score)
+        final_reads = finalize_region_reads(region_reads, padded, hc_args)
+        if not final_reads:
+            return []
+
+        ref_bases = self.ref.fetch(span.contig, padded.start, padded.end)
+        result = assembler.assemble(final_reads, ref_bases, padded.start,
+                                    min_base_qual=args.min_base_quality_score)
+        haplotypes = result.haplotypes
+        if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
+            return []
+
+        # read x haplotype log10 likelihoods -> natural log
+        prepped = [read_prep.prepare_read_for_pairhmm(r) for r in final_reads]
+        mat10 = pairhmm_tpu.compute_likelihood_matrix(prepped, [h.bases for h in haplotypes])
+        lik = AlleleLikelihoods(list(haplotypes), list(final_reads), mat10.T * LN10)
+        lik.normalize_likelihoods(-(GLOBAL_MISMAPPING_RATE / 10.0) * LN10, True)
+
+        # fragment grouping: log-likelihood of a fragment = sum over its reads
+        groups = _fragment_groups(final_reads)
+        frag_values = np.stack([lik.values[:, idx].sum(axis=1) for idx in groups], axis=1)
+        fragments = [[final_reads[i] for i in idx] for idx in groups]
+
+        return self._call_mutations(haplotypes, fragments, frag_values, span, padded)
+
+    def _call_mutations(self, haplotypes, fragments, frag_log_liks, span, padded):
+        args = self.args
+        variants = []
+        start_positions = sorted(
+            {e.start for h in haplotypes for e in h.events if span.start <= e.start < span.end}
+        )
+        prior_ref = 1.0
+        prior_alt = args.alt_pseudocount
+
+        for loc in start_positions:
+            events_here, seen = [], set()
+            for h in haplotypes:
+                for e in h.events:
+                    if e.start == loc and (e.ref, e.alt) not in seen:
+                        seen.add((e.ref, e.alt))
+                        events_here.append(e)
+            if not events_here:
+                continue
+            longest_ref, alts = merge_events_at_locus(events_here)
+            if not alts:
+                continue
+            alleles = [MergedAllele(longest_ref, longest_ref, is_ref=True)] + [
+                MergedAllele(longest_ref, a) for a in alts
+            ]
+            allele_map = {a: [] for a in alleles}
+            for h in haplotypes:
+                ev = next((e for e in h.events if e.start == loc), None)
+                if ev is None:
+                    spanning = any(e.start < loc < e.end - 1 and e.is_indel() for e in h.events)
+                    if not spanning:
+                        allele_map[alleles[0]].append(h)
+                    continue
+                alt = event_to_merged_alt(ev, longest_ref)
+                target = next((a for a in alleles[1:] if a.alt == alt), None)
+                if target is not None:
+                    allele_map[target].append(h)
+            for a in list(allele_map.keys()):
+                if not a.is_ref and not allele_map[a]:
+                    del allele_map[a]
+            alleles = list(allele_map.keys())
+            if len(alleles) < 2:
+                continue
+
+            # marginalize fragments to alleles: max over supporting haplotypes
+            hap_index = {id(h): i for i, h in enumerate(haplotypes)}
+            values = np.full((len(alleles), frag_log_liks.shape[1]), -np.inf)
+            for ai, a in enumerate(alleles):
+                idx = [hap_index[id(h)] for h in allele_map[a]]
+                if idx:
+                    values[ai] = frag_log_liks[idx].max(axis=0)
+
+            # retain fragments overlapping the variant +/- margin
+            lo = loc - INFORMATIVE_READ_OVERLAP_MARGIN
+            hi = loc + len(longest_ref) + INFORMATIVE_READ_OVERLAP_MARGIN
+            keep = np.array([
+                any(r.pos < hi and r.end > lo for r in frag) for frag in fragments
+            ])
+            vals = values[:, keep]
+            if vals.shape[1] == 0:
+                continue
+
+            # somatic log odds per alt allele
+            pseudo_all = np.array([prior_ref] + [prior_alt] * (len(alleles) - 1))
+            log_ev_all = sle.log_evidence(vals, pseudo_all)
+            tumor_log_odds = {}
+            for ai in range(1, len(alleles)):
+                sub = np.delete(vals, ai, axis=0)
+                pseudo_sub = np.delete(pseudo_all, ai)
+                log_ev_without = sle.log_evidence(sub, pseudo_sub)
+                tumor_log_odds[ai] = log_ev_all - log_ev_without
+
+            emitted = [ai for ai in range(1, len(alleles))
+                       if tumor_log_odds[ai] > args.emission_log_odds]
+            if not emitted:
+                continue
+            emitted.sort(key=lambda ai: -tumor_log_odds[ai])
+            emit_alleles = [alleles[0]] + [alleles[ai] for ai in emitted]
+
+            # genotype annotations over the emitted alleles
+            sel = [0] + emitted
+            sub_vals = vals[sel]
+            counts = sle.effective_counts(sub_vals)
+            flat = np.ones(len(sel))
+            af_post = sle.allele_fractions_posterior(sub_vals, flat) if sub_vals.shape[1] else flat
+            af_mean = af_post / af_post.sum()
+
+            dp = int(round(counts.sum()))
+            tlods = [tumor_log_odds[ai] / LN10 for ai in emitted]
+            gt = "/".join(str(i) for i in range(len(emit_alleles)))
+            variants.append(Variant(
+                contig=span.contig,
+                pos=loc,
+                ref=longest_ref,
+                alts=tuple(a.alt for a in emit_alleles[1:]),
+                qual=None,
+                filters=(),
+                info={
+                    "DP": str(dp),
+                    "TLOD": ",".join(f"{t:.2f}" for t in tlods),
+                },
+                fmt_keys=("GT", "AD", "AF", "DP"),
+                samples=[{
+                    "GT": gt,
+                    "AD": ",".join(str(int(round(c))) for c in counts),
+                    "AF": ",".join(f"{f:.3f}" for f in af_mean[1:]),
+                    "DP": str(dp),
+                }],
+            ))
+        return variants

@@ -1,0 +1,79 @@
+"""Mutect2 command line tool (tools/walkers/mutect/Mutect2.java equivalent)."""
+from __future__ import annotations
+
+import argparse
+
+from ..cli import register_tool
+from ..engine import intervals as iv
+from ..io import bam, fasta, vcf
+from ..mutect.engine import M2Args, Mutect2Engine
+
+
+@register_tool("Mutect2")
+def mutect2(argv):
+    """Call somatic SNVs and indels via local assembly of haplotypes."""
+    p = argparse.ArgumentParser(description="Mutect2")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--tumor-sample", default=None)
+    p.add_argument("--normal-sample", action="append", default=[])
+    p.add_argument("--mitochondria-mode", action="store_true")
+    p.add_argument("--tumor-lod-to-emit", "--emit-lod", type=float, default=None)
+    p.add_argument("--initial-tumor-lod", type=float, default=None)
+    p.add_argument("--min-AF", "--minimum-allele-fraction", type=float, default=0.0)
+    p.add_argument("--max-reads-per-alignment-start", type=int, default=50)
+    args = p.parse_args(argv)
+
+    m2args = M2Args(
+        mitochondria_mode=args.mitochondria_mode,
+        min_af=args.min_AF,
+        max_reads_per_alignment_start=args.max_reads_per_alignment_start,
+    )
+    if args.tumor_lod_to_emit is not None:
+        m2args.emission_log10_odds = args.tumor_lod_to_emit
+    if args.initial_tumor_lod is not None:
+        m2args.initial_log10_odds = args.initial_tumor_lod
+
+    ref = fasta.FastaReference(args.reference)
+    reader = bam.BamReader(args.input[0])
+    lengths = {s.name: s.length for s in reader.header.sequences}
+    sample = args.tumor_sample
+    if sample is None:
+        for rg in reader.header.read_groups:
+            if rg.get("SM"):
+                sample = rg["SM"]
+                break
+        sample = sample or "SAMPLE"
+
+    eng = Mutect2Engine(ref, tumor_sample=sample, normal_samples=args.normal_sample, args=m2args)
+
+    if args.intervals:
+        targets = [iv.parse_interval(s, lengths) for s in args.intervals]
+    else:
+        targets = [iv.Interval(s.name, 0, s.length) for s in reader.header.sequences]
+
+    all_variants = []
+    for t in targets:
+        reads = list(reader.query(t.contig, max(0, t.start - 300), min(lengths[t.contig], t.end + 300)))
+        all_variants.extend(eng.call_interval(reads, t))
+
+    all_variants.sort(key=lambda v: (v.contig, v.pos))
+    header_lines = [
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Approximate read depth">',
+        '##INFO=<ID=TLOD,Number=A,Type=Float,Description="Log 10 likelihood ratio score of variant existing versus not existing">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allelic depths">',
+        '##FORMAT=<ID=AF,Number=A,Type=Float,Description="Allele fractions of alternate alleles">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Approximate read depth">',
+        f"##tumor_sample={sample}",
+    ]
+    w = vcf.VcfWriter(args.output, [sample],
+                      contigs=[(s.name, s.length) for s in reader.header.sequences],
+                      extra_header_lines=header_lines)
+    for v in all_variants:
+        w.write(v)
+    w.close()
+    print(f"wrote {len(all_variants)} variants to {args.output}")
+    return 0
