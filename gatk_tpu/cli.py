@@ -70,6 +70,7 @@ def _register_builtin_tools():
     from .tools import basic_tools  # noqa: F401
     from .tools import bqsr_tools  # noqa: F401
     from .tools import mutect_tool  # noqa: F401
+    from .tools import gvcf_tools  # noqa: F401
 
 
 _register_builtin_tools()

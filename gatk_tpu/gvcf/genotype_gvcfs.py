@@ -1,0 +1,253 @@
+"""GenotypeGVCFs: re-genotype (combined) GVCF records with the exact AF model.
+
+Reference behavior: tools/walkers/GenotypeGVCFs.java + GenotypeGVCFsEngine.java
+(:124-236 calculateGenotypes -> subset alleles -> annotate), AlleleSubsettingUtils.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..calling import genotyper
+from ..io.vcf import Variant
+from .annotations import (
+    excess_het_phred,
+    inbreeding_coefficient,
+    fisher_strand_phred,
+    format_vcf_double,
+    strand_odds_ratio,
+)
+
+NON_REF = "<NON_REF>"
+STANDARD_CONFIDENCE = 30.0
+
+# carried INFO keys reformatted as doubles (htsjdk formatting), or ints
+_DOUBLE_INFO = ("BaseQRankSum", "MQRankSum", "ReadPosRankSum", "MQ", "ClippingRankSum")
+_INT_INFO = ("MQ0",)
+
+
+def _pl_index_map(old_alleles, new_alleles, ploidy=2):
+    """Map canonical genotype indices over new_alleles to indices over old_alleles."""
+    old_index = {a: i for i, a in enumerate(old_alleles)}
+    new_gts = genotyper.genotype_allele_counts(ploidy, len(new_alleles))
+    old_gts = genotyper.genotype_allele_counts(ploidy, len(old_alleles))
+    old_gt_index = {g: i for i, g in enumerate(old_gts)}
+    out = []
+    for g in new_gts:
+        old_g = tuple(sorted(old_index[new_alleles[a]] for a in g))
+        out.append(old_gt_index[old_g])
+    return out
+
+
+def regenotype_records_at_site(records, samples, af_calc=None, ploidy=2,
+                               standard_confidence=STANDARD_CONFIDENCE,
+                               include_non_variants=False):
+    """records: per-sample (variant, sample_dict) at one site with identical
+    ref/alts (pre-merged); returns a re-genotyped Variant or None.
+
+    For the single-sample GenotypeGVCFs path each record is one line of the GVCF.
+    """
+    v0 = records[0][0]
+    alleles = [v0.ref] + [a for a in v0.alts if a != NON_REF and a != "*"]
+    if len(alleles) < 2:
+        return None
+    af_calc = af_calc or genotyper.AlleleFrequencyCalculator(ploidy=ploidy)
+
+    # infer ploidy from the first parseable GT (haploid GVCFs have GT "0"/"1")
+    for _v, s in records:
+        gt = s.get("GT", ".")
+        if gt not in (".", "./.", ".|."):
+            n_gt_alleles = len(gt.replace("|", "/").split("/"))
+            if n_gt_alleles >= 1:
+                ploidy = n_gt_alleles
+                break
+
+    idx_map = _pl_index_map(list(v0.alleles), alleles, ploidy)
+    n_gt = len(idx_map)
+
+    sample_gls = []
+    sample_pls = []
+    for _v, s in records:
+        pl_str = s.get("PL", ".")
+        if pl_str in (".", None):
+            pl = np.zeros(n_gt)
+        else:
+            full = np.array([float(x) for x in pl_str.split(",")])
+            pl = full[idx_map]
+        sample_pls.append(pl)
+        sample_gls.append(-pl / 10.0)
+
+    allele_lengths = [len(a) for a in alleles]
+    af = af_calc.calculate(allele_lengths, len(v0.ref), sample_gls, ploidy)
+    phred_no_variant = -10.0 * af.log10_p_no_variant
+
+    if phred_no_variant < standard_confidence and not include_non_variants:
+        return None
+
+    # per-sample genotype assignment from subset PLs
+    gts = genotyper.genotype_allele_counts(ploidy, len(alleles))
+    out_samples = []
+    ac = np.zeros(len(alleles), int)
+    an = 0
+    het_count = 0
+    hom_var_count = 0
+    called = 0
+    depth_for_qd = 0
+    info_dp = 0
+    sb_sum = np.zeros(4, int)
+    saw_sb = False
+    seen_vc = set()
+    for (v, s), pl in zip(records, sample_pls):
+        pl = pl - pl.min()
+        best = int(np.argmin(pl))
+        # ambiguous best PL (GQ would be 0) -> no-call (makeGenotypeCall)
+        no_call = int((pl == pl[best]).sum()) > 1
+        gt_tuple = gts[best]
+        pl_sorted = np.sort(pl)
+        gq = int(min(pl_sorted[1] - pl_sorted[0], 99))
+        # cleanupGenotypeAnnotations: MIN_DP replaces DP
+        dp = s.get("DP", ".")
+        min_dp = s.get("MIN_DP")
+        if min_dp not in (None, "."):
+            dp = min_dp
+        ad = s.get("AD", ".")
+        if ad not in (".", None):
+            ad_vals = [int(x) for x in ad.split(",")]
+            keep_idx = [list(v.alleles).index(a) for a in alleles]
+            ad_vals = [ad_vals[i] if i < len(ad_vals) else 0 for i in keep_idx]
+            ad_str = ",".join(str(x) for x in ad_vals)
+        elif dp not in (".", None) and int(dp) > 0:
+            # propagate DP to AD (cleanupGenotypeAnnotations:474-478)
+            ad_str = ",".join([str(dp)] + ["0"] * (len(alleles) - 1))
+        else:
+            ad_str = "."
+        if not no_call:
+            for a in gt_tuple:
+                ac[a] += 1
+            an += ploidy
+            called += 1
+            if len(set(gt_tuple)) > 1:
+                het_count += 1
+            elif gt_tuple[0] != 0:
+                hom_var_count += 1
+        # site-level INFO DP: input INFO DP counted once per input record
+        if id(v) not in seen_vc:
+            seen_vc.add(id(v))
+            if "DP" in v.info:
+                info_dp += int(v.info["DP"])
+            elif dp not in (".", None):
+                info_dp += int(dp)
+        sb = s.get("SB")
+        if sb and sb != ".":
+            sb_sum += np.array([int(x) for x in sb.split(",")])
+            saw_sb = True
+        out_samples.append({
+            "GT": "/".join("." if no_call else str(a) for a in gt_tuple),
+            "AD": ad_str,
+            "DP": dp,
+            "GQ": str(gq),
+            "PL": ",".join(str(int(x)) for x in pl),
+        })
+
+    if ac[1:].sum() == 0 and not include_non_variants:
+        return None
+
+    # drop alt alleles with AC=0 (removeUnusedAlternates); re-subset GT/AD/PL
+    if (ac[1:] == 0).any():
+        keep = [0] + [i for i in range(1, len(alleles)) if ac[i] > 0]
+        old_to_new = {o: n for n, o in enumerate(keep)}
+        kept_alleles = [alleles[i] for i in keep]
+        sub_map = _pl_index_map(alleles, kept_alleles, ploidy)
+        sub_gts = genotyper.genotype_allele_counts(ploidy, len(kept_alleles))
+        for s_out, pl in zip(out_samples, sample_pls):
+            pl0 = pl - pl.min()
+            sub_pl = pl0[sub_map]
+            s_out["PL"] = ",".join(str(int(x)) for x in sub_pl)
+            if "." not in s_out["GT"]:
+                gt_old = tuple(int(x) for x in s_out["GT"].split("/"))
+                s_out["GT"] = "/".join(str(old_to_new[a]) for a in gt_old)
+            if s_out["AD"] != ".":
+                ad_vals = s_out["AD"].split(",")
+                s_out["AD"] = ",".join(ad_vals[i] for i in keep)
+        ac = ac[keep]
+        mle_keep = [i - 1 for i in keep[1:]]
+        af.allele_counts_mle = af.allele_counts_mle[mle_keep]
+        alleles = kept_alleles
+
+    # QualByDepth denominator: sum of final (subset) ADs of variant genotypes
+    for s_out in out_samples:
+        if "." in s_out["GT"]:
+            continue
+        gt_tuple = tuple(int(x) for x in s_out["GT"].split("/"))
+        if any(a != 0 for a in gt_tuple):
+            if s_out["AD"] != ".":
+                depth_for_qd += sum(int(x) for x in s_out["AD"].split(","))
+            elif s_out["DP"] not in (".", None):
+                depth_for_qd += int(s_out["DP"])
+
+    # trim common suffix (keeping >=1 base), then common prefix, adjusting pos
+    pos = v0.pos
+    ref = alleles[0]
+    alts_f = list(alleles[1:])
+    if alts_f:
+        while (len(ref) > 1 and all(len(a) > 1 for a in alts_f)
+               and all(a[-1] == ref[-1] for a in alts_f)):
+            ref = ref[:-1]
+            alts_f = [a[:-1] for a in alts_f]
+        while (len(ref) > 1 and all(len(a) > 1 for a in alts_f)
+               and all(a[0] == ref[0] for a in alts_f)):
+            ref = ref[1:]
+            alts_f = [a[1:] for a in alts_f]
+            pos += 1
+    alleles = [ref] + alts_f
+
+    qual = float(f"{phred_no_variant:.2f}")
+    info = {}
+    info["AC"] = ",".join(str(int(c)) for c in ac[1:])
+    info["AF"] = ",".join(format_vcf_double(c / an) for c in ac[1:]) if an else "."
+    info["AN"] = str(an)
+    # carried-over annotations (median across samples; reformatted)
+    for key in _DOUBLE_INFO:
+        vals = [float(v.info[key]) for v, _s in records if key in v.info]
+        if vals:
+            info[key] = format_vcf_double(float(np.median(vals)))
+    info["DP"] = str(info_dp)
+    if ploidy == 2:
+        info["ExcessHet"] = f"{excess_het_phred(het_count, hom_var_count, called):.4f}"
+    if saw_sb:
+        info["FS"] = f"{fisher_strand_phred(*sb_sum):.3f}"
+        info["SOR"] = f"{strand_odds_ratio(*sb_sum):.3f}"
+    if ploidy == 2 and len(alleles) == 2 and called >= 10:
+        biallelic_pls = []
+        for s_out in out_samples:
+            if "." in s_out["GT"] and s_out["GT"] != "./.":
+                continue
+            try:
+                biallelic_pls.append([int(x) for x in s_out["PL"].split(",")][:3])
+            except ValueError:
+                biallelic_pls.append(None)
+        ic = inbreeding_coefficient(biallelic_pls)
+        if ic is not None:
+            info["InbreedingCoeff"] = f"{ic:.4f}"
+    info["MLEAC"] = ",".join(str(int(c)) for c in af.allele_counts_mle)
+    info["MLEAF"] = ",".join(format_vcf_double(c / an) for c in af.allele_counts_mle) if an else "."
+    for key in _INT_INFO:
+        vals = [int(v.info[key]) for v, _s in records if key in v.info]
+        if vals:
+            info[key] = str(sum(vals))
+    if depth_for_qd > 0:
+        qd = phred_no_variant / depth_for_qd
+        if qd >= 35.0:
+            # QualByDepth.fixTooHighQD: 30 + seeded-jdk-random gaussian * 3
+            from ..utils.javarandom import get_random_generator
+
+            qd = 30.0 + get_random_generator().next_gaussian() * 3.0
+        info["QD"] = f"{qd:.2f}"
+
+    info = {k: info[k] for k in sorted(info.keys())}
+    return Variant(
+        contig=v0.contig, pos=pos, ref=alleles[0], alts=tuple(alleles[1:]),
+        qual=qual, filters=(), info=info,
+        fmt_keys=("GT", "AD", "DP", "GQ", "PL"), samples=out_samples,
+    )

@@ -116,7 +116,7 @@ def format_qual(q) -> str:
     s = f"{q:.2f}"
     if s.endswith(".00"):
         return s[:-3]
-    return s.rstrip("0").rstrip(".") if "." in s else s
+    return s
 
 
 class VcfWriter:
