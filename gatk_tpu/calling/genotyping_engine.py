@@ -61,6 +61,7 @@ def assign_genotype_likelihoods(
     standard_confidence: float = STANDARD_CONFIDENCE_FOR_CALLING,
     ploidy: int = 2,
     emit_all_active: bool = False,
+    add_non_ref: bool = False,
 ):
     """Produce Variant records for one assembled region.
 
@@ -118,12 +119,28 @@ def assign_genotype_likelihoods(
         marginal.retain_reads_overlapping(loc - ALLELE_EXTENSION + 1, loc + len(longest_ref) + ALLELE_EXTENSION - 1)
         if marginal.n_reads == 0:
             continue
+        if add_non_ref:
+            # AlleleLikelihoods.addNonReferenceAllele: per read, the median of
+            # the non-best allele likelihoods
+            vals = marginal.values
+            if vals.shape[0] == 1:
+                nonref = vals[0].copy()
+            else:
+                srt = np.sort(vals, axis=0)  # ascending; drop the max (last row)
+                nonref = np.median(srt[:-1], axis=0)
+            alleles = alleles + [MergedAllele(longest_ref, "<NON_REF>")]
+            marginal = AlleleLikelihoods(
+                list(marginal.alleles) + [alleles[-1]], marginal.reads,
+                np.vstack([vals, nonref[None, :]]),
+            )
 
         gl = genotyper.compute_genotype_likelihoods(marginal.values, ploidy)
         pl = genotyper.gls_to_pls(gl)
         gl_quantized = genotyper.pls_to_gls(pl)
 
-        allele_lengths = [len(longest_ref)] + [len(a.alt) for a in alleles[1:]]
+        allele_lengths = [len(longest_ref)] + [
+            len(longest_ref) if a.alt == "<NON_REF>" else len(a.alt) for a in alleles[1:]
+        ]
         af = af_calc.calculate(allele_lengths, len(longest_ref), [gl_quantized], ploidy)
         phred_no_variant = -10.0 * af.log10_p_no_variant
         if phred_no_variant < standard_confidence and not emit_all_active:

@@ -237,3 +237,108 @@ class HaplotypeCallerEngine:
         )
         summary.variants = variants
         return variants, summary
+
+
+def call_interval_gvcf(engine: "HaplotypeCallerEngine", reads, interval: Interval,
+                       gq_bands=None):
+    """GVCF-mode calling: variant records carry <NON_REF>; hom-ref positions get
+    banded reference-confidence blocks (HaplotypeCallerEngine.referenceModelForNoVariation
+    + GVCFWriter flow)."""
+    from ..gvcf import refconf
+
+    args = engine.args
+    contig_len = engine.ref.contig_length(interval.contig)
+    usable = [
+        r for r in reads
+        if filters.hc_read_filter(r, args.min_mapping_quality, contig_len)
+    ]
+    usable = positional_downsample(usable, args.max_reads_per_alignment_start)
+
+    span_start = max(0, interval.start - REGION_PADDING)
+    span_end = min(contig_len, interval.end + REGION_PADDING)
+    ref_span = engine.ref.fetch(interval.contig, span_start, span_end)
+
+    probs, sc_mean = activity.compute_raw_activity(
+        usable, span_start, span_end, ref_span,
+        ploidy=args.ploidy, min_base_qual=args.min_base_quality_score,
+    )
+    smoothed = activity.band_pass(probs, sc_mean, (span_start, contig_len))
+    raw_regions = activity.pop_regions(smoothed)
+
+    variants = []
+    for rr in raw_regions:
+        if not rr.is_active:
+            continue
+        region_span = Interval(interval.contig, span_start + rr.start, span_start + rr.end)
+        if region_span.end <= interval.start or region_span.start >= interval.end:
+            continue
+        region_reads = [r for r in usable if r.pos < region_span.end + REGION_PADDING
+                        and r.end > region_span.start - REGION_PADDING]
+        padded = region_span.expand(REGION_PADDING, contig_len)
+        final_reads = finalize_region_reads(region_reads, padded, args)
+        if not final_reads:
+            continue
+        ref_bases = engine.ref.fetch(interval.contig, padded.start, padded.end)
+        result = assembler.assemble(final_reads, ref_bases, padded.start,
+                                    min_base_qual=args.min_base_quality_score)
+        haplotypes = result.haplotypes
+        if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
+            continue
+        lik = compute_pairhmm_likelihoods(haplotypes, final_reads, args)
+        variants.extend(genotyping_engine.assign_genotype_likelihoods(
+            haplotypes, lik, ref_bases, padded.start, region_span.start, region_span.end,
+            interval.contig, engine.sample,
+            standard_confidence=-0.0, ploidy=args.ploidy,
+            emit_all_active=True, add_non_ref=True,
+        ))
+
+    variants = [v for v in variants if interval.start <= v.pos < interval.end]
+    variants.sort(key=lambda v: v.pos)
+
+    # reference confidence over the interval; mask positions covered by variants
+    iv_ref = ref_span[interval.start - span_start : interval.end - span_start]
+    pls, dp = refconf.ref_vs_any_gls(
+        usable, interval.start, interval.end, np.frombuffer(bytes(iv_ref).upper(), np.uint8),
+        min_base_qual=args.min_base_quality_score, ploidy=args.ploidy,
+    )
+    writer = refconf.GvcfBlockWriter(interval.contig, engine.sample,
+                                     gq_bands=gq_bands, ploidy=args.ploidy)
+    vi = 0
+    pos = interval.start
+    iv_ref_u = bytes(iv_ref).upper()
+    while pos < interval.end:
+        if vi < len(variants) and variants[vi].pos == pos:
+            v = variants[vi]
+            g = v.samples[0]
+            if set(g.get("GT", "0").replace("|", "/").split("/")) == {"0"}:
+                # hom-ref call: collapse to a ref-block site using the
+                # (0/0, 0/NON_REF, NON_REF/NON_REF) PL entries (GVCFBlockCombiner)
+                pl_all = [int(x) for x in g["PL"].split(",")]
+                n_alleles = 1 + len(v.alts)
+                gts = genotyping_engine.genotyper.genotype_allele_counts(args.ploidy, n_alleles)
+                nr = n_alleles - 1
+                want = [tuple([0] * args.ploidy)]
+                for k in range(1, args.ploidy + 1):
+                    want.append(tuple(sorted([0] * (args.ploidy - k) + [nr] * k)))
+                idx = [gts.index(w) for w in want]
+                pl3 = [pl_all[i] for i in idx]
+                m = min(pl3)
+                pl3 = [x - m for x in pl3]
+                dp_v = int(g.get("DP", "0") or 0)
+                writer.add_hom_ref(pos, v.ref[0], pl3, dp_v)
+                pos += 1
+                vi += 1
+                continue
+            writer.add_variant(v)
+            pos = max(pos + 1, v.end)
+            vi += 1
+            continue
+        # skip variants that start before pos (overlapping deletions)
+        if vi < len(variants) and variants[vi].pos < pos:
+            vi += 1
+            continue
+        i = pos - interval.start
+        writer.add_hom_ref(pos, chr(iv_ref_u[i]), pls[i], int(dp[i]))
+        pos += 1
+    writer.flush()
+    return writer.records

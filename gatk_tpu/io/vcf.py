@@ -113,6 +113,8 @@ def format_qual(q) -> str:
     """GATK/htsjdk QUAL formatting: 2 decimals, trailing '.00' dropped."""
     if q is None:
         return "."
+    if q == 0:
+        q = 0.0  # avoid "-0"
     s = f"{q:.2f}"
     if s.endswith(".00"):
         return s[:-3]

@@ -3,7 +3,7 @@ from __future__ import annotations
 
 import argparse
 
-from ..cli import register_tool
+from ..cli import UserError, register_tool
 from ..gvcf import genotype_gvcfs as gg
 from ..io import vcf
 
@@ -60,4 +60,76 @@ def genotype_gvcfs_tool(argv):
         w.write(v)
     w.close()
     print(f"wrote {len(out)} variants to {args.output}")
+    return 0
+
+
+@register_tool("CombineGVCFs")
+def combine_gvcfs_tool(argv):
+    """Combine per-sample GVCFs into a multi-sample GVCF."""
+    p = argparse.ArgumentParser(description="CombineGVCFs")
+    p.add_argument("-V", "--variant", action="append", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    args = p.parse_args(argv)
+
+    from ..engine import intervals as ivx
+    from ..gvcf import combine
+    from ..io import fasta
+
+    ref = fasta.FastaReference(args.reference)
+    readers = [vcf.VcfReader(path) for path in args.variant]
+    all_samples = [s for r in readers for s in r.samples]
+
+    # group records per contig per input
+    per_input = []
+    contigs_seen = []
+    for r in readers:
+        by_contig = {}
+        for v in r:
+            by_contig.setdefault(v.contig, ([], []))
+            by_contig[v.contig][0].append(v)
+            by_contig[v.contig][1].append(v.samples[0] if v.samples else {})
+        per_input.append(by_contig)
+        for c in by_contig:
+            if c not in contigs_seen:
+                contigs_seen.append(c)
+
+    out_all = []
+    for contig in contigs_seen:
+        # tolerate MT/chrM naming differences between gvcf and reference
+        ref_contig = contig
+        if ref_contig not in ref.contig_order:
+            alias = {"MT": "chrM", "chrM": "MT"}.get(contig)
+            if alias in ref.contig_order:
+                ref_contig = alias
+            else:
+                raise UserError(f"contig {contig} not in reference")
+        seq = ref.fetch(ref_contig, 0, ref.contig_length(ref_contig))
+        seq_upper = bytes(seq).upper()
+
+        streams = [bc.get(contig, ([], [])) for bc in per_input]
+        interval = None
+        if args.intervals:
+            for s in args.intervals:
+                t = ivx.parse_interval(s, {contig: len(seq_upper)})
+                if t.contig == contig:
+                    interval = (t.start, t.end)
+        out_all.extend(combine.combine_gvcfs(
+            streams, all_samples, lambda p0: seq_upper[p0], contig, interval=interval))
+
+    header_lines = [
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth">',
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">',
+        '##FORMAT=<ID=MIN_DP,Number=1,Type=Integer,Description="Minimum DP in block">',
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred-scaled genotype likelihoods">',
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="Stop position of the interval">',
+        f'##ALT=<ID=NON_REF,Description="Represents any possible alternative allele">',
+    ]
+    w = vcf.VcfWriter(args.output, all_samples, extra_header_lines=header_lines)
+    for v in out_all:
+        w.write(v)
+    w.close()
+    print(f"wrote {len(out_all)} records to {args.output}")
     return 0

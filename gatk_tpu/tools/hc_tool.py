@@ -28,6 +28,7 @@ def haplotype_caller(argv):
     p.add_argument("--min-base-quality-score", type=int, default=10)
     p.add_argument("--dont-use-soft-clipped-bases", action="store_true")
     p.add_argument("--pairhmm-device", action="store_true", help="force the Pallas kernel")
+    p.add_argument("-ERC", "--emit-ref-confidence", choices=["NONE", "GVCF"], default="NONE")
     args = p.parse_args(argv)
 
     ref = fasta.FastaReference(args.reference)
@@ -50,11 +51,19 @@ def haplotype_caller(argv):
     )
     engine = hc_engine.HaplotypeCallerEngine(ref, sample, hc_args)
 
+    gvcf_mode = args.emit_ref_confidence == "GVCF"
+    header_lines = list(VCF_HEADER_LINES)
+    if gvcf_mode:
+        header_lines += [
+            '##ALT=<ID=NON_REF,Description="Represents any possible alternative allele">',
+            '##FORMAT=<ID=MIN_DP,Number=1,Type=Integer,Description="Minimum DP observed within the GVCF block">',
+            '##INFO=<ID=END,Number=1,Type=Integer,Description="Stop position of the interval">',
+        ]
     writer = vcf.VcfWriter(
         args.output,
         [sample],
         contigs=[(s.name, s.length) for s in header.sequences],
-        extra_header_lines=VCF_HEADER_LINES,
+        extra_header_lines=header_lines,
     )
     n = 0
     for target in targets:
@@ -62,10 +71,16 @@ def haplotype_caller(argv):
         for r in readers:
             reads.extend(r.query(target.contig, max(0, target.start - 1000), target.end + 1000))
         reads.sort(key=lambda x: (x.pos, x.name))
-        variants, _ = engine.call_interval(reads, target)
-        for v in sorted(variants, key=lambda x: x.pos):
-            writer.write(v)
-            n += 1
+        if gvcf_mode:
+            records = hc_engine.call_interval_gvcf(engine, reads, target)
+            for v in records:
+                writer.write(v)
+                n += 1
+        else:
+            variants, _ = engine.call_interval(reads, target)
+            for v in sorted(variants, key=lambda x: x.pos):
+                writer.write(v)
+                n += 1
     writer.close()
     print(f"wrote {n} variants to {args.output}")
     return 0

@@ -53,3 +53,87 @@ def test_fisher_and_sor():
     assert fisher_strand_phred(0, 1, 46, 33) == pytest.approx(3.716, abs=2e-3)
     assert strand_odds_ratio(0, 1, 46, 33) == pytest.approx(0.771, abs=1e-3)
     assert strand_odds_ratio(0, 0, 0, 0) == pytest.approx(0.693, abs=1e-3)
+
+
+CG_DIR = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/walkers/CombineGVCFs")
+MITO_FASTA = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/mutect/mito/Homo_sapiens_assembly38.mt_only.fasta")
+needs_cg = pytest.mark.skipif(not os.path.isdir(CG_DIR), reason="reference data missing")
+
+
+@needs_cg
+def test_combine_gvcfs_mt_somatic(tmp_path):
+    """CombineGVCFs on the two MT somatic GVCFs: MT:302 must have 9 alleles
+    (CombineGVCFsIntegrationTest.testCombineSomaticGvcfs :473-476) and blocks
+    must partition the contig without overlap."""
+    from gatk_tpu.io import vcf as vcfio
+    from gatk_tpu.tools.gvcf_tools import combine_gvcfs_tool
+
+    out = str(tmp_path / "comb.vcf")
+    combine_gvcfs_tool([
+        "-V", os.path.join(CG_DIR, "NA12878.MT.filtered.g.vcf"),
+        "-V", os.path.join(CG_DIR, "NA19240.MT.filtered.g.vcf"),
+        "-R", MITO_FASTA, "-O", out,
+    ])
+    vs = list(vcfio.VcfReader(out))
+    assert len(vs) > 5000
+    at302 = [v for v in vs if v.pos == 301]
+    assert len(at302) == 1 and len(at302[0].alleles) == 9
+    # records are sorted and non-overlapping
+    last_end = -1
+    for v in vs:
+        assert v.pos >= last_end, (v.pos, last_end)
+        last_end = v.pos if any(a != "<NON_REF>" for a in v.alts) else v.end - 1
+
+
+def test_expand_ref_block_pl():
+    from gatk_tpu.gvcf.combine import _expand_ref_block_pl
+
+    # matches the expansion pattern seen in GATK combined gvcfs:
+    # [0,18,270] over 3 alleles -> 0,18,270,18,270,270
+    assert _expand_ref_block_pl([0, 18, 270], 3) == [0, 18, 270, 18, 270, 270]
+
+
+def test_gvcf_block_writer_banding():
+    from gatk_tpu.gvcf.refconf import GvcfBlockWriter
+
+    w = GvcfBlockWriter("20", "S")
+    # default bands: 1..60 are singletons, 60-70-80-90-99 are ranges
+    # -> (99,99) merge; (45,45) merge separately; (61,65) merge in the 60-70 band
+    for pos, gq in [(10, 99), (11, 99), (12, 45), (13, 45), (14, 61), (15, 65)]:
+        w.add_hom_ref(pos, "A", [0, gq, 2 * gq], 30)
+    w.flush()
+    assert len(w.records) == 3
+    b1, b2, b3 = w.records
+    assert (b1.pos, b1.end) == (10, 12)
+    assert (b2.pos, b2.end) == (12, 14)
+    assert (b3.pos, b3.end) == (14, 16)
+    assert b2.samples[0]["GQ"] == "45"
+    assert b3.samples[0]["GQ"] == "61"  # min GQ in the 60-70 band block
+    assert b2.samples[0]["MIN_DP"] == "30"
+
+
+def test_indel_pls_monotone():
+    from gatk_tpu.gvcf.refconf import indel_pls
+
+    p0 = indel_pls(2, 0)
+    assert list(p0) == [0, 0, 0]
+    p5 = indel_pls(2, 5)
+    p40 = indel_pls(2, 40)
+    assert p5[0] == 0 and p40[1] > p5[1] > 0
+
+
+def test_ref_vs_any_gls_clean_pileup():
+    import numpy as np
+    from gatk_tpu.gvcf.refconf import ref_vs_any_gls
+    from gatk_tpu.io.reads import Read
+    from gatk_tpu.io import sam
+
+    reads = [
+        Read(f"r{i}", 0, 0, 0, 60, np.array([sam.OP_M], np.uint8), np.array([20], np.int32),
+             np.full(20, ord("A"), np.uint8), np.full(20, 30, np.uint8))
+        for i in range(10)
+    ]
+    ref = np.full(20, ord("A"), np.uint8)
+    pls, dp = ref_vs_any_gls(reads, 0, 20, ref)
+    assert (dp == 10).all()
+    assert (pls[:, 0] == 0).all() and (pls[:, 1] > 0).all()
