@@ -71,6 +71,7 @@ def _register_builtin_tools():
     from .tools import bqsr_tools  # noqa: F401
     from .tools import mutect_tool  # noqa: F401
     from .tools import gvcf_tools  # noqa: F401
+    from .tools import cnv_tools  # noqa: F401
 
 
 _register_builtin_tools()
