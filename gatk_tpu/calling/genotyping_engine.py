@@ -12,6 +12,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..assembly.haplotype import Event
+from ..io import sam
 from ..io.vcf import Variant
 from . import genotyper
 from .likelihoods import AlleleLikelihoods
@@ -158,6 +159,10 @@ def assign_genotype_likelihoods(
         dp = int(counts.sum())
         qual = float(np.round(phred_no_variant, 2))
 
+        info = _standard_annotations(
+            marginal, alleles, loc, gt_tuple, counts, phred_no_variant,
+            n_non_ref := sum(1 for a in gt_tuple if a != 0), af, ploidy)
+
         variants.append(
             Variant(
                 contig=contig,
@@ -166,7 +171,7 @@ def assign_genotype_likelihoods(
                 alts=tuple(a.alt for a in alleles[1:]),
                 qual=qual,
                 filters=(),
-                info={},
+                info=info,
                 fmt_keys=("GT", "AD", "DP", "GQ", "PL"),
                 samples=[
                     {
@@ -180,3 +185,88 @@ def assign_genotype_likelihoods(
             )
         )
     return variants
+
+
+def _read_offset_at(read, loc):
+    """Read index aligned at 0-based ref position loc, or None (deletion/outside)."""
+    read_i = 0
+    ref_i = read.pos
+    for op, ln in zip(read.cigar_ops, read.cigar_lens):
+        ln = int(ln)
+        if op in (sam.OP_M, sam.OP_EQ, sam.OP_X):
+            if ref_i <= loc < ref_i + ln:
+                return read_i + (loc - ref_i)
+            read_i += ln
+            ref_i += ln
+        elif op in (sam.OP_D, sam.OP_N):
+            if ref_i <= loc < ref_i + ln:
+                return None
+            ref_i += ln
+        elif op in (sam.OP_I, sam.OP_S):
+            read_i += ln
+    return None
+
+
+def _standard_annotations(marginal, alleles, loc, gt_tuple, counts, qual, n_non_ref, af, ploidy):
+    """Standard HC INFO annotations (walkers/annotator/ standard set) computed
+    from the read-vs-allele likelihoods: DP, MQ, FS, SOR, QD, rank sums,
+    AC/AF/AN, MLEAC/MLEAF, ExcessHet."""
+    from ..gvcf.annotations import (
+        excess_het_phred,
+        fisher_strand_phred,
+        format_vcf_double,
+        mann_whitney_z,
+        rms_mapping_quality,
+        strand_odds_ratio,
+    )
+
+    info = {}
+    best_idx, _best, conf = marginal.best_alleles()
+    reads = marginal.reads
+    an = ploidy
+    ac = [sum(1 for a in gt_tuple if a == i) for i in range(len(alleles))]
+    info["AC"] = ",".join(str(c) for c in ac[1:] if True)
+    info["AF"] = ",".join(format_vcf_double(c / an) for c in ac[1:])
+    info["AN"] = str(an)
+
+    # informative reads by best allele
+    is_informative = conf > 0.2
+    sb = [0, 0, 0, 0]
+    ref_bq, alt_bq, ref_mq, alt_mq, ref_pos, alt_pos = [], [], [], [], [], []
+    for ri, read in enumerate(reads):
+        if not is_informative[ri]:
+            continue
+        is_alt = best_idx[ri] != 0
+        if is_alt:
+            sb[3 if read.is_reverse else 2] += 1
+        else:
+            sb[1 if read.is_reverse else 0] += 1
+        (alt_mq if is_alt else ref_mq).append(read.mapq)
+        off = _read_offset_at(read, loc)
+        if off is not None:
+            (alt_bq if is_alt else ref_bq).append(int(read.quals[off]))
+            (alt_pos if is_alt else ref_pos).append(min(off, len(read.bases) - 1 - off))
+
+    info["DP"] = str(marginal.n_reads)
+    info["ExcessHet"] = f"{excess_het_phred(1 if len(set(gt_tuple)) > 1 else 0, 1 if (len(set(gt_tuple)) == 1 and gt_tuple[0] != 0) else 0, 1):.4f}"
+    info["FS"] = f"{fisher_strand_phred(*sb):.3f}"
+    all_mq = [r.mapq for r in reads]
+    info["MLEAC"] = ",".join(str(int(c)) for c in af.allele_counts_mle)
+    info["MLEAF"] = ",".join(format_vcf_double(c / an) for c in af.allele_counts_mle)
+    info["MQ"] = f"{rms_mapping_quality(all_mq):.2f}"
+    for key, alt_v, ref_v in (("BaseQRankSum", alt_bq, ref_bq),
+                              ("MQRankSum", alt_mq, ref_mq),
+                              ("ReadPosRankSum", alt_pos, ref_pos)):
+        z = mann_whitney_z(alt_v, ref_v)
+        if z is not None:
+            info[key] = format_vcf_double(z)
+    depth_for_qd = int(counts.sum()) if n_non_ref else 0
+    if depth_for_qd > 0:
+        qd = qual / depth_for_qd
+        if qd >= 35.0:
+            from ..utils.javarandom import get_random_generator
+
+            qd = 30.0 + get_random_generator().next_gaussian() * 3.0
+        info["QD"] = f"{qd:.2f}"
+    info["SOR"] = f"{strand_odds_ratio(*sb):.3f}"
+    return {k: info[k] for k in sorted(info)}

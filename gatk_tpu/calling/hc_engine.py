@@ -191,7 +191,11 @@ class HaplotypeCallerEngine:
         smoothed = activity.band_pass(probs, sc_mean, (span_start, contig_len))
         raw_regions = activity.pop_regions(smoothed)
 
-        all_variants = []
+        # phase 1: host assembly + non-blocking PairHMM dispatch per region;
+        # phase 2: fetch each region's likelihoods and genotype. Device compute
+        # for region i overlaps host assembly of regions i+1.. (and hides
+        # remote-device round-trip latency).
+        pending = []
         summaries = []
         for rr in raw_regions:
             if not rr.is_active:
@@ -201,12 +205,62 @@ class HaplotypeCallerEngine:
             )
             if region_span.end <= interval.start or region_span.start >= interval.end:
                 continue
-            variants, summary = self.call_region(usable, region_span)
+            prep = self.prepare_region(usable, region_span)
+            if prep is not None:
+                pending.append(prep)
+            else:
+                summaries.append(AssemblyRegionCall(region_span, region_span, 0, 0))
+
+        all_variants = []
+        for prep in pending:
+            variants, summary = self.finish_region(prep)
             all_variants.extend(variants)
             summaries.append(summary)
-        # only keep variants inside the requested interval
         all_variants = [v for v in all_variants if interval.start <= v.pos < interval.end]
         return all_variants, summaries
+
+    def prepare_region(self, reads, span: Interval):
+        """Host-side assembly + non-blocking PairHMM launch for one region."""
+        args = self.args
+        contig_len = self.ref.contig_length(span.contig)
+        padded = span.expand(REGION_PADDING, contig_len)
+        region_reads = [r for r in reads if r.pos < padded.end and r.end > padded.start]
+        final_reads = finalize_region_reads(region_reads, padded, args)
+        if not final_reads:
+            return None
+        ref_bases = self.ref.fetch(span.contig, padded.start, padded.end)
+        result = assembler.assemble(final_reads, ref_bases, padded.start,
+                                    min_base_qual=args.min_base_quality_score)
+        haplotypes = result.haplotypes
+        if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
+            return None
+        prepped = [read_prep.prepare_read_for_pairhmm(r) for r in final_reads]
+        handle = pairhmm_tpu.start_likelihood_matrix(prepped, [h.bases for h in haplotypes])
+        return dict(span=span, padded=padded, final_reads=final_reads, prepped=prepped,
+                    haplotypes=haplotypes, ref_bases=ref_bases, handle=handle)
+
+    def finish_region(self, prep):
+        """Fetch the PairHMM result for a prepared region and genotype it."""
+        args = self.args
+        span, padded = prep["span"], prep["padded"]
+        haplotypes = prep["haplotypes"]
+        final_reads = prep["final_reads"]
+        summary = AssemblyRegionCall(span, padded, len(final_reads), len(haplotypes))
+        mat = pairhmm_tpu.finish_likelihood_matrix(
+            prep["handle"], prep["prepped"], [h.bases for h in haplotypes])
+        values = mat.T
+        lik = AlleleLikelihoods(list(haplotypes), list(final_reads), values)
+        lik.normalize_likelihoods(GLOBAL_READ_MISMAPPING_RATE_CAP)
+        lik.filter_poorly_modeled_reads(
+            lambda r: min(2.0, np.ceil(len(r.bases) * EXPECTED_ERROR_RATE_PER_BASE)) * -4.0
+        )
+        variants = genotyping_engine.assign_genotype_likelihoods(
+            haplotypes, lik, prep["ref_bases"], padded.start, span.start, span.end,
+            span.contig, self.sample,
+            standard_confidence=args.standard_confidence, ploidy=args.ploidy,
+        )
+        summary.variants = variants
+        return variants, summary
 
     def call_region(self, reads, span: Interval):
         args = self.args

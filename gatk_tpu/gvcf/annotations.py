@@ -146,3 +146,48 @@ def inbreeding_coefficient(sample_pls) -> float | None:
     q = 1.0 - p
     expected_hets = 2.0 * p * q * n
     return 1.0 - hets / expected_hets
+
+
+def mann_whitney_z(alt_values, ref_values) -> float | None:
+    """Mann-Whitney U z-score with tie and continuity corrections
+    (utils/MannWhitneyU.java semantics: alt group first; z of alt ranks)."""
+    import numpy as np
+
+    n1, n2 = len(alt_values), len(ref_values)
+    if n1 == 0 or n2 == 0:
+        return None
+    allv = np.concatenate([np.asarray(alt_values, float), np.asarray(ref_values, float)])
+    order = allv.argsort(kind="mergesort")
+    ranks = np.empty(len(allv))
+    # average ranks for ties
+    sorted_v = allv[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j + 1 < len(sorted_v) and sorted_v[j + 1] == sorted_v[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    r1 = ranks[:n1].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    mean_u = n1 * n2 / 2.0
+    # tie correction for variance
+    _, counts = np.unique(allv, return_counts=True)
+    n = n1 + n2
+    tie_term = (counts ** 3 - counts).sum() / (n * (n - 1)) if n > 1 else 0.0
+    var_u = n1 * n2 / 12.0 * ((n + 1) - tie_term)
+    if var_u <= 0:
+        return 0.0
+    # continuity correction toward the mean
+    diff = u1 - mean_u
+    cc = -0.5 if diff > 0 else (0.5 if diff < 0 else 0.0)
+    return float((diff + cc) / math.sqrt(var_u))
+
+
+def rms_mapping_quality(mapqs) -> float:
+    import numpy as np
+
+    if not len(mapqs):
+        return 0.0
+    a = np.asarray(mapqs, float)
+    return float(math.sqrt((a ** 2).mean()))

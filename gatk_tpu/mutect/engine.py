@@ -163,6 +163,60 @@ class Mutect2Engine:
 
         return self._call_mutations(haplotypes, fragments, frag_values, span, padded)
 
+    @staticmethod
+    def _read_offset_at(read, loc):
+        """read index aligned at 0-based ref position loc, or None."""
+        read_i = 0
+        ref_i = read.pos
+        for op, ln in zip(read.cigar_ops, read.cigar_lens):
+            ln = int(ln)
+            if op in (sam.OP_M, sam.OP_EQ, sam.OP_X):
+                if ref_i <= loc < ref_i + ln:
+                    return read_i + (loc - ref_i)
+                read_i += ln
+                ref_i += ln
+            elif op in (sam.OP_D, sam.OP_N):
+                if ref_i <= loc < ref_i + ln:
+                    return None
+                ref_i += ln
+            elif op in (sam.OP_I, sam.OP_S):
+                read_i += ln
+        return None
+
+    def _allele_annotations(self, alleles, fragments, vals, loc):
+        """(MBQ, MMQ, MFRL, MPOS, SB) per-allele medians over best-assigned
+        fragments (annotator/PerAlleleAnnotation semantics)."""
+        n_alleles = len(alleles)
+        per = {k: [[] for _ in range(n_alleles)] for k in ("bq", "mq", "frl", "pos")}
+        sb = np.zeros(4, int)
+        order = np.argsort(-vals, axis=0)
+        best = order[0]
+        second = vals[order[1], np.arange(vals.shape[1])] if n_alleles > 1 else np.full(vals.shape[1], -np.inf)
+        conf = vals[best, np.arange(vals.shape[1])] - second
+        for fi, frag in enumerate(fragments):
+            if conf[fi] < 0.2:
+                continue
+            ai = int(best[fi])
+            for read in frag:
+                off = self._read_offset_at(read, loc)
+                per["mq"][ai].append(read.mapq)
+                per["frl"][ai].append(abs(read.tlen))
+                if off is not None:
+                    per["bq"][ai].append(int(read.quals[off]))
+                    per["pos"][ai].append(min(off, len(read.bases) - 1 - off))
+                if ai == 0:
+                    sb[1 if read.is_reverse else 0] += 1
+                else:
+                    sb[3 if read.is_reverse else 2] += 1
+        med = lambda v, d=0: int(np.median(v)) if v else d
+        return (
+            [med(per["bq"][a]) for a in range(n_alleles)],
+            [med(per["mq"][a], 60) for a in range(n_alleles)],
+            [med(per["frl"][a]) for a in range(n_alleles)],
+            [med(per["pos"][a]) for a in range(1, n_alleles)],
+            sb,
+        )
+
     def _call_mutations(self, haplotypes, fragments, frag_log_liks, span, padded):
         args = self.args
         variants = []
@@ -252,6 +306,10 @@ class Mutect2Engine:
             dp = int(round(counts.sum()))
             tlods = [tumor_log_odds[ai] / LN10 for ai in emitted]
             gt = "/".join(str(i) for i in range(len(emit_alleles)))
+
+            kept_frags = [f for f, k in zip(fragments, keep) if k]
+            mbq, mmq, mfrl, mpos, sb = self._allele_annotations(
+                emit_alleles, kept_frags, sub_vals, loc)
             variants.append(Variant(
                 contig=span.contig,
                 pos=loc,
@@ -261,14 +319,21 @@ class Mutect2Engine:
                 filters=(),
                 info={
                     "DP": str(dp),
+                    "ECNT": str(len(start_positions)),
+                    "MBQ": ",".join(str(x) for x in mbq),
+                    "MFRL": ",".join(str(x) for x in mfrl),
+                    "MMQ": ",".join(str(x) for x in mmq),
+                    "MPOS": ",".join(str(x) for x in mpos),
+                    "POPAF": ",".join("7.30" for _ in emitted),
                     "TLOD": ",".join(f"{t:.2f}" for t in tlods),
                 },
-                fmt_keys=("GT", "AD", "AF", "DP"),
+                fmt_keys=("GT", "AD", "AF", "DP", "SB"),
                 samples=[{
                     "GT": gt,
                     "AD": ",".join(str(int(round(c))) for c in counts),
                     "AF": ",".join(f"{f:.3f}" for f in af_mean[1:]),
                     "DP": str(dp),
+                    "SB": ",".join(str(int(x)) for x in sb),
                 }],
             ))
         return variants

@@ -469,6 +469,40 @@ def pack_haps(haps, rp, hmax=None):
     return e, hlen, hmax
 
 
+def start_likelihood_matrix(reads, haps, interpret=None):
+    """Pack and LAUNCH the cartesian kernel without blocking; returns an opaque
+    handle for finish_likelihood_matrix. Dispatching many regions before
+    fetching any result pipelines host packing/assembly with device compute
+    (and hides remote-device round-trip latency)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    packed, rp = pack_reads(reads)
+    e, hlen, hmax = pack_haps(haps, rp)
+    out = _pairhmm_matrix_call(
+        packed["rbase"], packed["rq"], packed["iq"], packed["dq"], packed["gcp"],
+        e, packed["rlen"], hlen, rp=rp, hmax=hmax, interpret=interpret,
+    )
+    return out
+
+
+def finish_likelihood_matrix(handle, reads, haps, floor="clamp"):
+    """Block on a start_likelihood_matrix handle and post-process."""
+    mat = np.asarray(handle, np.float64)[: len(haps), : len(reads)].T
+    bad = ~(mat > MIN_ACCEPTED_LOG10)
+    if bad.any():
+        if floor == "host":
+            from . import pairhmm_host
+
+            for r_i, h_i in zip(*np.nonzero(bad)):
+                r = reads[r_i]
+                mat[r_i, h_i] = pairhmm_host.compute_log10_likelihood(
+                    haps[h_i], r["bases"], r["rq"], r["iq"], r["dq"], r["gcp"]
+                )
+        else:
+            mat[bad] = MIN_ACCEPTED_LOG10
+    return mat
+
+
 def compute_likelihood_matrix(reads, haps, interpret=None, floor="clamp"):
     """(n_reads, n_haps) float64 log10 likelihood matrix via the cartesian kernel.
 

@@ -77,3 +77,59 @@ def mutect2(argv):
     w.close()
     print(f"wrote {len(all_variants)} variants to {args.output}")
     return 0
+
+
+@register_tool("FilterMutectCalls")
+def filter_mutect_calls(argv):
+    """Filter somatic SNVs and indels called by Mutect2."""
+    import argparse as _ap
+
+    from ..io import vcf as vcfio
+    from ..mutect.filtering import FilterMutectCallsEngine
+
+    p = _ap.ArgumentParser(description="FilterMutectCalls")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--mitochondria-mode", action="store_true")
+    p.add_argument("--min-median-base-quality", type=int, default=20)
+    p.add_argument("--min-median-mapping-quality", type=int, default=-1)
+    p.add_argument("--min-median-read-position", type=int, default=1)
+    p.add_argument("--max-events-in-region", type=int, default=2)
+    p.add_argument("--max-alt-allele-count", type=int, default=1)
+    p.add_argument("--min-allele-fraction", type=float, default=0.0)
+    args = p.parse_args(argv)
+
+    min_mmq = args.min_median_mapping_quality
+    if min_mmq < 0:
+        min_mmq = 20 if args.mitochondria_mode else 30
+
+    reader = vcfio.VcfReader(args.variant)
+    variants = list(reader)
+    eng = FilterMutectCallsEngine(
+        min_mbq=args.min_median_base_quality, min_mmq=min_mmq,
+        min_mpos=args.min_median_read_position, max_events=args.max_events_in_region,
+        max_alt_alleles=args.max_alt_allele_count, min_af=args.min_allele_fraction,
+        mitochondria_mode=args.mitochondria_mode,
+    )
+    eng.learn(variants)
+    n_pass, n_filt = eng.apply(variants)
+
+    filter_headers = [
+        '##FILTER=<ID=PASS,Description="All filters passed">',
+        '##FILTER=<ID=weak_evidence,Description="Mutation does not meet likelihood threshold">',
+        '##FILTER=<ID=base_qual,Description="alt median base quality">',
+        '##FILTER=<ID=map_qual,Description="ref - alt median mapping quality">',
+        '##FILTER=<ID=position,Description="median distance of alt variants from end of reads">',
+        '##FILTER=<ID=clustered_events,Description="Clustered events observed in the tumor">',
+        '##FILTER=<ID=multiallelic,Description="Site filtered because too many alt alleles pass tumor LOD">',
+        '##FILTER=<ID=low_allele_fraction,Description="Allele fraction is below specified threshold">',
+        '##FILTER=<ID=strand_bias,Description="Evidence for alt allele comes from one read direction only">',
+    ]
+    w = vcfio.VcfWriter(args.output, reader.samples,
+                        extra_header_lines=reader.header_lines + filter_headers)
+    for v in variants:
+        w.write(v)
+    w.close()
+    print(f"{n_pass} passing, {n_filt} filtered -> {args.output}")
+    return 0

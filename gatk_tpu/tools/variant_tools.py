@@ -1,0 +1,322 @@
+"""Variant utility tools: SelectVariants, VariantFiltration, ValidateVariants,
+SplitIntervals, MergeVcfs, LeftAlignAndTrimVariants.
+
+Reference behavior: tools/walkers/variantutils/SelectVariants.java,
+filters/VariantFiltration.java, ValidateVariants.java, SplitIntervals.java.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import re
+
+from ..cli import UserError, register_tool
+from ..engine import intervals as iv
+from ..io import bam, fasta, vcf
+
+_SELECT_TYPES = {"SNP", "INDEL", "MNP", "MIXED", "SYMBOLIC", "NO_VARIATION"}
+
+
+def _variant_type(v):
+    if not v.alts:
+        return "NO_VARIATION"
+    if any(a.startswith("<") for a in v.alts):
+        return "SYMBOLIC"
+    kinds = set()
+    for a in v.alts:
+        if a == "*":
+            kinds.add("SYMBOLIC")
+        elif len(a) == len(v.ref):
+            kinds.add("SNP" if len(a) == 1 else "MNP")
+        else:
+            kinds.add("INDEL")
+    return kinds.pop() if len(kinds) == 1 else "MIXED"
+
+
+@register_tool("SelectVariants")
+def select_variants(argv):
+    """Select a subset of variants (by type, interval, filter status, sample)."""
+    p = argparse.ArgumentParser(description="SelectVariants")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--select-type-to-include", action="append", default=[])
+    p.add_argument("--select-type-to-exclude", action="append", default=[])
+    p.add_argument("--exclude-filtered", action="store_true")
+    p.add_argument("--exclude-non-variants", action="store_true")
+    p.add_argument("-sn", "--sample-name", action="append", default=[])
+    args = p.parse_args(argv)
+
+    for t in args.select_type_to_include + args.select_type_to_exclude:
+        if t not in _SELECT_TYPES:
+            raise UserError(f"unknown variant type {t}; one of {sorted(_SELECT_TYPES)}")
+
+    reader = vcf.VcfReader(args.variant)
+    targets = None
+    if args.intervals:
+        targets = [iv.parse_interval(s) for s in args.intervals]
+    sample_idx = None
+    out_samples = reader.samples
+    if args.sample_name:
+        missing = [s for s in args.sample_name if s not in reader.samples]
+        if missing:
+            raise UserError(f"samples not in VCF: {missing}")
+        sample_idx = [reader.samples.index(s) for s in args.sample_name]
+        out_samples = args.sample_name
+
+    out = []
+    for v in reader:
+        if targets is not None and not any(
+            t.contig == v.contig and v.pos < t.end and v.end > t.start for t in targets
+        ):
+            continue
+        vt = _variant_type(v)
+        if args.select_type_to_include and vt not in args.select_type_to_include:
+            continue
+        if vt in args.select_type_to_exclude:
+            continue
+        if args.exclude_filtered and v.filters and v.filters != ("PASS",):
+            continue
+        if args.exclude_non_variants and vt == "NO_VARIATION":
+            continue
+        if sample_idx is not None:
+            v.samples = [v.samples[i] for i in sample_idx]
+        out.append(v)
+
+    w = vcf.VcfWriter(args.output, out_samples, extra_header_lines=reader.header_lines)
+    for v in out:
+        w.write(v)
+    w.close()
+    print(f"selected {len(out)} variants")
+    return 0
+
+
+_EXPR_RE = re.compile(r"^\s*(\w+)\s*(<=|>=|<|>|==|!=)\s*(-?[\d.eE+]+)\s*$")
+
+
+def _eval_filter_expression(expr: str, v) -> bool:
+    """True if the expression matches (i.e. the variant FAILS the filter).
+    Supports conjunctions with '||' / '&&' of simple INFO comparisons (the
+    common subset of GATK's JEXL usage)."""
+    for or_part in expr.split("||"):
+        ands = or_part.split("&&")
+        ok = True
+        for a in ands:
+            m = _EXPR_RE.match(a)
+            if not m:
+                raise UserError(f"unsupported filter expression: '{a.strip()}'")
+            key, op, val = m.groups()
+            raw = v.info.get(key)
+            if raw is None:
+                ok = False
+                break
+            x = float(str(raw).split(",")[0])
+            y = float(val)
+            ok = {"<": x < y, ">": x > y, "<=": x <= y, ">=": x >= y,
+                  "==": x == y, "!=": x != y}[op]
+            if not ok:
+                break
+        if ok and ands:
+            return True
+    return False
+
+
+@register_tool("VariantFiltration")
+def variant_filtration(argv):
+    """Hard-filter variants by INFO-field expressions (JEXL subset)."""
+    p = argparse.ArgumentParser(description="VariantFiltration")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--filter-expression", action="append", default=[])
+    p.add_argument("--filter-name", action="append", default=[])
+    args = p.parse_args(argv)
+
+    if len(args.filter_expression) != len(args.filter_name):
+        raise UserError("must supply one --filter-name per --filter-expression")
+
+    reader = vcf.VcfReader(args.variant)
+    out = []
+    n_filtered = 0
+    for v in reader:
+        failed = [name for name, expr in zip(args.filter_name, args.filter_expression)
+                  if _eval_filter_expression(expr, v)]
+        if failed:
+            v.filters = tuple(failed)
+            n_filtered += 1
+        else:
+            v.filters = ("PASS",)
+        out.append(v)
+
+    headers = list(reader.header_lines)
+    for name, expr in zip(args.filter_name, args.filter_expression):
+        headers.append(f'##FILTER=<ID={name},Description="{expr}">')
+    w = vcf.VcfWriter(args.output, reader.samples, extra_header_lines=headers)
+    for v in out:
+        w.write(v)
+    w.close()
+    print(f"filtered {n_filtered} of {len(out)} variants")
+    return 0
+
+
+@register_tool("ValidateVariants")
+def validate_variants(argv):
+    """Validate a VCF: sorted positions, allele well-formedness, ref match."""
+    p = argparse.ArgumentParser(description="ValidateVariants")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    args = p.parse_args(argv)
+
+    ref = fasta.FastaReference(args.reference) if args.reference else None
+    last = {}
+    n = 0
+    for v in vcf.VcfReader(args.variant):
+        n += 1
+        if v.contig in last and v.pos < last[v.contig]:
+            raise UserError(f"variant at {v.contig}:{v.pos + 1} out of order")
+        last[v.contig] = v.pos
+        if not re.fullmatch(r"[ACGTNacgtn]+", v.ref):
+            raise UserError(f"malformed REF '{v.ref}' at {v.contig}:{v.pos + 1}")
+        for a in v.alts:
+            if not (a == "*" or a.startswith("<") or re.fullmatch(r"[ACGTNacgtn]+", a)):
+                raise UserError(f"malformed ALT '{a}' at {v.contig}:{v.pos + 1}")
+        if ref is not None and v.contig in ref.contig_order:
+            actual = bytes(ref.fetch(v.contig, v.pos, v.pos + len(v.ref))).decode().upper()
+            if actual != v.ref.upper():
+                raise UserError(
+                    f"the REF allele ({v.ref}) at {v.contig}:{v.pos + 1} does not "
+                    f"match the reference ({actual})")
+    print(f"validated {n} records; no errors found")
+    return 0
+
+
+@register_tool("SplitIntervals")
+def split_intervals(argv):
+    """Split intervals into roughly equal scatter files (SplitIntervals.java)."""
+    p = argparse.ArgumentParser(description="SplitIntervals")
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--scatter-count", type=int, required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+
+    spans = []
+    if args.intervals:
+        for s in args.intervals:
+            t = iv.parse_interval(s)
+            spans.append((t.contig, t.start, t.end))
+    elif args.reference:
+        ref = fasta.FastaReference(args.reference)
+        for c in ref.contig_order:
+            spans.append((c, 0, ref.contig_length(c)))
+    else:
+        raise UserError("provide -L intervals or -R reference")
+
+    total = sum(e - s for _c, s, e in spans)
+    per_shard = max(1, -(-total // args.scatter_count))
+    os.makedirs(args.output, exist_ok=True)
+    shard = []
+    shards = [shard]
+    room = per_shard
+    for c, s, e in spans:
+        while e - s > 0:
+            take = min(room, e - s)
+            shard.append((c, s, s + take))
+            s += take
+            room -= take
+            if room == 0 and len(shards) < args.scatter_count:
+                shard = []
+                shards.append(shard)
+                room = per_shard
+    for i, sh in enumerate(shards):
+        path = os.path.join(args.output, f"{i:04d}-scattered.interval_list")
+        with open(path, "w") as fh:
+            for c, s, e in sh:
+                fh.write(f"{c}\t{s + 1}\t{e}\t+\t.\n")
+    print(f"wrote {len(shards)} interval shards to {args.output}")
+    return 0
+
+
+@register_tool("MergeVcfs")
+def merge_vcfs(argv):
+    """Concatenate + coordinate-sort VCFs with identical samples (GatherVcfs)."""
+    p = argparse.ArgumentParser(description="MergeVcfs")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+
+    readers = [vcf.VcfReader(path) for path in args.input]
+    samples = readers[0].samples
+    for r in readers[1:]:
+        if r.samples != samples:
+            raise UserError("inputs have different sample columns")
+    variants = [v for r in readers for v in r]
+    variants.sort(key=lambda v: (v.contig, v.pos))
+    w = vcf.VcfWriter(args.output, samples, extra_header_lines=readers[0].header_lines)
+    for v in variants:
+        w.write(v)
+    w.close()
+    print(f"wrote {len(variants)} records")
+    return 0
+
+
+@register_tool("FlagStat")
+def flagstat(argv):
+    """Read flag statistics (samtools flagstat / FlagStat.java)."""
+    p = argparse.ArgumentParser(description="FlagStat")
+    p.add_argument("-I", "--input", required=True)
+    args = p.parse_args(argv)
+
+    stats = dict(total=0, secondary=0, supplementary=0, duplicates=0, mapped=0,
+                 paired=0, read1=0, read2=0, proper=0, both_mapped=0, singletons=0)
+    from ..io import sam
+
+    for r in bam.BamReader(args.input):
+        stats["total"] += 1
+        if r.is_secondary:
+            stats["secondary"] += 1
+        if r.is_supplementary:
+            stats["supplementary"] += 1
+        if r.is_duplicate:
+            stats["duplicates"] += 1
+        if not r.is_unmapped:
+            stats["mapped"] += 1
+        if r.is_paired:
+            stats["paired"] += 1
+            if r.flag & sam.FIRST_OF_PAIR:
+                stats["read1"] += 1
+            if r.flag & sam.SECOND_OF_PAIR:
+                stats["read2"] += 1
+            if r.flag & 0x2:
+                stats["proper"] += 1
+            if not r.is_unmapped and not r.mate_is_unmapped:
+                stats["both_mapped"] += 1
+            if not r.is_unmapped and r.mate_is_unmapped:
+                stats["singletons"] += 1
+    for k, v in stats.items():
+        print(f"{v} {k}")
+    return 0
+
+
+@register_tool("SortSam")
+def sort_sam(argv):
+    """Coordinate-sort a BAM."""
+    p = argparse.ArgumentParser(description="SortSam")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--SORT_ORDER", "--sort-order", default="coordinate")
+    args = p.parse_args(argv)
+
+    reader = bam.BamReader(args.input)
+    reads = list(reader)
+    if args.SORT_ORDER == "coordinate":
+        reads.sort(key=lambda r: (r.ref_id if r.ref_id >= 0 else 1 << 30, r.pos))
+    elif args.SORT_ORDER == "queryname":
+        reads.sort(key=lambda r: r.name)
+    else:
+        raise UserError(f"unsupported sort order {args.SORT_ORDER}")
+    w = bam.BamWriter(args.output, reader.header)
+    for r in reads:
+        w.write(r)
+    w.close()
+    print(f"sorted {len(reads)} reads ({args.SORT_ORDER})")
+    return 0

@@ -66,3 +66,35 @@ def test_m2_read_filter(synthetic_read=None):
     assert not m2_read_filter(mk(mapq=10))        # below MAPQ 20
     assert not m2_read_filter(mk(flag=0x400))     # duplicate
     assert not m2_read_filter(mk(n=20))           # below min read length 30
+
+
+def test_filter_mutect_calls_engine():
+    """Core filter semantics on synthetic records."""
+    from gatk_tpu.io.vcf import Variant
+    from gatk_tpu.mutect.filtering import FilterMutectCallsEngine
+
+    def mk(tlod, mbq_alt=30, mpos=30, ecnt=1, alts=("C",)):
+        return Variant(
+            contig="chrM", pos=100, ref="A", alts=alts,
+            info={"TLOD": f"{tlod:.2f}", "MBQ": f"30,{mbq_alt}", "MMQ": "60,60",
+                  "MPOS": str(mpos), "ECNT": str(ecnt)},
+            fmt_keys=("GT", "AF", "SB"),
+            samples=[{"GT": "0/1", "AF": "0.5", "SB": "10,10,10,10"}],
+        )
+
+    strong, weak, lowbq, endpos = mk(500.0), mk(0.2), mk(500.0, mbq_alt=5), mk(500.0, mpos=0)
+    eng = FilterMutectCallsEngine(mitochondria_mode=True)
+    variants = [strong, weak, lowbq, endpos]
+    eng.learn(variants)
+    eng.apply(variants)
+    assert strong.filters == ("PASS",)
+    assert "weak_evidence" in weak.filters
+    assert "base_qual" in lowbq.filters
+    assert "position" in endpos.filters
+    # mito mode: multiallelic not applied; default mode: applied
+    multi = mk(500.0, alts=("C", "G", "T"))
+    eng.apply([multi])
+    assert multi.filters == ("PASS",)
+    eng2 = FilterMutectCallsEngine(mitochondria_mode=False)
+    eng2.apply([multi])
+    assert "multiallelic" in multi.filters
