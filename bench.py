@@ -75,16 +75,22 @@ def main():
     if frac_ok < 0.5:
         print(f"WARNING: only {frac_ok:.0%} of pairs above f32 floor", file=sys.stderr)
 
-    # baseline: host f64 reference on a subset
+    # baseline: host f64 reference on a subset (also a numeric cross-check)
     n_base = 32
     t0 = time.time()
+    expected = []
     for k in range(n_base):
         r = reads[int(ri[k])]
-        pairhmm_host.compute_log10_likelihood(
+        expected.append(pairhmm_host.compute_log10_likelihood(
             haps[int(hi[k])], r["bases"], r["rq"], r["iq"], r["dq"], r["gcp"]
-        )
+        ))
     base_dt = time.time() - t0
     base_gcups = n_base * R * H / base_dt / 1e9
+    got = np.asarray(vals[0][0, :n_base], np.float64)
+    mask = np.asarray(expected) > pairhmm_tpu.MIN_ACCEPTED_LOG10
+    max_err = float(np.abs(got[mask] - np.asarray(expected)[mask]).max()) if mask.any() else 0.0
+    if max_err > 1e-3:
+        print(f"WARNING: kernel deviates from host f64 by {max_err:.2e}", file=sys.stderr)
 
     print(
         json.dumps(

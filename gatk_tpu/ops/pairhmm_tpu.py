@@ -91,7 +91,7 @@ def _pairhmm_kernel(
     # diagonal d=0 holds only cell (i=0, j=0): free-deletion boundary value
     y_ref[1] = jnp.zeros((rp, B), jnp.float32)
     y_ref[0] = jnp.where(iota_i == 0, jnp.broadcast_to(y0, (rp, B)), jnp.float32(0.0))
-    acc_ref[:] = jnp.full((1, B), NEG_INF, jnp.float32)
+    acc_ref[:] = jnp.zeros((1, B), jnp.float32)
 
     hlen_row = hlen_ref[0, :][None, :]  # (1, B) i32
     rbase = rbase_ref[:]
@@ -126,19 +126,22 @@ def _pairhmm_kernel(
         x_ref[s] = x_new
         y_ref[s] = y_new
 
-        # final-row contribution (sum over M+I of last row, LoglessPairHMM.java:63-70)
+        # final-row contribution: linear f32 sum of M+I at the last row, exactly
+        # like the GKL native kernel (LoglessPairHMM.java:63-70); values carry
+        # the 2^INIT_LOG2 scale and their sum stays far below f32 max.
         j_here = d - last
         c = m_new[last, :][None, :] + x_new[last, :][None, :]
-        valid_c = (j_here >= 1) & (j_here <= hlen_row) & (c > 0)
-        c_ln = jnp.where(valid_c, jnp.log(jnp.maximum(c, 1e-44)) - jnp.float32(INIT_LOG2 * LN2), NEG_INF)
-        acc = acc_ref[:]
-        hi = jnp.maximum(acc, c_ln)
-        lo = jnp.minimum(acc, c_ln)
-        acc_ref[:] = hi + jnp.log1p(jnp.exp(lo - hi))
+        valid_c = (j_here >= 1) & (j_here <= hlen_row)
+        acc_ref[:] = acc_ref[:] + jnp.where(valid_c, c, zero)
         return 0
 
     jax.lax.fori_loop(1, num_d + 1, body, 0)
-    out_ref[:] = acc_ref[:] * jnp.float32(1.0 / LN10)
+    acc = acc_ref[:]
+    out_ref[:] = jnp.where(
+        acc > 0,
+        (jnp.log(acc) - jnp.float32(INIT_LOG2 * LN2)) * jnp.float32(1.0 / LN10),
+        jnp.float32(NEG_INF),
+    )
 
 
 def _pairhmm_matrix_kernel(
@@ -206,7 +209,7 @@ def _pairhmm_matrix_kernel(
         x_ref[:] = jnp.zeros((2, rp, B), jnp.float32)
         y_ref[1] = jnp.zeros((rp, B), jnp.float32)
         y_ref[0] = jnp.where(iota_i == 0, y0, zero)
-        acc_ref[:] = jnp.full((1, B), NEG_INF, jnp.float32)
+        acc_ref[:] = jnp.zeros((1, B), jnp.float32)
 
         rbase = rbase_ref[:]
         last = rp - 1
@@ -235,12 +238,8 @@ def _pairhmm_matrix_kernel(
             y_ref[s] = y_new
             j_here = d - last
             c = m_new[last, :][None, :] + x_new[last, :][None, :]
-            valid_c = (j_here >= 1) & (j_here <= hlen) & (c > 0)
-            c_ln = jnp.where(valid_c, jnp.log(jnp.maximum(c, 1e-44)) - jnp.float32(INIT_LOG2 * LN2), NEG_INF)
-            acc = acc_ref[:]
-            hi = jnp.maximum(acc, c_ln)
-            lo = jnp.minimum(acc, c_ln)
-            acc_ref[:] = hi + jnp.log1p(jnp.exp(lo - hi))
+            valid_c = (j_here >= 1) & (j_here <= hlen)
+            acc_ref[:] = acc_ref[:] + jnp.where(valid_c, c, zero)
             return 0
 
         jax.lax.fori_loop(1, num_d + 1, body, 0)
@@ -248,8 +247,11 @@ def _pairhmm_matrix_kernel(
     # out block is (NH, B), resident across the whole hap sweep for this read
     # block; write this hap's row via a dynamic sublane store. (acc_ref holds
     # garbage for pad haps — masked off by the where.)
+    acc = acc_ref[:]
     out_ref[pl.ds(j, 1), :] = jnp.where(
-        hlen > 0, acc_ref[:] * jnp.float32(1.0 / LN10), NEG_INF
+        (hlen > 0) & (acc > 0),
+        (jnp.log(jnp.maximum(acc, 1e-44)) - jnp.float32(INIT_LOG2 * LN2)) * jnp.float32(1.0 / LN10),
+        jnp.float32(NEG_INF),
     )
 
 
