@@ -10,8 +10,48 @@ offsets are (compressed_block_offset << 16) | offset_within_uncompressed_block.
 """
 from __future__ import annotations
 
+import ctypes
+import os
 import struct
 import zlib
+
+# ---------------------------------------------------------------------------
+# native multithreaded codec (native/bgzf/bgzf_native.cpp, GKL-deflater
+# equivalent); loaded via ctypes with a transparent pure-python fallback
+# ---------------------------------------------------------------------------
+_NATIVE = None
+
+
+def _load_native():
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    so = os.path.join(os.path.dirname(__file__), "..", "..", "native", "bgzf",
+                      "libbgzf_native.so")
+    so = os.path.abspath(so)
+    if not os.path.exists(so) or os.environ.get("GATK_TPU_NO_NATIVE"):
+        _NATIVE = False
+        return False
+    try:
+        lib = ctypes.CDLL(so)
+        lib.bgzf_compress.restype = ctypes.c_long
+        lib.bgzf_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int]
+        lib.bgzf_decompress_blocks.restype = ctypes.c_int
+        lib.bgzf_decompress_blocks.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_int]
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = False
+    return _NATIVE
+
+
+_N_THREADS = min(os.cpu_count() or 1, 8)
 
 BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000"
@@ -35,20 +75,38 @@ def _read_block_size(data: bytes, off: int) -> int:
 
 
 def decompress_bytes(data: bytes) -> bytes:
-    """Decompress a whole in-memory BGZF stream."""
-    out = []
+    """Decompress a whole in-memory BGZF stream (parallel native path when
+    available; the block table is parsed on the host either way)."""
+    spans = []  # (cstart, clen, isize)
     off = 0
     n = len(data)
+    total = 0
     while off < n:
         bsize = _read_block_size(data, off)
-        # payload: skip gzip header (12 + xlen), end before CRC32+ISIZE (8 bytes)
         xlen = struct.unpack_from("<H", data, off + 10)[0]
         cstart = off + 12 + xlen
         cend = off + bsize - 8
-        if cend > cstart:
-            out.append(zlib.decompress(data[cstart:cend], wbits=-15))
+        isize = struct.unpack_from("<I", data, off + bsize - 4)[0]
+        if cend > cstart and isize > 0:
+            spans.append((cstart, cend - cstart, total, isize))
+            total += isize
         off += bsize
-    return b"".join(out)
+
+    lib = _load_native()
+    if lib and spans:
+        out = ctypes.create_string_buffer(total)
+        nb = len(spans)
+        in_offs = (ctypes.c_long * nb)(*[s[0] for s in spans])
+        in_lens = (ctypes.c_long * nb)(*[s[1] for s in spans])
+        out_offs = (ctypes.c_long * nb)(*[s[2] for s in spans])
+        out_lens = (ctypes.c_long * nb)(*[s[3] for s in spans])
+        rc = lib.bgzf_decompress_blocks(data, nb, in_offs, in_lens, out, out_offs,
+                                        out_lens, _N_THREADS)
+        if rc == 0:
+            return out.raw
+    return b"".join(
+        zlib.decompress(data[cs : cs + cl], wbits=-15) for cs, cl, _o, _i in spans
+    )
 
 
 def decompress_file(path: str) -> bytes:
@@ -101,7 +159,16 @@ class BgzfReader:
 
 
 def compress_bytes(payload: bytes, level: int = 6) -> bytes:
-    """Compress bytes into a BGZF stream (with EOF marker)."""
+    """Compress bytes into a BGZF stream (with EOF marker); parallel native
+    path when available."""
+    lib = _load_native()
+    if lib and payload:
+        n_blocks = -(-len(payload) // 0xFF00)
+        cap = n_blocks * (0xFF00 + 1024 + 26)
+        out_buf = ctypes.create_string_buffer(cap)
+        w = lib.bgzf_compress(payload, len(payload), out_buf, cap, level, _N_THREADS)
+        if w > 0:
+            return out_buf.raw[:w] + BGZF_EOF
     out = []
     for off in range(0, len(payload), 65000):
         chunk = payload[off : off + 65000]

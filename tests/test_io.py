@@ -101,3 +101,27 @@ def test_bgzf_roundtrip():
     payload = os.urandom(200000) + b"tail"
     comp = bgzf.compress_bytes(payload)
     assert bgzf.decompress_bytes(comp) == payload
+
+
+def test_native_bgzf_codec_roundtrip():
+    """Native multithreaded codec must be byte-compatible with the python path."""
+    import os
+
+    from gatk_tpu.io import bgzf as bz
+
+    payload = bytes(range(256)) * 2000 + b"tail"
+    native = bz._load_native()
+    c = bz.compress_bytes(payload)
+    assert bz.decompress_bytes(c) == payload
+    # force the pure-python path and cross-check
+    os.environ["GATK_TPU_NO_NATIVE"] = "1"
+    bz._NATIVE = None
+    try:
+        assert bz.decompress_bytes(c) == payload
+        c_py = bz.compress_bytes(payload)
+    finally:
+        del os.environ["GATK_TPU_NO_NATIVE"]
+        bz._NATIVE = None
+    assert bz.decompress_bytes(c_py) == payload
+    if native:
+        assert bz._load_native()  # native lib present in this checkout
