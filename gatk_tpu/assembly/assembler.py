@@ -69,7 +69,11 @@ def assemble(
         if graph is None:
             continue
         result.graphs[graph.kmer_size] = graph
-        graph.prune_low_weight_chains(prune_factor)
+        graph.prune_low_weight_chains(prune_factor, remove_orphans=not recover_dangling)
+        if recover_dangling:
+            graph.recover_dangling_tails(prune_factor)
+            graph.recover_dangling_heads(prune_factor)
+            graph._remove_orphans()
         if graph.ref_source() is None or graph.ref_sink() is None:
             continue
         paths = kbest.find_k_best_paths(graph, num_best)

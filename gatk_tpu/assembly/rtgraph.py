@@ -246,9 +246,11 @@ class ReadThreadingGraph:
         # cycles made purely of internal vertices are unreachable above; fine for DAG use
         return chains
 
-    def prune_low_weight_chains(self, prune_factor: int):
+    def prune_low_weight_chains(self, prune_factor: int, remove_orphans: bool = True):
         """LowWeightChainPruner: drop chains whose every edge has multiplicity <
-        pruneFactor and no reference edge."""
+        pruneFactor and no reference edge. remove_orphans=False keeps dangling
+        chains alive for dangling-end recovery (the reference removes
+        paths-not-connected-to-ref only AFTER recovery)."""
         to_remove = []
         for chain in self._linear_chains():
             if all(
@@ -259,7 +261,8 @@ class ReadThreadingGraph:
         for a, b in to_remove:
             self.out_edges[a].pop(b, None)
             self.in_edges[b].pop(a, None)
-        self._remove_orphans()
+        if remove_orphans:
+            self._remove_orphans()
 
     def _remove_orphans(self):
         """Remove vertices unreachable from ref source or not reaching ref sink."""
@@ -287,3 +290,153 @@ class ReadThreadingGraph:
                     seen.add(w)
                     stack.append(w)
         return seen
+
+    # ---- dangling-end recovery ---------------------------------------------------
+    # Reference behavior: AbstractReadThreadingGraph.recoverDanglingTails/Heads
+    # :400-452, findPathUpwardsToLowestCommonAncestor :724-733, merge logic
+    # :549-607. SW vs the reference path with STANDARD_NGS + LEADING_INDEL.
+
+    def _suffix(self, vid: int) -> int:
+        return self.vertex_seq[vid][-1]
+
+    def _is_ref_vertex(self, vid: int) -> bool:
+        return any(e.is_ref for e in self.in_edges[vid].values()) or any(
+            e.is_ref for e in self.out_edges[vid].values()
+        )
+
+    def _find_path_up_to_lca(self, vertex: int, prune_factor: int):
+        """Chain upwards from a dangling sink to the lowest common ancestor
+        (first vertex with out-degree > 1); LCA first, sink last; None if the
+        chain hits a pruned edge, a merge, or no divergence."""
+        path = [vertex]
+        v = vertex
+        seen = {vertex}
+        while len(self.in_edges[v]) == 1 and len(self.out_edges[v]) < 2:
+            (u, e), = self.in_edges[v].items()
+            if e.multiplicity < prune_factor and not e.is_ref:
+                return None
+            if u in seen:
+                return None
+            seen.add(u)
+            path.append(u)
+            v = u
+        if len(self.out_edges[v]) > 1 and v != vertex:
+            return path[::-1]
+        return None
+
+    def _find_path_down_to_ref(self, vertex: int, prune_factor: int):
+        """Chain downwards from a dangling head to the first reference vertex;
+        common descendant first, head last; None if blocked."""
+        path = [vertex]
+        v = vertex
+        seen = {vertex}
+        while not (self._is_ref_vertex(v) or len(self.out_edges[v]) != 1):
+            (w, e), = self.out_edges[v].items()
+            if e.multiplicity < prune_factor and not e.is_ref:
+                return None
+            if w in seen:
+                return None
+            seen.add(w)
+            path.append(w)
+            v = w
+        if self._is_ref_vertex(v) and v != vertex:
+            return path[::-1]
+        return None
+
+    def _ref_path_from(self, start: int, downwards: bool):
+        path = [start]
+        v = start
+        while True:
+            edges = self.out_edges[v] if downwards else self.in_edges[v]
+            nxt = None
+            for w, e in edges.items():
+                if e.is_ref:
+                    nxt = w
+                    break
+            if nxt is None or nxt in path[-2:]:
+                break
+            path.append(nxt)
+            v = nxt
+        return path
+
+    def recover_dangling_tails(self, prune_factor: int, min_dangling_length: int = 4):
+        from ..ops import smith_waterman as sw
+
+        n = 0
+        for v in range(self.num_vertices):
+            if self.out_edges[v] or not self.in_edges[v]:
+                continue
+            if self.ref_path and v == self.ref_sink():
+                continue
+            alt_path = self._find_path_up_to_lca(v, prune_factor)
+            if alt_path is None or len(alt_path) < max(2, min_dangling_length + 1):
+                continue
+            if self.ref_path and alt_path[0] == self.ref_source():
+                continue
+            ref_path = self._ref_path_from(alt_path[0], downwards=True)
+            if len(ref_path) < 2:
+                continue
+            ref_str = bytes(self._suffix(x) for x in ref_path)
+            alt_str = bytes(self._suffix(x) for x in alt_path)
+            aln = sw.align(ref_str, alt_str, sw.STANDARD_NGS, sw.LEADING_INDEL)
+            ops, lens = list(aln.cigar_ops), list(aln.cigar_lens)
+            # drop trailing deletions (AlignmentUtils.removeTrailingDeletions)
+            while ops and ops[-1] == 2:
+                ops.pop(); lens.pop()
+            if not ops or ops[-1] != 0 or len(ops) > 3:
+                continue
+            ref_len = sum(l for o, l in zip(ops, lens) if o in (0, 2))
+            read_len = sum(l for o, l in zip(ops, lens) if o in (0, 1))
+            last_ref_index = ref_len - 1
+            # longest matching suffix between ref/alt strings
+            m = 0
+            while (m < len(alt_str) and m <= last_ref_index
+                   and alt_str[len(alt_str) - 1 - m] == ref_str[last_ref_index - m]):
+                m += 1
+            m = min(m, int(lens[-1]))
+            if m == 0:
+                continue
+            alt_idx = max(read_len - m - 1, 0)
+            leading_del = ops[0] == 2 and lens[0] + m == last_ref_index + 1
+            ref_idx = last_ref_index - m + 1 + (1 if leading_del else 0)
+            if ref_idx <= 0 or ref_idx >= len(ref_path) or alt_idx >= len(alt_path):
+                continue
+            self._add_edge(alt_path[alt_idx], ref_path[ref_idx], 1, False)
+            n += 1
+        return n
+
+    def recover_dangling_heads(self, prune_factor: int, min_dangling_length: int = 4):
+        """Legacy (non-indel) head merge: compare the reversed head chain with
+        the reversed upstream reference path and reattach at the match point."""
+        n = 0
+        heads = [v for v in range(self.num_vertices)
+                 if not self.in_edges[v] and self.out_edges[v]
+                 and not (self.ref_path and v == self.ref_source())]
+        for v in heads:
+            alt_path = self._find_path_down_to_ref(v, prune_factor)
+            if alt_path is None or len(alt_path) < min_dangling_length + 1:
+                continue
+            ref_path = self._ref_path_from(alt_path[0], downwards=False)
+            if len(ref_path) < 3:
+                continue
+            # reversed-orientation strings (suffix bytes walking away from ref)
+            ref_str = bytes(self._suffix(x) for x in ref_path)
+            alt_str = bytes(self._suffix(x) for x in alt_path)
+            max_index = min(len(ref_str), len(alt_str)) - 1
+            max_mismatch = max(1, max_index // self.kmer_size)
+            mism = 0
+            idx = 1  # position 0 is the shared descendant
+            while idx < max_index:
+                if ref_str[idx] != alt_str[idx]:
+                    mism += 1
+                    if mism > max_mismatch:
+                        break
+                idx += 1
+            if mism > max_mismatch or idx < 2:
+                continue
+            merge_at = idx - 1
+            if merge_at + 1 >= len(ref_path) or merge_at >= len(alt_path):
+                continue
+            self._add_edge(ref_path[merge_at + 1], alt_path[merge_at], 1, False)
+            n += 1
+        return n
