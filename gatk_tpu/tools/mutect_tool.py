@@ -133,3 +133,84 @@ def filter_mutect_calls(argv):
     w.close()
     print(f"{n_pass} passing, {n_filt} filtered -> {args.output}")
     return 0
+
+
+@register_tool("GetPileupSummaries")
+def get_pileup_summaries(argv):
+    """Tabulate pileup counts at common biallelic SNP sites."""
+    import argparse as _ap
+
+    import numpy as np
+
+    from ..engine import pileup as pileup_mod
+    from ..mutect.contamination import PileupSite, write_pileup_table
+
+    p = _ap.ArgumentParser(description="GetPileupSummaries")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-V", "--variant", required=True, help="population VCF with AF")
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--minimum-population-allele-frequency", type=float, default=0.01)
+    p.add_argument("--maximum-population-allele-frequency", type=float, default=0.2)
+    args = p.parse_args(argv)
+
+    from ..io import bam as bamio, vcf as vcfio
+
+    reader = bamio.BamReader(args.input)
+    sample = reader.header.read_groups[0].get("SM", "SAMPLE") if reader.header.read_groups else "SAMPLE"
+    sites = []
+    for v in vcfio.VcfReader(args.variant):
+        if len(v.alts) != 1 or not v.is_snp():
+            continue
+        af = v.info.get("AF")
+        if af is None:
+            continue
+        af = float(str(af).split(",")[0])
+        if not (args.minimum_population_allele_frequency <= af <= args.maximum_population_allele_frequency):
+            continue
+        ref_b = ord(v.ref)
+        alt_b = ord(v.alts[0])
+        refs = alts = others = 0
+        for r in reader.query(v.contig, v.pos, v.pos + 1):
+            if r.is_unmapped or r.is_duplicate or r.is_secondary or r.mapq < 50:
+                continue
+            pos, base, qual, flags = pileup_mod.expand_read(r)
+            here = pos == v.pos
+            if not here.any():
+                continue
+            i = int(np.nonzero(here)[0][0])
+            if flags[i] & pileup_mod.F_DELETION or qual[i] < 10:
+                continue
+            b = int(base[i])
+            if b == ref_b:
+                refs += 1
+            elif b == alt_b:
+                alts += 1
+            else:
+                others += 1
+        sites.append(PileupSite(v.contig, v.pos + 1, refs, alts, others, af))
+    write_pileup_table(args.output, sample, sites)
+    print(f"wrote {len(sites)} pileup summaries")
+    return 0
+
+
+@register_tool("CalculateContamination")
+def calculate_contamination_tool(argv):
+    """Estimate cross-sample contamination from pileup summaries."""
+    import argparse as _ap
+
+    from ..mutect.contamination import calculate_contamination, read_pileup_table
+
+    p = _ap.ArgumentParser(description="CalculateContamination")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--matched-normal", default=None)
+    args = p.parse_args(argv)
+
+    sample, sites = read_pileup_table(args.input)
+    c, se = calculate_contamination(sites)
+    with open(args.output, "w") as fh:
+        fh.write("sample\tcontamination\terror\n")
+        fh.write(f"{sample}\t{c}\t{se}\n")
+    print(f"{sample}: contamination {c:.4f} +/- {se:.4f}")
+    return 0

@@ -98,3 +98,25 @@ def test_filter_mutect_calls_engine():
     eng2 = FilterMutectCallsEngine(mitochondria_mode=False)
     eng2.apply([multi])
     assert "multiallelic" in multi.filters
+
+
+def test_calculate_contamination_known_mixtures():
+    """Hom-alt contamination estimates within 10% relative of known NA12891/NA12892
+    mixture fractions (CalculateContaminationIntegrationTest data)."""
+    import os
+
+    from gatk_tpu.mutect.contamination import calculate_contamination, read_pileup_table
+    from gatk_tpu.utils.testdata import reference_path
+
+    D = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/calculatecontamination")
+    if not os.path.isdir(D):
+        pytest.skip("reference data missing")
+    for fname, expected in [
+        ("NA12891_0.01_NA12892_0.99.table", 0.011),
+        ("NA12891_0.03_NA12892_0.97.table", 0.031),
+        ("NA12891_0.05_NA12892_0.95.table", 0.051),
+        ("NA12891_0.08_NA12892_0.92.table", 0.081),
+    ]:
+        _s, sites = read_pileup_table(os.path.join(D, fname))
+        c, _se = calculate_contamination(sites)
+        assert abs(c - expected) < max(0.15 * expected, 0.005), (fname, c)
