@@ -59,6 +59,15 @@ class Read:
         return bool(self.flag & sam.MATE_UNMAPPED)
 
     @property
+    def is_first_of_pair(self):
+        return bool(self.flag & sam.FIRST_OF_PAIR)
+
+    @property
+    def is_f1r2(self):
+        """ReadUtils.isF1R2: reverse-strand != first-of-pair."""
+        return self.is_reverse != self.is_first_of_pair
+
+    @property
     def fails_vendor_quality(self):
         return bool(self.flag & sam.FAILS_VENDOR_QUALITY)
 

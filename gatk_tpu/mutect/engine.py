@@ -189,6 +189,8 @@ class Mutect2Engine:
         n_alleles = len(alleles)
         per = {k: [[] for _ in range(n_alleles)] for k in ("bq", "mq", "frl", "pos")}
         sb = np.zeros(4, int)
+        f1r2 = np.zeros(n_alleles, int)
+        f2r1 = np.zeros(n_alleles, int)
         order = np.argsort(-vals, axis=0)
         best = order[0]
         second = vals[order[1], np.arange(vals.shape[1])] if n_alleles > 1 else np.full(vals.shape[1], -np.inf)
@@ -208,6 +210,11 @@ class Mutect2Engine:
                     sb[1 if read.is_reverse else 0] += 1
                 else:
                     sb[3 if read.is_reverse else 2] += 1
+                if read.is_paired:
+                    if read.is_f1r2:
+                        f1r2[ai] += 1
+                    else:
+                        f2r1[ai] += 1
         med = lambda v, d=0: int(np.median(v)) if v else d
         return (
             [med(per["bq"][a]) for a in range(n_alleles)],
@@ -215,6 +222,8 @@ class Mutect2Engine:
             [med(per["frl"][a]) for a in range(n_alleles)],
             [med(per["pos"][a]) for a in range(1, n_alleles)],
             sb,
+            f1r2,
+            f2r1,
         )
 
     def _call_mutations(self, haplotypes, fragments, frag_log_liks, span, padded):
@@ -308,7 +317,7 @@ class Mutect2Engine:
             gt = "/".join(str(i) for i in range(len(emit_alleles)))
 
             kept_frags = [f for f, k in zip(fragments, keep) if k]
-            mbq, mmq, mfrl, mpos, sb = self._allele_annotations(
+            mbq, mmq, mfrl, mpos, sb, f1r2, f2r1 = self._allele_annotations(
                 emit_alleles, kept_frags, sub_vals, loc)
             variants.append(Variant(
                 contig=span.contig,
@@ -327,12 +336,14 @@ class Mutect2Engine:
                     "POPAF": ",".join("7.30" for _ in emitted),
                     "TLOD": ",".join(f"{t:.2f}" for t in tlods),
                 },
-                fmt_keys=("GT", "AD", "AF", "DP", "SB"),
+                fmt_keys=("GT", "AD", "AF", "DP", "F1R2", "F2R1", "SB"),
                 samples=[{
                     "GT": gt,
                     "AD": ",".join(str(int(round(c))) for c in counts),
                     "AF": ",".join(f"{f:.3f}" for f in af_mean[1:]),
                     "DP": str(dp),
+                    "F1R2": ",".join(str(int(x)) for x in f1r2),
+                    "F2R1": ",".join(str(int(x)) for x in f2r1),
                     "SB": ",".join(str(int(x)) for x in sb),
                 }],
             ))

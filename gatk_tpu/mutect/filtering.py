@@ -26,6 +26,7 @@ MULTIALLELIC = "multiallelic"
 LOW_ALLELE_FRACTION = "low_allele_fraction"
 SLIPPAGE = "slippage"
 STRAND_BIAS = "strand_bias"
+ORIENTATION = "orientation"  # READ_ORIENTATION_ARTIFACT_FILTER_NAME
 
 DEFAULT_MIN_MEDIAN_BASE_QUALITY = 20
 DEFAULT_MIN_MEDIAN_MAPPING_QUALITY = 20  # mito mode uses 20; default 20
@@ -57,7 +58,8 @@ class FilterMutectCallsEngine:
                  max_events=DEFAULT_MAX_EVENTS_IN_REGION,
                  max_alt_alleles=DEFAULT_MAX_ALT_ALLELE_COUNT,
                  min_af=DEFAULT_MIN_AF,
-                 mitochondria_mode=False):
+                 mitochondria_mode=False,
+                 orientation_priors=None, reference=None):
         self.min_mbq = min_mbq
         self.min_mmq = min_mmq
         self.min_mpos = min_mpos
@@ -65,6 +67,10 @@ class FilterMutectCallsEngine:
         self.max_alt_alleles = max_alt_alleles
         self.min_af = min_af
         self.mitochondria_mode = mitochondria_mode
+        # {sample: ArtifactPriorCollection} from LearnReadOrientationModel + the
+        # reference for 3-mer context lookup (ReadOrientationFilter.java)
+        self.orientation_priors = orientation_priors or {}
+        self.reference = reference
         self.log10_prior = -6.0  # initial somatic prior; EM-updated in learn pass
 
     # ---------------- per-variant error probabilities ----------------
@@ -105,6 +111,31 @@ class FilterMutectCallsEngine:
                 failed.add(STRAND_BIAS)
         return failed, tlods
 
+    def orientation_artifact_probability(self, v, tlods):
+        """Weighted-median posterior artifact probability over tumor genotypes
+        (ReadOrientationFilter.calculateErrorProbability; single tumor sample ->
+        its posterior directly)."""
+        if not self.orientation_priors or self.reference is None or not v.samples:
+            return 0.0
+        if not v.is_snp() or not tlods:
+            return 0.0
+        from .orientation import orientation_artifact_probability as oap
+        g = v.samples[0]
+        if "F1R2" not in g or "F2R1" not in g:
+            return 0.0
+        alt_index = int(max(range(len(tlods)), key=lambda i: tlods[i]))
+        alt_base = v.alts[alt_index]
+        if len(alt_base) != 1:
+            return 0.0
+        try:
+            ctx = self.reference.fetch(v.contig, v.pos - 1, v.pos + 2).decode().upper()
+        except Exception:
+            return 0.0
+        f1r2 = [int(x) for x in g["F1R2"].split(",")]
+        f2r1 = [int(x) for x in g["F2R1"].split(",")]
+        coll = next(iter(self.orientation_priors.values()))
+        return oap(coll, ctx, alt_base, f1r2, f2r1, alt_index)
+
     def error_probability(self, tlods):
         """Weak-evidence error probability from the TLOD posterior with the
         learned somatic log prior (SomaticClusteringModel simplification)."""
@@ -140,6 +171,8 @@ class FilterMutectCallsEngine:
             failed, tlods = self.hard_filters(v)
             if self.error_probability(tlods) > threshold:
                 failed.add(WEAK_EVIDENCE)
+            if self.orientation_artifact_probability(v, tlods) > threshold:
+                failed.add(ORIENTATION)
             if failed:
                 v.filters = tuple(sorted(failed))
                 n_filt += 1

@@ -24,6 +24,8 @@ def mutect2(argv):
     p.add_argument("--initial-tumor-lod", type=float, default=None)
     p.add_argument("--min-AF", "--minimum-allele-fraction", type=float, default=0.0)
     p.add_argument("--max-reads-per-alignment-start", type=int, default=50)
+    p.add_argument("--f1r2-tar-gz", default=None,
+                   help="collect F1R2 counts while calling (for LearnReadOrientationModel)")
     args = p.parse_args(argv)
 
     m2args = M2Args(
@@ -54,10 +56,24 @@ def mutect2(argv):
     else:
         targets = [iv.Interval(s.name, 0, s.length) for s in reader.header.sequences]
 
+    f1r2_counts = None
+    if args.f1r2_tar_gz:
+        from ..mutect import orientation as ob
+        f1r2_counts = ob.F1R2Counts(sample)
+
     all_variants = []
     for t in targets:
         reads = list(reader.query(t.contig, max(0, t.start - 300), min(lengths[t.contig], t.end + 300)))
         all_variants.extend(eng.call_interval(reads, t))
+        if f1r2_counts is not None:
+            from ..mutect.engine import m2_read_filter
+            ref_bytes = ref.fetch(t.contig, t.start, t.end)
+            ob.collect_f1r2_counts([r for r in reads if m2_read_filter(r)],
+                                   ref_bytes, t.start, f1r2_counts)
+
+    if f1r2_counts is not None:
+        from ..mutect import orientation as ob
+        ob.write_f1r2_targz(f1r2_counts, args.f1r2_tar_gz)
 
     all_variants.sort(key=lambda v: (v.contig, v.pos))
     header_lines = [
@@ -67,6 +83,8 @@ def mutect2(argv):
         '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allelic depths">',
         '##FORMAT=<ID=AF,Number=A,Type=Float,Description="Allele fractions of alternate alleles">',
         '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Approximate read depth">',
+        '##FORMAT=<ID=F1R2,Number=R,Type=Integer,Description="Count of reads in F1R2 pair orientation supporting each allele">',
+        '##FORMAT=<ID=F2R1,Number=R,Type=Integer,Description="Count of reads in F2R1 pair orientation supporting each allele">',
         f"##tumor_sample={sample}",
     ]
     w = vcf.VcfWriter(args.output, [sample],
@@ -98,11 +116,24 @@ def filter_mutect_calls(argv):
     p.add_argument("--max-events-in-region", type=int, default=2)
     p.add_argument("--max-alt-allele-count", type=int, default=1)
     p.add_argument("--min-allele-fraction", type=float, default=0.0)
+    p.add_argument("--orientation-bias-artifact-priors", "--ob-priors", action="append",
+                   default=[], help="tar.gz of artifact priors from LearnReadOrientationModel")
     args = p.parse_args(argv)
 
     min_mmq = args.min_median_mapping_quality
     if min_mmq < 0:
         min_mmq = 20 if args.mitochondria_mode else 30
+
+    orientation_priors = {}
+    for path in args.orientation_bias_artifact_priors:
+        from ..mutect.orientation import read_artifact_priors_targz
+        orientation_priors.update(read_artifact_priors_targz(path))
+    reference = None
+    if orientation_priors:
+        if args.reference is None:
+            raise SystemExit("--ob-priors requires -R/--reference for context lookup")
+        from ..io import fasta
+        reference = fasta.FastaReference(args.reference)
 
     reader = vcfio.VcfReader(args.variant)
     variants = list(reader)
@@ -111,6 +142,7 @@ def filter_mutect_calls(argv):
         min_mpos=args.min_median_read_position, max_events=args.max_events_in_region,
         max_alt_alleles=args.max_alt_allele_count, min_af=args.min_allele_fraction,
         mitochondria_mode=args.mitochondria_mode,
+        orientation_priors=orientation_priors, reference=reference,
     )
     eng.learn(variants)
     n_pass, n_filt = eng.apply(variants)
@@ -125,6 +157,7 @@ def filter_mutect_calls(argv):
         '##FILTER=<ID=multiallelic,Description="Site filtered because too many alt alleles pass tumor LOD">',
         '##FILTER=<ID=low_allele_fraction,Description="Allele fraction is below specified threshold">',
         '##FILTER=<ID=strand_bias,Description="Evidence for alt allele comes from one read direction only">',
+        '##FILTER=<ID=orientation,Description="orientation bias detected by the orientation bias mixture model">',
     ]
     w = vcfio.VcfWriter(args.output, reader.samples,
                         extra_header_lines=reader.header_lines + filter_headers)
@@ -213,4 +246,82 @@ def calculate_contamination_tool(argv):
         fh.write("sample\tcontamination\terror\n")
         fh.write(f"{sample}\t{c}\t{se}\n")
     print(f"{sample}: contamination {c:.4f} +/- {se:.4f}")
+    return 0
+
+
+@register_tool("CollectF1R2Counts")
+def collect_f1r2_counts_tool(argv):
+    """Collect F1R2 read counts for the read-orientation artifact model."""
+    import argparse as _ap
+
+    from ..engine import intervals as ivx
+    from ..io import bam as bamio, fasta as fastaio
+    from ..mutect import orientation as ob
+    from ..mutect.engine import m2_read_filter
+
+    p = _ap.ArgumentParser(description="CollectF1R2Counts")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True, help="output .tar.gz")
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--f1r2-min-bq", type=int, default=20)
+    p.add_argument("--f1r2-median-mq", type=int, default=50)
+    p.add_argument("--f1r2-max-depth", type=int, default=ob.DEFAULT_MAX_DEPTH)
+    args = p.parse_args(argv)
+
+    ref = fastaio.FastaReference(args.reference)
+    reader = bamio.BamReader(args.input)
+    lengths = {s.name: s.length for s in reader.header.sequences}
+    sample = "SAMPLE"
+    for rg in reader.header.read_groups:
+        if rg.get("SM"):
+            sample = rg["SM"]
+            break
+
+    if args.intervals:
+        targets = [ivx.parse_interval(s, lengths) for s in args.intervals]
+    else:
+        targets = [ivx.Interval(s.name, 0, s.length) for s in reader.header.sequences]
+
+    counts = ob.F1R2Counts(sample, args.f1r2_max_depth)
+    for t in targets:
+        reads = [r for r in reader.query(t.contig, t.start, t.end) if m2_read_filter(r)]
+        ref_bytes = ref.fetch(t.contig, t.start, t.end)
+        ob.collect_f1r2_counts(reads, ref_bytes, t.start, counts,
+                               min_bq=args.f1r2_min_bq, min_median_mq=args.f1r2_median_mq)
+    ob.write_f1r2_targz(counts, args.output)
+    print(f"collected F1R2 counts over {len(targets)} intervals -> {args.output}")
+    return 0
+
+
+@register_tool("LearnReadOrientationModel")
+def learn_read_orientation_model_tool(argv):
+    """Learn artifact-prior probabilities for the orientation bias mixture model."""
+    import argparse as _ap
+
+    from ..mutect import orientation as ob
+
+    p = _ap.ArgumentParser(description="LearnReadOrientationModel")
+    p.add_argument("-I", "--input", action="append", required=True,
+                   help="one or more CollectF1R2Counts .tar.gz")
+    p.add_argument("-O", "--output", required=True, help="output .tar.gz of priors")
+    p.add_argument("--convergence-threshold", type=float, default=ob.DEFAULT_CONVERGENCE_THRESHOLD)
+    p.add_argument("--num-em-iterations", type=int, default=ob.DEFAULT_MAX_EM_ITERATIONS)
+    p.add_argument("--max-depth", type=int, default=ob.DEFAULT_MAX_DEPTH)
+    args = p.parse_args(argv)
+
+    merged = {}
+    for path in args.input:
+        for sample, counts in ob.read_f1r2_targz(path, args.max_depth).items():
+            if sample in merged:
+                merged[sample].add(counts)
+            else:
+                merged[sample] = counts
+
+    collections = [ob.learn_artifact_priors(c, args.convergence_threshold,
+                                            args.num_em_iterations)
+                   for c in merged.values()]
+    ob.write_artifact_priors_targz(collections, args.output)
+    for coll in collections:
+        print(f"{coll.sample}: learned priors for {coll.num_unique_contexts()} unique contexts")
     return 0
