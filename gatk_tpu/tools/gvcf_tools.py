@@ -133,3 +133,95 @@ def combine_gvcfs_tool(argv):
     w.close()
     print(f"wrote {len(out_all)} records to {args.output}")
     return 0
+
+
+@register_tool("ReblockGVCF")
+def reblock_gvcf_tool(argv):
+    """Condense hom-ref blocks in a single-sample GVCF (new GQ bands, drop uncalled alts)."""
+    import argparse as _ap
+
+    from ..gvcf.reblock import INFO_KEYS_TO_REMOVE, ReblockEngine
+
+    # annotation class name -> INFO key (Barclay -A names)
+    ann_keys = {"Coverage": "DP", "RMSMappingQuality": "MQ",
+                "ReadPosRankSumTest": "ReadPosRankSum",
+                "MappingQualityRankSumTest": "MQRankSum",
+                "BaseQualityRankSumTest": "BaseQRankSum",
+                "FisherStrand": "FS", "StrandOddsRatio": "SOR",
+                "QualByDepth": "QD"}
+
+    p = _ap.ArgumentParser(description="ReblockGVCF")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-GQB", "--gvcf-gq-bands", type=int, action="append", default=None)
+    p.add_argument("-drop-low-quals", "--drop-low-quals", action="store_true")
+    p.add_argument("-rgq-threshold", "--rgq-threshold-to-no-call", type=float, default=0.0)
+    p.add_argument("-do-qual-approx", "--do-qual-score-approximation", action="store_true")
+    p.add_argument("--keep-all-alts", action="store_true")
+    p.add_argument("--floor-blocks", action="store_true")
+    p.add_argument("-A", "--annotation", action="append", default=None)
+    p.add_argument("--disable-tool-default-annotations", default=None)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    args = p.parse_args(argv)
+
+    from ..io import vcf as vcfio
+
+    reference = None
+    if args.reference:
+        from ..io import fasta
+        reference = fasta.FastaReference(args.reference)
+
+    keep = None
+    if args.annotation:
+        keep = [ann_keys.get(a, a) for a in args.annotation]
+
+    reader = vcfio.VcfReader(args.variant)
+    if len(reader.samples) != 1:
+        raise SystemExit("ReblockGVCF requires a single-sample GVCF input")
+
+    intervals = None
+    if args.intervals:
+        from ..engine import intervals as ivx
+        intervals = [ivx.parse_interval(s, {}) for s in args.intervals]
+
+    eng = ReblockEngine(
+        gq_bands=args.gvcf_gq_bands or (20, 100),
+        drop_low_quals=args.drop_low_quals,
+        rgq_threshold=args.rgq_threshold_to_no_call,
+        do_qual_approx=args.do_qual_score_approximation,
+        keep_all_alts=args.keep_all_alts,
+        floor_blocks=args.floor_blocks,
+        annotations_to_keep=keep,
+        reference=reference,
+    )
+    n_in = 0
+    for v in reader:
+        if intervals is not None:
+            end = int(v.info.get("END", v.pos + len(v.ref)))
+            if not any(t.contig == v.contig and v.pos < t.end and end > t.start
+                       for t in intervals):
+                continue
+        eng.process(v)
+        n_in += 1
+    records = eng.finish()
+
+    header = [ln for ln in reader.header_lines
+              if not ln.startswith("##GVCFBlock")
+              and not any(ln.startswith(f"##INFO=<ID={k},") for k in INFO_KEYS_TO_REMOVE)]
+    extra = [
+        '##INFO=<ID=RAW_MQandDP,Number=2,Type=Integer,Description="Raw data (sum of squared MQ and total depth) for improved RMS Mapping Quality calculation.">',
+        '##INFO=<ID=RAW_GT_COUNT,Number=3,Type=Integer,Description="Counts of genotypes w.r.t. the reference allele: 0/0, 0/*, */*">',
+        '##INFO=<ID=QUALapprox,Number=1,Type=Integer,Description="Sum of PL[0] values; used to approximate the QUAL score">',
+        '##INFO=<ID=VarDP,Number=1,Type=Integer,Description="(informative) depth over variant genotypes">',
+    ]
+    for ln in extra:
+        key = ln.split("ID=")[1].split(",")[0]
+        if not any(f"ID={key}," in h for h in header):
+            header.append(ln)
+    w = vcfio.VcfWriter(args.output, reader.samples, extra_header_lines=header)
+    for v in records:
+        w.write(v)
+    w.close()
+    print(f"reblocked {n_in} records -> {len(records)} records in {args.output}")
+    return 0
