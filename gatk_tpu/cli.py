@@ -72,6 +72,7 @@ def _register_builtin_tools():
     from .tools import mutect_tool  # noqa: F401
     from .tools import gvcf_tools  # noqa: F401
     from .tools import cnv_tools  # noqa: F401
+    from .tools import somatic_cnv_tools  # noqa: F401
     from .tools import variant_tools  # noqa: F401
     from .tools import analysis_tools  # noqa: F401
 

@@ -350,7 +350,7 @@ class ReblockEngine:
         ref_base = "N"
         if self.reference is not None:
             try:
-                ref_base = self.reference.fetch(v.contig, start, start + 1).decode()
+                ref_base = self.reference.fetch_bytes(v.contig, start, start + 1).decode()
             except Exception:
                 pass
         self.combiner.add_block(v.contig, start, end, ref_base, gq, dp, sub)

@@ -128,7 +128,7 @@ class FilterMutectCallsEngine:
         if len(alt_base) != 1:
             return 0.0
         try:
-            ctx = self.reference.fetch(v.contig, v.pos - 1, v.pos + 2).decode().upper()
+            ctx = self.reference.fetch_bytes(v.contig, v.pos - 1, v.pos + 2).decode()
         except Exception:
             return 0.0
         f1r2 = [int(x) for x in g["F1R2"].split(",")]
