@@ -17,7 +17,21 @@ def format_vcf_double(d: float) -> str:
         return f"{d:.3f}"
     if d == 0.0:
         return "0.00"
-    return f"{d:.3e}"
+    # Java String.format("%.3e") rounds HALF_UP on the decimal representation
+    # (e.g. -1.2345 -> -1.235e+00); Python's %.3e rounds the binary double
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = float(d)
+    if math.isinf(d) or math.isnan(d):
+        return repr(d)
+    dec = Decimal(repr(d)).normalize()
+    sign, digits, exp = dec.as_tuple()
+    exp10 = exp + len(digits) - 1
+    mant = dec.scaleb(-exp10).quantize(Decimal("1.000"), rounding=ROUND_HALF_UP)
+    if abs(mant) >= 10:  # rounding overflowed the mantissa (9.9996 -> 10.000)
+        mant = (mant / 10).quantize(Decimal("1.000"), rounding=ROUND_HALF_UP)
+        exp10 += 1
+    return f"{mant}e{exp10:+03d}"
 
 
 def _log10_factorial(n: int) -> float:
