@@ -75,6 +75,7 @@ def _register_builtin_tools():
     from .tools import somatic_cnv_tools  # noqa: F401
     from .tools import vqsr_tools  # noqa: F401
     from .tools import rnaseq_tools  # noqa: F401
+    from .tools import metrics_tools  # noqa: F401
     from .tools import variant_tools  # noqa: F401
     from .tools import analysis_tools  # noqa: F401
 

@@ -1,0 +1,278 @@
+"""Picard-style QC metrics tools.
+
+Reference parity: metrics/InsertSizeMetricsCollector.java (+ picard
+CollectInsertSizeMetrics semantics: first-of-pair records, histogram-derived
+median/MAD/width statistics with DEVIATIONS trimming for mean/sd),
+picard MeanQualityByCycle (per-cycle mean with second-of-pair cycles appended
+after the longest first read, reverse-strand cycle flip), picard
+QualityScoreDistribution (base-quality histogram incl. OQ tag counts).
+Output files follow the htsjdk MetricsFile text format.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+
+import numpy as np
+
+from ..cli import register_tool
+from ..io import sam
+
+
+def _fmt(v) -> str:
+    """htsjdk FormatUtil double formatting: up to 6 decimals, trailing zeros trimmed."""
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if v is None:
+        return ""
+    s = f"{float(v):.6f}".rstrip("0").rstrip(".")
+    return s if s not in ("-0", "") else "0"
+
+
+def write_metrics_file(path, tool_name, metrics_class, columns, rows,
+                       histogram=None, hist_bin_type="java.lang.Integer"):
+    """histogram: (bin_label, [value_labels], {bin: [values]}) or None."""
+    with open(path, "w") as fh:
+        fh.write("## htsjdk.samtools.metrics.StringHeader\n")
+        fh.write(f"# {tool_name}\n")
+        fh.write("## htsjdk.samtools.metrics.StringHeader\n")
+        fh.write("# Started on: gatk_tpu\n")
+        fh.write("\n")
+        if columns:
+            fh.write(f"## METRICS CLASS\t{metrics_class}\n")
+            fh.write("\t".join(columns) + "\n")
+            for r in rows:
+                fh.write("\t".join(_fmt(x) if not isinstance(x, str) else x for x in r) + "\n")
+            fh.write("\n")
+        if histogram is not None:
+            bin_label, value_labels, values = histogram
+            fh.write(f"## HISTOGRAM\t{hist_bin_type}\n")
+            fh.write(bin_label + "\t" + "\t".join(value_labels) + "\n")
+            for b in sorted(values):
+                fh.write(str(b) + "\t" + "\t".join(_fmt(x) for x in values[b]) + "\n")
+        fh.write("\n")
+
+
+# ---------------------------------------------------------------------------
+# CollectInsertSizeMetrics
+# ---------------------------------------------------------------------------
+
+def insert_size_statistics(hist: dict, deviations=10.0):
+    """Picard InsertSizeMetrics computation from an insert-size histogram."""
+    sizes = np.array(sorted(hist))
+    counts = np.array([hist[s] for s in sizes], float)
+    total = counts.sum()
+    cum = np.cumsum(counts)
+
+    def percentile_value(q):
+        # htsjdk Histogram.getPercentile-ish: first bin reaching q of total
+        target = q * total
+        return float(sizes[np.searchsorted(cum, target, side="left")])
+
+    median = percentile_value(0.5)
+    # MAD: median of |x - median|
+    dev_hist = {}
+    for s, c in hist.items():
+        d = abs(s - median)
+        dev_hist[d] = dev_hist.get(d, 0) + c
+    dsizes = np.array(sorted(dev_hist))
+    dcounts = np.array([dev_hist[d] for d in dsizes], float)
+    dcum = np.cumsum(dcounts)
+    mad = float(dsizes[np.searchsorted(dcum, 0.5 * total, side="left")])
+
+    # mean/sd over the histogram trimmed to median +/- deviations*MAD
+    lo, hi = median - deviations * mad, median + deviations * mad
+    mask = (sizes >= lo) & (sizes <= hi)
+    tw = counts[mask].sum()
+    mean = float((sizes[mask] * counts[mask]).sum() / tw)
+    var = float(((sizes[mask] - mean) ** 2 * counts[mask]).sum() / max(tw - 1, 1))
+    sd = math.sqrt(var)
+
+    # symmetric widths around the median bin
+    widths = {}
+    med_i = int(median)
+    for pct in (10, 20, 30, 40, 50, 60, 70, 80, 90, 99):
+        target = total * pct / 100.0
+        k = 0
+        while True:
+            covered = sum(hist.get(med_i + d, 0) for d in range(-k, k + 1))
+            if covered >= target:
+                widths[pct] = 2 * k + 1
+                break
+            k += 1
+            if k > int(sizes[-1] - sizes[0]) + 1:
+                widths[pct] = 2 * k + 1
+                break
+    return dict(median=median, mad=mad, min=int(sizes[0]), max=int(sizes[-1]),
+                mean=mean, sd=sd, pairs=int(total), widths=widths)
+
+
+@register_tool("CollectInsertSizeMetrics")
+def collect_insert_size_metrics(argv):
+    """Insert size distribution metrics (median/MAD/mean/width percentiles)."""
+    from ..io import bam as bamio
+
+    p = argparse.ArgumentParser(description="CollectInsertSizeMetrics")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-H", "--histogram-plot-file", default=None)
+    p.add_argument("--deviations", type=float, default=10.0)
+    p.add_argument("--include-duplicates", action="store_true")
+    p.add_argument("--minimum-pct", type=float, default=0.05)
+    args = p.parse_args(argv)
+
+    hists = {}  # orientation -> {size: count}
+    for r in bamio.BamReader(args.input):
+        if (not r.is_paired or r.is_unmapped or r.mate_is_unmapped
+                or not r.is_first_of_pair or r.is_secondary or r.is_supplementary
+                or (r.is_duplicate and not args.include_duplicates) or r.tlen == 0):
+            continue
+        mate_reverse = bool(r.flag & sam.MATE_REVERSE)
+        if r.is_reverse == mate_reverse:
+            orient = "TANDEM"
+        else:
+            leftmost_forward = (not r.is_reverse) if r.tlen > 0 else (not mate_reverse)
+            orient = "FR" if leftmost_forward else "RF"
+        hists.setdefault(orient, {})
+        size = abs(r.tlen)
+        hists[orient][size] = hists[orient].get(size, 0) + 1
+
+    total = sum(sum(h.values()) for h in hists.values())
+    orients = [o for o, h in hists.items()
+               if sum(h.values()) > total * args.minimum_pct]
+
+    columns = ["MEDIAN_INSERT_SIZE", "MEDIAN_ABSOLUTE_DEVIATION", "MIN_INSERT_SIZE",
+               "MAX_INSERT_SIZE", "MEAN_INSERT_SIZE", "STANDARD_DEVIATION", "READ_PAIRS",
+               "PAIR_ORIENTATION"] + [f"WIDTH_OF_{p}_PERCENT" for p in
+                                      (10, 20, 30, 40, 50, 60, 70, 80, 90, 99)] + \
+              ["SAMPLE", "LIBRARY", "READ_GROUP"]
+    rows = []
+    hist_values = {}
+    labels = []
+    for orient in sorted(orients, key=lambda o: ("FR", "RF", "TANDEM").index(o)):
+        st = insert_size_statistics(hists[orient], args.deviations)
+        rows.append([int(st["median"]), int(st["mad"]), st["min"], st["max"],
+                     st["mean"], st["sd"], st["pairs"], orient] +
+                    [st["widths"][p] for p in (10, 20, 30, 40, 50, 60, 70, 80, 90, 99)] +
+                    ["", "", ""])
+        labels.append(f"All_Reads.{orient.lower()}_count")
+        for s, c in hists[orient].items():
+            hist_values.setdefault(s, [0] * len(orients))
+            hist_values[s][len(labels) - 1] = c
+
+    write_metrics_file(args.output, "CollectInsertSizeMetrics (gatk_tpu)",
+                       "picard.analysis.InsertSizeMetrics", columns, rows,
+                       ("insert_size", labels, hist_values))
+    print(f"wrote insert size metrics ({sum(len(h) for h in hists.values())} bins)")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# MeanQualityByCycle
+# ---------------------------------------------------------------------------
+
+@register_tool("MeanQualityByCycle")
+def mean_quality_by_cycle(argv):
+    """Mean base quality per sequencing cycle (second-of-pair cycles appended)."""
+    from ..io import bam as bamio
+
+    p = argparse.ArgumentParser(description="MeanQualityByCycle")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--chart", "--chart-output", default=None)
+    p.add_argument("--aligned-reads-only", default="false")
+    p.add_argument("--pf-reads-only", default="false")
+    args = p.parse_args(argv)
+    aligned_only = str(args.aligned_reads_only).lower() == "true"
+    pf_only = str(args.pf_reads_only).lower() == "true"
+
+    max_len = 512
+    first_tot = np.zeros(max_len + 1)
+    first_cnt = np.zeros(max_len + 1, np.int64)
+    second_tot = np.zeros(max_len + 1)
+    second_cnt = np.zeros(max_len + 1, np.int64)
+    max_first = max_second = 0
+
+    for r in bamio.BamReader(args.input):
+        if pf_only and r.fails_vendor_quality:
+            continue
+        if aligned_only and r.is_unmapped:
+            continue
+        if r.is_secondary or r.is_supplementary:
+            continue
+        quals = r.quals.astype(np.float64)
+        n = len(quals)
+        if r.is_reverse:
+            quals = quals[::-1]
+        cyc = np.arange(1, n + 1)
+        if r.is_paired and (r.flag & sam.SECOND_OF_PAIR):
+            np.add.at(second_tot, cyc, quals)
+            np.add.at(second_cnt, cyc, 1)
+            max_second = max(max_second, n)
+        else:
+            np.add.at(first_tot, cyc, quals)
+            np.add.at(first_cnt, cyc, 1)
+            max_first = max(max_first, n)
+
+    values = {}
+    for c in range(1, max_first + 1):
+        if first_cnt[c]:
+            values[c] = [first_tot[c] / first_cnt[c]]
+    for c in range(1, max_second + 1):
+        if second_cnt[c]:
+            values[max_first + c] = [second_tot[c] / second_cnt[c]]
+
+    write_metrics_file(args.output, "MeanQualityByCycle (gatk_tpu)", None, None, None,
+                       ("CYCLE", ["MEAN_QUALITY"], values))
+    print(f"wrote mean quality for {len(values)} cycles")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# QualityScoreDistribution
+# ---------------------------------------------------------------------------
+
+@register_tool("QualityScoreDistribution")
+def quality_score_distribution(argv):
+    """Distribution of base qualities (and OQ original qualities if present)."""
+    from ..io import bam as bamio
+
+    p = argparse.ArgumentParser(description="QualityScoreDistribution")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--chart", "--chart-output", default=None)
+    p.add_argument("--aligned-reads-only", default="false")
+    p.add_argument("--pf-reads-only", default="false")
+    p.add_argument("--include-no-calls", action="store_true")
+    args = p.parse_args(argv)
+    aligned_only = str(args.aligned_reads_only).lower() == "true"
+    pf_only = str(args.pf_reads_only).lower() == "true"
+
+    q_counts = np.zeros(128, np.int64)
+    oq_counts = np.zeros(128, np.int64)
+    saw_oq = False
+    for r in bamio.BamReader(args.input):
+        if pf_only and r.fails_vendor_quality:
+            continue
+        if aligned_only and r.is_unmapped:
+            continue
+        if r.is_secondary or r.is_supplementary:
+            continue
+        keep = np.ones(len(r.bases), bool) if args.include_no_calls else (r.bases != ord("N"))
+        np.add.at(q_counts, r.quals[keep].astype(int), 1)
+        oq = r.tags.get("OQ")
+        if oq is not None:
+            saw_oq = True
+            oq_arr = np.frombuffer(oq.encode(), np.uint8).astype(int) - 33
+            np.add.at(oq_counts, oq_arr[keep[: len(oq_arr)]], 1)
+
+    labels = ["COUNT_OF_Q"] + (["COUNT_OF_OQ"] if saw_oq else [])
+    values = {}
+    for q in range(128):
+        if q_counts[q] or (saw_oq and oq_counts[q]):
+            values[q] = [int(q_counts[q])] + ([int(oq_counts[q])] if saw_oq else [])
+
+    write_metrics_file(args.output, "QualityScoreDistribution (gatk_tpu)", None, None,
+                       None, ("QUALITY", labels, values), hist_bin_type="java.lang.Byte")
+    print(f"wrote quality distribution over {len(values)} quality bins")
+    return 0
