@@ -86,9 +86,13 @@ class VcfReader:
 
     def __iter__(self):
         for line in self._body:
-            yield self._parse_line(line)
+            yield parse_vcf_line(line)
 
     def _parse_line(self, line: str) -> Variant:
+        return parse_vcf_line(line)
+
+
+def parse_vcf_line(line: str) -> Variant:
         f = line.split("\t")
         chrom, pos, vid, ref, alt, qual, flt, info = f[:8]
         v = Variant(
@@ -140,24 +144,7 @@ class VcfWriter:
         self._lines.append("\t".join(cols))
 
     def write(self, v: Variant):
-        info = ";".join(
-            k if val is True else f"{k}={val}" for k, val in v.info.items()
-        ) or "."
-        row = [
-            v.contig,
-            str(v.pos + 1),
-            v.id or ".",
-            v.ref,
-            ",".join(v.alts) if v.alts else ".",
-            format_qual(v.qual),
-            ";".join(v.filters) if v.filters else ".",
-            info,
-        ]
-        if v.samples:
-            row.append(":".join(v.fmt_keys))
-            for s in v.samples:
-                row.append(":".join(str(s.get(k, ".")) for k in v.fmt_keys))
-        self._lines.append("\t".join(row))
+        self._lines.append(variant_to_line(v))
 
     def close(self):
         payload = ("\n".join(self._lines) + "\n").encode()
@@ -167,3 +154,25 @@ class VcfWriter:
         else:
             with open(self.path, "wb") as fh:
                 fh.write(payload)
+
+
+def variant_to_line(v: Variant) -> str:
+    """Serialize a Variant to a VCF data line (VcfWriter record format)."""
+    info = ";".join(
+        k if val is True else f"{k}={val}" for k, val in v.info.items()
+    ) or "."
+    row = [
+        v.contig,
+        str(v.pos + 1),
+        v.id or ".",
+        v.ref,
+        ",".join(v.alts) if v.alts else ".",
+        format_qual(v.qual),
+        ";".join(v.filters) if v.filters else ".",
+        info,
+    ]
+    if v.samples:
+        row.append(":".join(v.fmt_keys))
+        for s in v.samples:
+            row.append(":".join(str(s.get(k, ".")) for k in v.fmt_keys))
+    return "\t".join(row)

@@ -25,7 +25,14 @@ def genotype_gvcfs_tool(argv):
     from ..utils.javarandom import reset_random_generator
 
     reset_random_generator()
-    reader = vcf.VcfReader(args.variant)
+    if args.variant.startswith("gendb://"):
+        # GenomicsDB-workspace input: combine the cohort store in memory first
+        # (FeatureDataSource GENOMIC_DB_URI_SCHEME path)
+        if args.reference is None:
+            raise UserError("GenotypeGVCFs on a gendb:// workspace requires -R")
+        reader = _GendbReader(args.variant, args.reference, args.intervals)
+    else:
+        reader = vcf.VcfReader(args.variant)
     # GATK emits samples in lexicographic order regardless of input order
     sample_order = sorted(range(len(reader.samples)), key=lambda i: reader.samples[i])
     sorted_samples = [reader.samples[i] for i in sample_order]
@@ -224,4 +231,78 @@ def reblock_gvcf_tool(argv):
         w.write(v)
     w.close()
     print(f"reblocked {n_in} records -> {len(records)} records in {args.output}")
+    return 0
+
+
+class _GendbReader:
+    """Adapter that combines a GvcfStore workspace in memory and iterates the
+    merged multi-sample records (CombineGVCFs semantics over gendb:// input)."""
+
+    def __init__(self, uri, reference_path, intervals=None):
+        from ..engine import intervals as ivx
+        from ..gvcf import combine
+        from ..io import fasta
+        from ..io.gvcf_store import GvcfStore
+
+        store = GvcfStore(uri)
+        ref = fasta.FastaReference(reference_path)
+        self.samples = list(store.samples)
+        self._records = []
+        for contig in store.contigs:
+            ref_contig = contig
+            if ref_contig not in ref.contig_order:
+                alias = {"MT": "chrM", "chrM": "MT"}.get(contig)
+                if alias in ref.contig_order:
+                    ref_contig = alias
+                else:
+                    raise UserError(f"contig {contig} not in reference")
+            seq_upper = bytes(ref.fetch(ref_contig, 0, ref.contig_length(ref_contig))).upper()
+            interval = None
+            if intervals:
+                for s in intervals:
+                    t = ivx.parse_interval(s, {contig: len(seq_upper)})
+                    if t.contig == contig:
+                        interval = (t.start, t.end)
+            _samples, per_sample = store.query(
+                contig, *(interval if interval else (None, None)))
+            streams = [(recs, [r.samples[0] if r.samples else {} for r in recs])
+                       for recs in per_sample]
+            self._records.extend(combine.combine_gvcfs(
+                streams, self.samples, lambda p0: seq_upper[p0], contig,
+                interval=interval))
+
+    def __iter__(self):
+        return iter(self._records)
+
+
+@register_tool("GenomicsDBImport")
+def genomicsdb_import(argv):
+    """Import single-sample GVCFs into a columnar cohort workspace (gendb://)."""
+    p = argparse.ArgumentParser(description="GenomicsDBImport")
+    p.add_argument("-V", "--variant", action="append", required=True)
+    p.add_argument("--genomicsdb-workspace-path", default=None)
+    p.add_argument("--genomicsdb-update-workspace-path", default=None)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--batch-size", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from ..io.gvcf_store import GvcfStore
+
+    if args.genomicsdb_workspace_path:
+        import os as _os
+        ws = args.genomicsdb_workspace_path
+        if _os.path.exists(ws) and _os.listdir(ws):
+            raise UserError(f"workspace {ws} already exists; use "
+                            "--genomicsdb-update-workspace-path to append")
+        store = GvcfStore.create(ws)
+    elif args.genomicsdb_update_workspace_path:
+        store = GvcfStore(args.genomicsdb_update_workspace_path)
+    else:
+        raise UserError("provide --genomicsdb-workspace-path or "
+                        "--genomicsdb-update-workspace-path")
+
+    for path in args.variant:
+        store.import_gvcf(path)
+    print(f"workspace now holds {len(store.samples)} samples over "
+          f"{len(store.contigs)} contigs")
     return 0
