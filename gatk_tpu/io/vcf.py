@@ -93,7 +93,8 @@ class VcfReader:
 
 
 def parse_vcf_line(line: str) -> Variant:
-        f = line.split("\t")
+        # tolerate trailing tabs (empty trailing sample columns in hand-made VCFs)
+        f = line.rstrip("\t").split("\t")
         chrom, pos, vid, ref, alt, qual, flt, info = f[:8]
         v = Variant(
             contig=chrom,
@@ -174,5 +175,9 @@ def variant_to_line(v: Variant) -> str:
     if v.samples:
         row.append(":".join(v.fmt_keys))
         for s in v.samples:
-            row.append(":".join(str(s.get(k, ".")) for k in v.fmt_keys))
+            vals = [str(s.get(k, ".")) for k in v.fmt_keys]
+            # htsjdk drops trailing missing fields (but always keeps GT)
+            while len(vals) > 1 and vals[-1] == ".":
+                vals.pop()
+            row.append(":".join(vals))
     return "\t".join(row)

@@ -306,3 +306,77 @@ def genomicsdb_import(argv):
     print(f"workspace now holds {len(store.samples)} samples over "
           f"{len(store.contigs)} contigs")
     return 0
+
+
+@register_tool("CalculateGenotypePosteriors")
+def calculate_genotype_posteriors(argv):
+    """Refine genotype calls with population and/or family (pedigree) priors."""
+    import argparse as _ap
+
+    from ..gvcf import posteriors as pp
+
+    p = _ap.ArgumentParser(description="CalculateGenotypePosteriors")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--supporting-callsets", "-supporting", action="append", default=[])
+    p.add_argument("-ped", "--pedigree", default=None)
+    p.add_argument("--de-novo-prior", type=float, default=1e-6)
+    p.add_argument("--global-prior-snp", type=float, default=1e-3)
+    p.add_argument("--global-prior-indel", type=float, default=1e-3)
+    p.add_argument("--num-reference-samples-if-no-call", type=int, default=0)
+    p.add_argument("--discovered-allele-count-priors-off", action="store_true")
+    p.add_argument("--ignore-input-samples", action="store_true")
+    p.add_argument("--default-to-allele-count", action="store_true")
+    p.add_argument("--use-flat-priors-for-indels", action="store_true")
+    p.add_argument("--skip-population-priors", action="store_true")
+    p.add_argument("--skip-family-priors", action="store_true")
+    args = p.parse_args(argv)
+
+    resources_by_pos = {}
+    for path in args.supporting_callsets:
+        for r in vcf.VcfReader(path):
+            resources_by_pos.setdefault((r.contig, r.pos), []).append(r)
+
+    trios = []
+    if args.pedigree and not args.skip_family_priors:
+        trios = pp.read_pedigree(args.pedigree)
+
+    reader = vcf.VcfReader(args.variant)
+    sample_index = {s: i for i, s in enumerate(reader.samples)}
+
+    extra = [
+        '##FORMAT=<ID=PP,Number=G,Type=Integer,Description="Phred-scaled Posterior Genotype Probabilities">',
+        '##INFO=<ID=PG,Number=G,Type=Integer,Description="Genotype Likelihood Prior">',
+    ]
+    if trios:
+        extra += [
+            '##FORMAT=<ID=JL,Number=1,Type=Integer,Description="Phred-scaled joint likelihood of the genotype combination (before applying family priors)">',
+            '##FORMAT=<ID=JP,Number=1,Type=Integer,Description="Phred-scaled joint posterior probability of the genotype combination (after applying family priors)">',
+        ]
+    # GATK emits samples in lexicographic order (getSamplesForVariants is sorted)
+    order = sorted(range(len(reader.samples)), key=lambda i: reader.samples[i])
+    out_samples = [reader.samples[i] for i in order]
+    w = vcf.VcfWriter(args.output, out_samples,
+                      extra_header_lines=reader.header_lines + extra)
+    n = 0
+    for v in reader:
+        if trios:
+            v = pp.apply_family_priors(v, trios, sample_index, args.de_novo_prior)
+        if not args.skip_population_priors:
+            resources = resources_by_pos.get((v.contig, v.pos), [])
+            v = pp.calculate_population_posteriors(
+                v, resources,
+                num_ref_if_missing=0 if resources else args.num_reference_samples_if_no_call,
+                snp_prior=args.global_prior_snp, indel_prior=args.global_prior_indel,
+                use_input_samples=not args.ignore_input_samples,
+                use_mleac=not args.default_to_allele_count,
+                ignore_input_for_missing=args.discovered_allele_count_priors_off,
+                flat_indels=args.use_flat_priors_for_indels)
+        v.samples = [v.samples[i] for i in order]
+        w.write(v)
+        n += 1
+    w.close()
+    print(f"wrote {n} records to {args.output}")
+    return 0
