@@ -387,3 +387,98 @@ def variant_recalibrator(argv):
     write_tranches(args.tranches_file, tranches, args.mode)
     print(f"recalibrated {len(data)} variants; {len(tranches)} tranches -> {args.output}")
     return 0
+
+
+@register_tool("FilterVariantTranches")
+def filter_variant_tranches(argv):
+    """Tranche-filter a VCF by an info-key score (e.g. CNN_1D) against truth resources."""
+    from ..io import vcf as vcfio
+
+    p = argparse.ArgumentParser(description="FilterVariantTranches")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--resource", action="append", required=True)
+    p.add_argument("--info-key", default="CNN_1D")
+    p.add_argument("-snp-tranche", "--snp-tranche", type=float, action="append", default=None)
+    p.add_argument("-indel-tranche", "--indel-tranche", type=float, action="append", default=None)
+    p.add_argument("--invalidate-previous-filters", default="false")
+    args = p.parse_args(argv)
+
+    snp_tranches = sorted(set(args.snp_tranche or [99.95]))
+    indel_tranches = sorted(set(args.indel_tranche or [99.4]))
+    info_key = args.info_key
+    remove_old = str(args.invalidate_previous_filters).lower() == "true"
+
+    # resource sites: (contig, pos) -> set of (ref, alt)
+    resource_alleles = {}
+    for path in args.resource:
+        for rv in vcfio.VcfReader(path):
+            s = resource_alleles.setdefault((rv.contig, rv.pos), set())
+            for a in rv.alts:
+                s.add((rv.ref, a))
+
+    reader = vcfio.VcfReader(args.variant)
+    records = list(reader)
+
+    snp_scores, indel_scores = [], []
+    n_snp = n_indel = 0
+    for v in records:
+        if info_key not in v.info:
+            continue
+        score = float(v.info[info_key])
+        if v.is_snp():
+            n_snp += 1
+        elif v.is_indel():
+            n_indel += 1
+        alleles = resource_alleles.get((v.contig, v.pos))
+        if alleles and any((v.ref, a) in alleles for a in v.alts):
+            (snp_scores if v.is_snp() else indel_scores).append(score)
+
+    if n_snp == 0 and n_indel == 0:
+        raise UserError(f"VCF contains no variants with INFO score key \"{info_key}\"")
+    if not snp_scores and not indel_scores:
+        raise UserError("Neither SNP nor indel resource contains variants overlapping input.")
+
+    snp_scores.sort(reverse=True)
+    indel_scores.sort(reverse=True)
+    snp_cutoffs = [snp_scores[int((t / 100.0) * (len(snp_scores) - 1))]
+                   for t in snp_tranches] if snp_scores else []
+    indel_cutoffs = [indel_scores[int((t / 100.0) * (len(indel_scores) - 1))]
+                     for t in indel_tranches] if indel_scores else []
+
+    def tranche_name(kind, t1, t2):
+        return f"{info_key}_{kind}_Tranche_{t1:.2f}_{t2:.2f}"
+
+    def filter_string(kind, score, tranches, cutoffs):
+        for i in range(len(cutoffs)):
+            if score > cutoffs[i] and i > 0:
+                return tranche_name(kind, tranches[i - 1], tranches[i])
+        return tranche_name(kind, tranches[-1], 100.0)
+
+    new_header = ['##FILTER=<ID=PASS,Description="All filters passed">']
+    for kind, tranches in (("SNP", snp_tranches), ("INDEL", indel_tranches)):
+        bounds = tranches + [100.0]
+        for t1, t2 in zip(bounds, bounds[1:]):
+            new_header.append(
+                f'##FILTER=<ID={tranche_name(kind, t1, t2)},Description="{kind} truth'
+                f' resource sensitivity between {t1:.2f} and {t2:.2f} for info key {info_key}">')
+
+    w = vcfio.VcfWriter(args.output, reader.samples,
+                        extra_header_lines=reader.header_lines + new_header,
+                        write_format=bool(reader.samples))
+    n_filtered = 0
+    for v in records:
+        filters = () if remove_old else tuple(f for f in v.filters if f != "PASS")
+        if info_key in v.info:
+            score = float(v.info[info_key])
+            if v.is_snp() and snp_cutoffs and score <= snp_cutoffs[0]:
+                filters = filters + (filter_string("SNP", score, snp_tranches, snp_cutoffs),)
+                n_filtered += 1
+            elif v.is_indel() and indel_cutoffs and score <= indel_cutoffs[0]:
+                filters = filters + (filter_string("INDEL", score, indel_tranches, indel_cutoffs),)
+                n_filtered += 1
+        v.filters = filters if filters else ("PASS",)
+        w.write(v)
+    w.close()
+    print(f"filtered {n_filtered} of {len(records)} variants -> {args.output}")
+    return 0

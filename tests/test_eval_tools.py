@@ -1,0 +1,89 @@
+"""VariantEval + FilterVariantTranches tests on synthetic callsets."""
+import subprocess
+import sys
+
+import numpy as np
+
+
+def _run(tool, args):
+    r = subprocess.run([sys.executable, "-m", "gatk_tpu", tool] + args,
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+
+
+def _write_vcf(path, rows, info_lines=()):
+    with open(path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        for ln in info_lines:
+            fh.write(ln + "\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for r in rows:
+            fh.write("\t".join(str(x) for x in r) + "\n")
+
+
+def test_variant_eval_counts(tmp_path):
+    ev = str(tmp_path / "eval.vcf")
+    db = str(tmp_path / "dbsnp.vcf")
+    # 3 SNPs (2 Ti, 1 Tv), 1 insertion, 1 deletion, 1 filtered
+    _write_vcf(ev, [
+        ("20", 100, ".", "A", "G", 50, "PASS", "."),     # Ti, known
+        ("20", 200, ".", "C", "T", 50, "PASS", "."),     # Ti, novel
+        ("20", 300, ".", "A", "C", 50, "PASS", "."),     # Tv, known (diff alt -> novel!)
+        ("20", 400, ".", "A", "AT", 50, "PASS", "."),    # insertion
+        ("20", 500, ".", "AT", "A", 50, "PASS", "."),    # deletion
+        ("20", 600, ".", "G", "A", 50, "lowqual", "."),  # filtered
+    ])
+    _write_vcf(db, [
+        ("20", 100, ".", "A", "G", 50, "PASS", "."),
+        ("20", 300, ".", "A", "T", 50, "PASS", "."),  # same pos, different alt
+    ])
+    out = str(tmp_path / "report.txt")
+    _run("VariantEval", ["--eval", ev, "-D", db, "-O", out])
+    text = open(out).read()
+    lines = {ln.split()[3]: ln.split() for ln in text.splitlines()
+             if ln.startswith("CountVariants ")}
+    # all: 6 processed, 5 called, 1 filtered, 3 snps, 1 ins, 1 del
+    assert lines["all"][4:11] == ["6", "5", "1", "3", "0", "1", "1"]
+    # known = allele-matching dbsnp sites only (pos 100)
+    assert lines["known"][4:8] == ["1", "1", "0", "1"]
+    titv = {ln.split()[3]: ln.split() for ln in text.splitlines()
+            if ln.startswith("TiTvVariantEvaluator ")}
+    assert titv["all"][4:6] == ["2", "1"]
+    comp = {ln.split()[3]: ln.split() for ln in text.splitlines()
+            if ln.startswith("CompOverlap ")}
+    # pos 100 and 300 overlap comp positions; only 100 concordant
+    assert comp["all"][6] == "2" and comp["all"][8] == "1"
+
+
+def test_filter_variant_tranches(tmp_path):
+    rng = np.random.default_rng(3)
+    rows = []
+    truth_rows = []
+    # 100 SNPs with CNN_1D scores 0..99; truth = top 50 scores
+    for i in range(100):
+        score = float(i)
+        rows.append(("20", 1000 + i, ".", "A", "G", 50, ".", f"CNN_1D={score:.2f}"))
+        if i >= 50:
+            truth_rows.append(("20", 1000 + i, ".", "A", "G", 50, "PASS", "."))
+    inp = str(tmp_path / "in.vcf")
+    res = str(tmp_path / "truth.vcf")
+    _write_vcf(inp, rows, ['##INFO=<ID=CNN_1D,Number=1,Type=Float,Description="score">'])
+    _write_vcf(res, truth_rows)
+    out = str(tmp_path / "out.vcf")
+    _run("FilterVariantTranches", ["-V", inp, "--resource", res,
+                                   "--info-key", "CNN_1D",
+                                   "--snp-tranche", "90.0", "-O", out])
+    statuses = {}
+    for ln in open(out):
+        if ln.startswith("#"):
+            continue
+        f = ln.split("\t")
+        statuses[int(f[1])] = f[6]
+    # 90% sensitivity to truth (scores 50..99): cutoff at ~10th percentile of
+    # truth scores => scores >= ~54 pass
+    n_pass = sum(1 for s in statuses.values() if s == "PASS")
+    assert 40 <= n_pass <= 50
+    name = "CNN_1D_SNP_Tranche_90.00_100.00"
+    assert any(s == name for s in statuses.values())
+    # the highest-scoring variants pass, lowest fail
+    assert statuses[1099] == "PASS" and statuses[1000] == name
