@@ -78,6 +78,7 @@ def _register_builtin_tools():
     from .tools import metrics_tools  # noqa: F401
     from .tools import varianteval_tool  # noqa: F401
     from .tools import dragstr_tools  # noqa: F401
+    from .tools import funcotator_tool  # noqa: F401
     from .tools import variant_tools  # noqa: F401
     from .tools import analysis_tools  # noqa: F401
 

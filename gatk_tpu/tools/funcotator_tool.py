@@ -1,0 +1,113 @@
+"""Funcotator command line tool.
+
+Reference parity: tools/funcotator/Funcotator.java — per-variant functional
+annotation from datasource directories (gencode type), VCF FUNCOTATION INFO
+output and MAF output renderers (vcfOutput/mafOutput packages).
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..cli import UserError, register_tool
+
+FIELDS = ["hugoSymbol", "ncbiBuild", "chromosome", "start", "end",
+          "variantClassification", "secondaryVariantClassification", "variantType",
+          "refAllele", "altAllele", "annotationTranscript", "transcriptStrand",
+          "transcriptExon", "cDnaChange", "codonChange", "proteinChange"]
+
+MAF_COLUMNS = ["Hugo_Symbol", "NCBI_Build", "Chromosome", "Start_Position",
+               "End_Position", "Strand", "Variant_Classification", "Variant_Type",
+               "Reference_Allele", "Tumor_Seq_Allele1", "Tumor_Seq_Allele2",
+               "Annotation_Transcript", "cDNA_Change", "Codon_Change", "Protein_Change"]
+
+# Funcotator VariantClassification -> MAF Variant_Classification
+MAF_CLASSIFICATION = {
+    "MISSENSE": "Missense_Mutation", "NONSENSE": "Nonsense_Mutation",
+    "NONSTOP": "Nonstop_Mutation", "SILENT": "Silent",
+    "SPLICE_SITE": "Splice_Site", "IN_FRAME_DEL": "In_Frame_Del",
+    "IN_FRAME_INS": "In_Frame_Ins", "FRAME_SHIFT_INS": "Frame_Shift_Ins",
+    "FRAME_SHIFT_DEL": "Frame_Shift_Del", "START_CODON_SNP": "Translation_Start_Site",
+    "START_CODON_INS": "Translation_Start_Site", "START_CODON_DEL": "Translation_Start_Site",
+    "FIVE_PRIME_UTR": "5'UTR", "THREE_PRIME_UTR": "3'UTR",
+    "FIVE_PRIME_FLANK": "5'Flank", "INTRON": "Intron", "IGR": "IGR",
+    "RNA": "RNA", "LINCRNA": "lincRNA",
+}
+
+
+@register_tool("Funcotator")
+def funcotator(argv):
+    """Functionally annotate variants (gene, classification, protein change)."""
+    from ..funcotator import gencode as gc
+    from ..io import vcf as vcfio
+
+    p = argparse.ArgumentParser(description="Funcotator")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--data-sources-path", action="append", required=True)
+    p.add_argument("--ref-version", default=None, help="e.g. hg19 / hg38")
+    p.add_argument("--output-file-format", default="VCF", choices=["VCF", "MAF"])
+    p.add_argument("--transcript-selection-mode", default="CANONICAL")
+    args = p.parse_args(argv)
+
+    sources = []
+    for path in args.data_sources_path:
+        sources.append(gc.GencodeDataSource.load(path, args.ref_version))
+    if not sources:
+        raise UserError("no gencode datasource found")
+
+    reader = vcfio.VcfReader(args.variant)
+    records = list(reader)
+
+    annotated = []
+    for v in records:
+        per_alt = []
+        for alt in v.alts:
+            if alt.startswith("<") or alt == "*":
+                per_alt.append(gc.Funcotation(variant_type="NA"))
+                continue
+            best = None
+            for ds in sources:
+                f = gc.classify(v.contig, v.pos + 1, v.ref, alt, ds,
+                                args.transcript_selection_mode)
+                if best is None or gc._severity(f.classification) > gc._severity(best.classification):
+                    best = f
+            per_alt.append(best)
+        annotated.append((v, per_alt))
+
+    build = sources[0].build
+    if args.output_file_format == "VCF":
+        header = reader.header_lines + [
+            '##INFO=<ID=FUNCOTATION,Number=A,Type=String,Description="Functional annotation from the Funcotator tool.  Funcotation fields are: '
+            + "|".join(FIELDS) + '">']
+        w = vcfio.VcfWriter(args.output, reader.samples, extra_header_lines=header,
+                            write_format=bool(reader.samples))
+        for v, per_alt in annotated:
+            values = []
+            for alt, f in zip(v.alts, per_alt):
+                end = v.pos + len(v.ref)
+                vals = [f.hugo_symbol, build, v.contig, str(v.pos + 1), str(end),
+                        f.classification, f.secondary, f.variant_type, v.ref, alt,
+                        f.transcript_id, f.strand, f.exon, f.cdna_change,
+                        f.codon_change, f.protein_change]
+                values.append("[" + "|".join(x.replace("|", "_").replace(",", "_")
+                                             for x in vals) + "]")
+            v.info = dict(v.info)
+            v.info["FUNCOTATION"] = ",".join(values)
+            w.write(v)
+        w.close()
+    else:  # MAF
+        with open(args.output, "w") as fh:
+            fh.write("#version 2.4\n")
+            fh.write("\t".join(MAF_COLUMNS) + "\n")
+            for v, per_alt in annotated:
+                for alt, f in zip(v.alts, per_alt):
+                    end = v.pos + len(v.ref)
+                    fh.write("\t".join([
+                        f.hugo_symbol or "Unknown", build, v.contig.lstrip("chr") or v.contig,
+                        str(v.pos + 1), str(end), "+",
+                        MAF_CLASSIFICATION.get(f.classification, f.classification),
+                        f.variant_type, v.ref, v.ref, alt, f.transcript_id,
+                        f.cdna_change, f.codon_change, f.protein_change]) + "\n")
+    print(f"annotated {len(annotated)} variants -> {args.output}")
+    return 0
