@@ -111,6 +111,9 @@ class BamWriter:
         if not text:
             text = "".join(
                 f"@SQ\tSN:{s.name}\tLN:{s.length}\n" for s in header.sequences
+            ) + "".join(
+                "@RG\t" + "\t".join(f"{k}:{v}" for k, v in rg.items()) + "\n"
+                for rg in header.read_groups
             )
         tb = text.encode()
         head = [b"BAM\x01", struct.pack("<i", len(tb)), tb, struct.pack("<i", len(header.sequences))]
