@@ -80,6 +80,7 @@ def _register_builtin_tools():
     from .tools import dragstr_tools  # noqa: F401
     from .tools import funcotator_tool  # noqa: F401
     from .tools import util_tools  # noqa: F401
+    from .tools import sv_tools  # noqa: F401
     from .tools import variant_tools  # noqa: F401
     from .tools import analysis_tools  # noqa: F401
 

@@ -1,0 +1,354 @@
+"""Structural-variant tools: SVAnnotate + SVCluster.
+
+Reference parity: tools/walkers/sv/SVAnnotateEngine.java (per-type transcript
+consequence rules :184-377 — LOF/COPY_GAIN/TSS_DUP/DUP_PARTIAL/INT_EXON_DUP/
+PARTIAL_EXON_DUP/UTR/INTRONIC/INV_SPAN/BREAKEND_EXONIC/MSV_EXON_OVERLAP,
+promoter windows, intergenic NEAREST_TSS), tools/sv/SVCluster.java +
+tools/sv/cluster/CanonicalSVLinkage.java (single-linkage clustering by type
+with reciprocal-overlap/breakend-window criteria).
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..cli import register_tool
+
+# GATKSVVCFConstants
+LOF = "PREDICTED_LOF"
+INT_EXON_DUP = "PREDICTED_INTRAGENIC_EXON_DUP"
+COPY_GAIN = "PREDICTED_COPY_GAIN"
+DUP_PARTIAL = "PREDICTED_DUP_PARTIAL"
+PARTIAL_EXON_DUP = "PREDICTED_PARTIAL_EXON_DUP"
+INTRONIC = "PREDICTED_INTRONIC"
+INV_SPAN = "PREDICTED_INV_SPAN"
+UTR = "PREDICTED_UTR"
+MSV_EXON_OVERLAP = "PREDICTED_MSV_EXON_OVERLAP"
+PROMOTER = "PREDICTED_PROMOTER"
+BREAKEND_EXON = "PREDICTED_BREAKEND_EXONIC"
+INTERGENIC = "PREDICTED_INTERGENIC"
+NEAREST_TSS = "PREDICTED_NEAREST_TSS"
+TSS_DUP = "PREDICTED_TSS_DUP"
+NONCODING_SPAN = "PREDICTED_NONCODING_SPAN"
+NONCODING_BREAKPOINT = "PREDICTED_NONCODING_BREAKPOINT"
+
+MSV_EXON_OVERLAP_CLASSIFICATIONS = {LOF, INT_EXON_DUP, DUP_PARTIAL, PARTIAL_EXON_DUP, TSS_DUP}
+
+
+def _tss(t):
+    return t.start if t.strand == "+" else t.end
+
+
+def _spans(v_start, v_end, f_start, f_end):
+    return v_start <= f_start and v_end >= f_end
+
+
+def _breakends_inside(v_start, v_end, f_start, f_end):
+    if f_end < v_start or f_start > v_end or _spans(v_start, v_end, f_start, f_end):
+        return 0
+    if f_start <= v_start and f_end >= v_end:
+        return 2
+    return 1
+
+
+def _utr_features(t):
+    """UTR spans derived from exons minus CDS (GTF may lack explicit UTR rows)."""
+    if not t.cds:
+        return []
+    cds_lo = min(s for s, _ in t.cds)
+    cds_hi = max(e for _, e in t.cds)
+    utrs = []
+    for s, e in t.exons:
+        if s < cds_lo:
+            utrs.append((s, min(e, cds_lo - 1)))
+        if e > cds_hi:
+            utrs.append((max(s, cds_hi + 1), e))
+    return [u for u in utrs if u[0] <= u[1]]
+
+
+def _simple_consequence(v_start, v_end, t):
+    for s, e in t.cds:
+        if s <= v_end and e >= v_start:
+            return LOF
+    for s, e in _utr_features(t):
+        if s <= v_end and e >= v_start:
+            return UTR
+    return INTRONIC
+
+
+def annotate_sv_transcript(v_start, v_end, sv_type, t):
+    """Consequence of an SV segment on one protein-coding transcript."""
+    tss = _tss(t)
+    overlaps_tss = v_start <= tss <= v_end
+    if sv_type in ("INS", "CTX_INS"):
+        return _simple_consequence(v_start, v_end, t)
+    if sv_type == "DEL":
+        return LOF if overlaps_tss else _simple_consequence(v_start, v_end, t)
+    if sv_type in ("DUP", "CNV"):
+        if _spans(v_start, v_end, t.start, t.end):
+            cons = COPY_GAIN
+        elif overlaps_tss:
+            cons = TSS_DUP
+        elif not (t.start <= v_start and v_end <= t.end):
+            cons = DUP_PARTIAL
+        else:
+            n_bp_cds = n_bp_utr = n_cds_span = n_utr_span = 0
+            for s, e in t.cds:
+                if e < v_start or s > v_end:
+                    continue
+                if _spans(v_start, v_end, s, e):
+                    n_cds_span += 1
+                else:
+                    n_bp_cds += _breakends_inside(v_start, v_end, s, e)
+            for s, e in _utr_features(t):
+                if e < v_start or s > v_end:
+                    continue
+                if _spans(v_start, v_end, s, e):
+                    n_utr_span += 1
+                else:
+                    n_bp_utr += _breakends_inside(v_start, v_end, s, e)
+            if n_bp_cds == 2 or (n_bp_cds == 1 and n_bp_utr == 1):
+                cons = LOF
+            elif n_bp_cds == 1:
+                cons = PARTIAL_EXON_DUP
+            elif n_cds_span > 0:
+                cons = INT_EXON_DUP
+            elif n_bp_utr > 0 or n_utr_span > 0:
+                cons = UTR
+            else:
+                cons = INTRONIC
+        if sv_type == "CNV" and cons in MSV_EXON_OVERLAP_CLASSIFICATIONS:
+            return MSV_EXON_OVERLAP
+        return cons
+    if sv_type == "INV":
+        if _spans(v_start, v_end, t.start, t.end):
+            return INV_SPAN
+        return LOF if overlaps_tss else _simple_consequence(v_start, v_end, t)
+    if sv_type in ("CTX", "TRA"):
+        return LOF
+    if sv_type == "BND":
+        cons = _simple_consequence(v_start, v_end, t)
+        return BREAKEND_EXON if cons == LOF else cons
+    return _simple_consequence(v_start, v_end, t)
+
+
+@register_tool("SVAnnotate")
+def sv_annotate(argv):
+    """Annotate SV VCF records with predicted functional consequences on genes."""
+    from ..funcotator.gencode import load_gtf
+    from ..io import vcf as vcfio
+
+    p = argparse.ArgumentParser(description="SVAnnotate")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--protein-coding-gtf", required=True)
+    p.add_argument("--non-coding-bed", default=None)
+    p.add_argument("--promoter-window-length", type=int, default=1000)
+    args = p.parse_args(argv)
+
+    transcripts = [t for t in load_gtf(args.protein_coding_gtf).values()
+                   if t.transcript_type in ("", "protein_coding")]
+    by_contig = {}
+    for t in transcripts:
+        by_contig.setdefault(t.contig, []).append(t)
+
+    noncoding = {}
+    if args.non_coding_bed:
+        with open(args.non_coding_bed) as fh:
+            for ln in fh:
+                if not ln.strip() or ln.startswith("#"):
+                    continue
+                f = ln.rstrip("\n").split("\t")
+                noncoding.setdefault(f[0], []).append(
+                    (int(f[1]) + 1, int(f[2]), f[3] if len(f) > 3 else "element"))
+
+    reader = vcfio.VcfReader(args.variant)
+    keys = [LOF, INT_EXON_DUP, COPY_GAIN, DUP_PARTIAL, PARTIAL_EXON_DUP, INTRONIC,
+            INV_SPAN, UTR, MSV_EXON_OVERLAP, PROMOTER, BREAKEND_EXON, TSS_DUP,
+            NONCODING_SPAN, NONCODING_BREAKPOINT, NEAREST_TSS]
+    header = reader.header_lines + [
+        f'##INFO=<ID={k},Number=.,Type=String,Description="SVAnnotate predicted consequence">'
+        for k in keys] + [
+        f'##INFO=<ID={INTERGENIC},Number=0,Type=Flag,Description="SV does not overlap any protein-coding gene">']
+    w = vcfio.VcfWriter(args.output, reader.samples,
+                        extra_header_lines=header, write_format=bool(reader.samples))
+    n = 0
+    for v in reader:
+        sv_type = str(v.info.get("SVTYPE", "BND"))
+        start1 = v.pos + 1
+        end1 = int(v.info.get("END", v.pos + len(v.ref)))
+        if sv_type == "BND":
+            end1 = start1  # breakend point annotation
+        consequences = {}
+        overlapped_genes = set()
+        for t in by_contig.get(v.contig, ()):
+            if t.start <= end1 and t.end >= start1:
+                cons = annotate_sv_transcript(start1, end1, sv_type, t)
+                consequences.setdefault(cons, set()).add(t.gene_name)
+                overlapped_genes.add(t.gene_name)
+        # promoters for transcripts NOT overlapped
+        for t in by_contig.get(v.contig, ()):
+            if t.gene_name in overlapped_genes:
+                continue
+            tss = _tss(t)
+            if t.strand == "+":
+                pw = (max(1, tss - args.promoter_window_length), tss - 1)
+            else:
+                pw = (tss + 1, tss + args.promoter_window_length)
+            if pw[0] <= end1 and pw[1] >= start1:
+                consequences.setdefault(PROMOTER, set()).add(t.gene_name)
+        # noncoding elements
+        for (s, e, name) in noncoding.get(v.contig, ()):
+            if s <= end1 and e >= start1:
+                if _spans(start1, end1, s, e):
+                    consequences.setdefault(NONCODING_SPAN, set()).add(name)
+                else:
+                    consequences.setdefault(NONCODING_BREAKPOINT, set()).add(name)
+        if not any(k not in (NONCODING_SPAN, NONCODING_BREAKPOINT, PROMOTER)
+                   for k in consequences):
+            # intergenic: flag + nearest TSS
+            best = None
+            for t in by_contig.get(v.contig, ()):
+                d = min(abs(_tss(t) - start1), abs(_tss(t) - end1))
+                if best is None or d < best[0]:
+                    best = (d, t.gene_name)
+            info = dict(v.info)
+            info[INTERGENIC] = True
+            if best:
+                info[NEAREST_TSS] = best[1]
+            v.info = info
+        if consequences:
+            info = dict(v.info)
+            for k in sorted(consequences):
+                info[k] = ",".join(sorted(consequences[k]))
+            v.info = info
+        w.write(v)
+        n += 1
+    w.close()
+    print(f"annotated {n} SV records -> {args.output}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# SVCluster (single-linkage clustering, CanonicalSVLinkage defaults)
+# ---------------------------------------------------------------------------
+
+def _sv_overlap_ok(a, b, recip, window, sample_overlap=0.0):
+    """CanonicalSVLinkage clusterTogether: same type+contig, reciprocal overlap
+    and breakend window criteria."""
+    if a["type"] != b["type"] or a["contig"] != b["contig"]:
+        return False
+    if abs(a["start"] - b["start"]) > window or abs(a["end"] - b["end"]) > window:
+        return False
+    lo = max(a["start"], b["start"])
+    hi = min(a["end"], b["end"])
+    inter = max(0, hi - lo + 1)
+    if inter <= 0:
+        return False
+    ro = min(inter / max(a["end"] - a["start"] + 1, 1),
+             inter / max(b["end"] - b["start"] + 1, 1))
+    return ro >= recip
+
+
+@register_tool("SVCluster")
+def sv_cluster(argv):
+    """Cluster structural variants across input VCFs (single linkage)."""
+    from ..io import vcf as vcfio
+
+    p = argparse.ArgumentParser(description="SVCluster")
+    p.add_argument("-V", "--variant", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--ploidy-table", default=None)
+    p.add_argument("--variant-prefix", default="SV_")
+    p.add_argument("--depth-interval-overlap", type=float, default=0.8)
+    p.add_argument("--depth-breakend-window", type=int, default=10000000)
+    p.add_argument("--pesr-interval-overlap", type=float, default=0.5)
+    p.add_argument("--pesr-breakend-window", type=int, default=500)
+    p.add_argument("--algorithm", default="SINGLE_LINKAGE")
+    args = p.parse_args(argv)
+
+    records = []
+    samples = []
+    header_lines = None
+    for path in args.variant:
+        reader = vcfio.VcfReader(path)
+        if header_lines is None:
+            header_lines = reader.header_lines
+        for s in reader.samples:
+            if s not in samples:
+                samples.append(s)
+        for v in reader:
+            records.append(dict(
+                contig=v.contig, start=v.pos + 1,
+                end=int(v.info.get("END", v.pos + len(v.ref))),
+                type=str(v.info.get("SVTYPE", "BND")),
+                algorithms=str(v.info.get("ALGORITHMS", "pesr")),
+                v=v, sample_gts={s: g for s, g in zip(reader.samples, v.samples)}))
+
+    # single-linkage clustering via union-find over candidate pairs
+    records.sort(key=lambda r: (r["contig"], r["start"]))
+    parent = list(range(len(records)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(records)):
+        a = records[i]
+        depth_a = a["algorithms"] == "depth"
+        for j in range(i + 1, len(records)):
+            b = records[j]
+            if b["contig"] != a["contig"] or b["start"] - a["end"] > args.depth_breakend_window:
+                break
+            depth = depth_a and b["algorithms"] == "depth"
+            recip = args.depth_interval_overlap if depth else args.pesr_interval_overlap
+            window = args.depth_breakend_window if depth else args.pesr_breakend_window
+            if _sv_overlap_ok(a, b, recip, window):
+                parent[find(i)] = find(j)
+
+    clusters = {}
+    for i in range(len(records)):
+        clusters.setdefault(find(i), []).append(records[i])
+
+    out = []
+    for idx, (key, members) in enumerate(sorted(
+            clusters.items(), key=lambda kv: (kv[1][0]["contig"], min(m["start"] for m in kv[1])))):
+        # representative: median breakpoints
+        starts = sorted(m["start"] for m in members)
+        ends = sorted(m["end"] for m in members)
+        rep = dict(members[0])
+        start = starts[len(starts) // 2]
+        end = ends[len(ends) // 2]
+        v0 = rep["v"]
+        gts = {}
+        for m in members:
+            for s, g in m["sample_gts"].items():
+                if s not in gts or g.get("GT", "./.") not in ("./.", "."):
+                    gts[s] = g
+        from ..io.vcf import Variant
+
+        info = {"END": str(end), "SVTYPE": rep["type"],
+                "SVLEN": str(end - start + 1 if rep["type"] != "BND" else -1),
+                "ALGORITHMS": ",".join(sorted({m["algorithms"] for m in members})),
+                "MEMBERS": ",".join(m["v"].id for m in members if m["v"].id != ".")}
+        info = {k: v for k, v in info.items() if v}
+        fmt_keys = v0.fmt_keys or ("GT",)
+        out.append(Variant(
+            contig=rep["contig"], pos=start - 1, ref=v0.ref or "N",
+            alts=(f"<{rep['type']}>",), id=f"{args.variant_prefix}{idx}",
+            qual=None, filters=(), info=info, fmt_keys=fmt_keys,
+            samples=[gts.get(s, {"GT": "./."}) for s in samples]))
+
+    extra = [
+        '##INFO=<ID=SVLEN,Number=1,Type=Integer,Description="SV length">',
+        '##INFO=<ID=MEMBERS,Number=.,Type=String,Description="Cluster member variant IDs">',
+        '##INFO=<ID=ALGORITHMS,Number=.,Type=String,Description="Source algorithms">',
+    ]
+    w = vcfio.VcfWriter(args.output, samples,
+                        extra_header_lines=(header_lines or []) + extra)
+    for v in out:
+        w.write(v)
+    w.close()
+    print(f"clustered {len(records)} records into {len(out)} variants -> {args.output}")
+    return 0

@@ -1,0 +1,109 @@
+"""SVAnnotate + SVCluster tests using the reference's unittest GTF and
+hand-constructed SV records (SVAnnotateUnitTest scenarios)."""
+import subprocess
+import sys
+
+from conftest import reference_path
+from gatk_tpu.funcotator.gencode import load_gtf
+from gatk_tpu.tools import sv_tools as svt
+
+GTF = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/walkers/sv/SVAnnotate/unittest.gtf")
+
+
+def _emma1():
+    """EMMA1: + strand, transcript chr1:100-1000, exons (100,200),(300,400),
+    (500,600),(700,800),(900,1000); CDS within."""
+    ts = load_gtf(GTF)
+    return next(t for t in ts.values() if t.gene_name == "EMMA1")
+
+
+def test_annotate_deletion():
+    t = _emma1()
+    # DEL over the TSS -> LOF
+    assert svt.annotate_sv_transcript(50, 150, "DEL", t) == svt.LOF
+    # DEL fully intronic
+    assert svt.annotate_sv_transcript(210, 290, "DEL", t) == svt.INTRONIC
+
+
+def test_annotate_duplication():
+    t = _emma1()
+    # DUP spanning the whole transcript -> COPY_GAIN
+    assert svt.annotate_sv_transcript(50, 1100, "DUP", t) == svt.COPY_GAIN
+    # DUP over the TSS but not spanning -> TSS_DUP
+    assert svt.annotate_sv_transcript(50, 150, "DUP", t) == svt.TSS_DUP
+    # DUP with one end inside, one past the end -> DUP_PARTIAL
+    assert svt.annotate_sv_transcript(950, 1100, "DUP", t) == svt.DUP_PARTIAL
+    # DUP spanning an internal CDS exon with intronic breakpoints -> INT_EXON_DUP
+    assert svt.annotate_sv_transcript(290, 410, "DUP", t) == svt.INT_EXON_DUP
+    # DUP with one breakpoint inside a CDS -> PARTIAL_EXON_DUP
+    assert svt.annotate_sv_transcript(350, 450, "DUP", t) == svt.PARTIAL_EXON_DUP
+    # CNV reclassifies exon-overlap consequences
+    assert svt.annotate_sv_transcript(290, 410, "CNV", t) == svt.MSV_EXON_OVERLAP
+
+
+def test_annotate_inversion_and_bnd():
+    t = _emma1()
+    assert svt.annotate_sv_transcript(50, 1100, "INV", t) == svt.INV_SPAN
+    # breakend in a CDS exon is BREAKEND_EXONIC, not LOF
+    assert svt.annotate_sv_transcript(350, 350, "BND", t) == svt.BREAKEND_EXON
+    assert svt.annotate_sv_transcript(250, 250, "BND", t) == svt.INTRONIC
+    # translocation breaking the gene -> LOF
+    assert svt.annotate_sv_transcript(350, 350, "CTX", t) == svt.LOF
+
+
+def _write_sv_vcf(path, rows):
+    with open(path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write('##INFO=<ID=SVTYPE,Number=1,Type=String,Description="t">\n')
+        fh.write('##INFO=<ID=END,Number=1,Type=Integer,Description="e">\n')
+        fh.write('##INFO=<ID=ALGORITHMS,Number=.,Type=String,Description="a">\n')
+        fh.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">\n')
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n")
+        for r in rows:
+            fh.write("\t".join(str(x) for x in r) + "\n")
+
+
+def test_sv_annotate_cli(tmp_path):
+    vcf = str(tmp_path / "sv.vcf")
+    _write_sv_vcf(vcf, [
+        ("chr1", 50, "del1", "N", "<DEL>", 99, ".", "SVTYPE=DEL;END=150", "GT", "0/1"),
+        ("chr1", 5000, "del2", "N", "<DEL>", 99, ".", "SVTYPE=DEL;END=5100", "GT", "0/1"),
+    ])
+    out = str(tmp_path / "out.vcf")
+    r = subprocess.run([sys.executable, "-m", "gatk_tpu", "SVAnnotate",
+                        "-V", vcf, "--protein-coding-gtf", GTF, "-O", out],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    lines = [ln for ln in open(out) if not ln.startswith("#")]
+    assert "PREDICTED_LOF=EMMA1" in lines[0]
+    assert "PREDICTED_INTERGENIC" in lines[1] and "PREDICTED_NEAREST_TSS=" in lines[1]
+
+
+def test_sv_cluster(tmp_path):
+    a = str(tmp_path / "a.vcf")
+    b = str(tmp_path / "b.vcf")
+    _write_sv_vcf(a, [
+        ("chr1", 1000, "a_del", "N", "<DEL>", 99, ".",
+         "SVTYPE=DEL;END=5000;ALGORITHMS=pesr", "GT", "0/1"),
+        ("chr1", 50000, "a_dup", "N", "<DUP>", 99, ".",
+         "SVTYPE=DUP;END=60000;ALGORITHMS=pesr", "GT", "0/1"),
+    ])
+    _write_sv_vcf(b, [
+        ("chr1", 1100, "b_del", "N", "<DEL>", 99, ".",
+         "SVTYPE=DEL;END=5080;ALGORITHMS=pesr", "GT", "1/1"),
+        ("chr1", 90000, "b_inv", "N", "<INV>", 99, ".",
+         "SVTYPE=INV;END=95000;ALGORITHMS=pesr", "GT", "0/1"),
+    ])
+    out = str(tmp_path / "clustered.vcf")
+    r = subprocess.run([sys.executable, "-m", "gatk_tpu", "SVCluster",
+                        "-V", a, "-V", b, "-O", out],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    lines = [ln.split("\t") for ln in open(out) if not ln.startswith("#")]
+    # the two DELs cluster (same type, close breakpoints, high overlap);
+    # DUP and INV stay separate
+    assert len(lines) == 3
+    types = sorted(ln[4] for ln in lines)
+    assert types == ["<DEL>", "<DUP>", "<INV>"]
+    del_line = next(ln for ln in lines if ln[4] == "<DEL>")
+    assert "a_del" in del_line[7] and "b_del" in del_line[7]
