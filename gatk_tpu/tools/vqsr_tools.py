@@ -482,3 +482,76 @@ def filter_variant_tranches(argv):
     w.close()
     print(f"filtered {n_filtered} of {len(records)} variants -> {args.output}")
     return 0
+
+
+@register_tool("NVScoreVariants")
+def nv_score_variants(argv):
+    """Score variants with a 1D CNN over the reference context + annotations (CNN_1D)."""
+    from ..calling import cnn_score as cnn
+    from ..io import fasta, vcf as vcfio
+
+    p = argparse.ArgumentParser(description="NVScoreVariants")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--model-weights", default=None, help=".npz weights to load")
+    p.add_argument("--truth-vcf", action="append", default=[],
+                   help="truth resource(s); enables on-the-fly training")
+    p.add_argument("--save-model-weights", default=None)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--tensor-type", default="reference", choices=["reference"])
+    args = p.parse_args(argv)
+
+    ref = fasta.FastaReference(args.reference)
+    reader = vcfio.VcfReader(args.variant)
+    records = list(reader)
+    if not records:
+        raise UserError("no variants to score")
+
+    refs = []
+    anns = []
+    is_snp = []
+    for v in records:
+        start = max(0, v.pos - cnn.WINDOW // 2)
+        window = ref.fetch_bytes(v.contig, start, start + cnn.WINDOW).decode()
+        refs.append(cnn.encode_reference(window))
+        anns.append(cnn.encode_annotations(v.info))
+        is_snp.append(v.is_snp())
+    refs = np.stack(refs)
+    anns = np.stack(anns)
+    is_snp = np.array(is_snp)
+
+    if args.model_weights:
+        params = cnn.load_weights(args.model_weights)
+    elif args.truth_vcf:
+        truth = set()
+        for path in args.truth_vcf:
+            for rv in vcfio.VcfReader(path):
+                for a in rv.alts:
+                    truth.add((rv.contig, rv.pos, rv.ref, a))
+        labels = []
+        for v, snp in zip(records, is_snp):
+            good = any((v.contig, v.pos, v.ref, a) in truth for a in v.alts)
+            labels.append((0 if good else 1) if snp else (2 if good else 3))
+        params = cnn.train(cnn.init_params(), refs, anns, np.array(labels),
+                           epochs=args.epochs)
+        if args.save_model_weights:
+            cnn.save_weights(params, args.save_model_weights)
+    else:
+        raise UserError("provide --model-weights or --truth-vcf for training")
+
+    scores = cnn.score(params, refs, anns, is_snp)
+    header = reader.header_lines + [
+        '##INFO=<ID=CNN_1D,Number=1,Type=Float,Description="Log odds of being a true variant versus being false under the trained 1D convolutional neural network">']
+    w = vcfio.VcfWriter(args.output, reader.samples,
+                        extra_header_lines=header, write_format=bool(reader.samples))
+    from ..gvcf.annotations import format_vcf_double
+
+    for v, s in zip(records, scores):
+        info = dict(v.info)
+        info["CNN_1D"] = format_vcf_double(float(s))
+        v.info = {k: info[k] for k in sorted(info)}
+        w.write(v)
+    w.close()
+    print(f"scored {len(records)} variants -> {args.output}")
+    return 0
