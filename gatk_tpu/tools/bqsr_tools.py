@@ -214,3 +214,139 @@ def mark_duplicates_tool(argv):
             fh.write(f"## METRICS\nDUPLICATES\t{n_dup_total}\n")
     print(f"marked {n_dup_total} duplicates")
     return 0
+
+
+@register_tool("GatherBQSRReports")
+def gather_bqsr_reports(argv):
+    """Gather scattered BQSR recalibration tables into one report
+    (RecalibrationReport.gatherReportsOntoOneReport: RecalDatum.combine merges,
+    quantization recomputed from the merged quality histogram)."""
+    import argparse as _ap
+    import gzip as _gzip
+
+    from ..recal.report import (QuantizationInfo, RecalDatum, ReportTable,
+                                java_round, render_report)
+
+    p = _ap.ArgumentParser(description="GatherBQSRReports")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+
+    from ..recal.report import parse_report
+
+    def read_text(path):
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        if raw[:2] == b"\x1f\x8b":
+            raw = _gzip.decompress(raw)
+        return raw.decode()
+
+    reports = [parse_report(read_text(path)) for path in args.input]
+    by_name = [{t[0]: t for t in r} for r in reports]
+
+    args_table = by_name[0]["Arguments"]
+    quantizing_levels = int(dict(args_table[3])["quantizing_levels"])
+
+    # merge RecalTable0 (full RecalDatum.combine semantics)
+    t0 = {}
+    for r in by_name:
+        for row in r["RecalTable0"][3]:
+            rg, ev, emp_q, est_q, obs, err = row
+            d = RecalDatum(int(obs), float(err), float(est_q))
+            key = (rg, ev)
+            if key in t0:
+                t0[key].combine(d)
+            else:
+                t0[key] = d
+
+    # merge RecalTable1/RecalTable2 with RecalDatum.combine: the reported quality
+    # is recomputed from expected errors, whose floating-point noise affects the
+    # truncated prior offset in the empirical-quality MAP (matches GATK exactly)
+    def merge_simple(name, key_idx, obs_idx, err_idx, qual_idx):
+        out = {}
+        for r in by_name:
+            for row in r[name][3]:
+                key = tuple(row[i] for i in key_idx)
+                d = RecalDatum(int(row[obs_idx]), float(row[err_idx]), float(row[qual_idx]))
+                if key in out:
+                    out[key].combine(d)
+                else:
+                    out[key] = d
+        return out
+
+    t1 = merge_simple("RecalTable1", (0, 1, 2), 4, 5, 1)
+    t2 = merge_simple("RecalTable2", (0, 1, 2, 3, 4), 6, 7, 1)
+
+    # quantization histogram from the merged quality-score table
+    hist = [0] * 94
+    for (rg, q, ev), d in t1.items():
+        hist[java_round(d.empirical_quality())] += d.num_observations
+    qi = QuantizationInfo(hist, quantizing_levels)
+
+    # render with the single-run table signatures (byte-faithful writer)
+    arguments = ReportTable("Arguments", args_table[1],
+                            [(c, f) for c, f in args_table[2]])
+    for row in args_table[3]:
+        arguments.add_row(*row)
+
+    rt0 = ReportTable("RecalTable0", "", [
+        ("ReadGroup", "%s"), ("EventType", "%s"), ("EmpiricalQuality", "%.4f"),
+        ("EstimatedQReported", "%.4f"), ("Observations", "%d"), ("Errors", "%.2f")])
+    for (rg, ev), d in sorted(t0.items()):
+        rt0.add_row(rg, ev, d.empirical_quality(), d.reported_quality,
+                    d.num_observations, d.num_mismatches)
+
+    rt1 = ReportTable("RecalTable1", "", [
+        ("ReadGroup", "%s"), ("QualityScore", "%d"), ("EventType", "%s"),
+        ("EmpiricalQuality", "%.4f"), ("Observations", "%d"), ("Errors", "%.2f")])
+    for (rg, q, ev), d in sorted(t1.items(), key=lambda kv: (kv[0][0], int(kv[0][1]), kv[0][2])):
+        rt1.add_row(rg, int(q), ev, d.empirical_quality(), d.num_observations,
+                    d.num_mismatches)
+
+    rt2 = ReportTable("RecalTable2", "", [
+        ("ReadGroup", "%s"), ("QualityScore", "%d"), ("CovariateValue", "%s"),
+        ("CovariateName", "%s"), ("EventType", "%s"), ("EmpiricalQuality", "%.4f"),
+        ("Observations", "%d"), ("Errors", "%.2f")])
+    for (rg, q, cv, cn, ev), d in sorted(
+            t2.items(), key=lambda kv: (kv[0][0], int(kv[0][1]), kv[0][2], kv[0][3], kv[0][4])):
+        rt2.add_row(rg, int(q), cv, cn, ev, d.empirical_quality(),
+                    d.num_observations, d.num_mismatches)
+
+    with open(args.output, "w") as fh:
+        fh.write(render_report([arguments, qi.report_table(), rt0, rt1, rt2]))
+    print(f"gathered {len(args.input)} reports -> {args.output}")
+    return 0
+
+
+@register_tool("GatherTranches")
+def gather_tranches(argv):
+    """Gather scattered tranche files (sums counts per target sensitivity)."""
+    import argparse as _ap
+
+    from ..vqsr.tranches import Tranche, read_tranches, write_tranches
+
+    p = _ap.ArgumentParser(description="GatherTranches")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--mode", default="SNP")
+    args = p.parse_args(argv)
+
+    merged = {}
+    for path in args.input:
+        for t in read_tranches(path):
+            key = t.target_truth_sensitivity
+            if key in merged:
+                m = merged[key]
+                m.num_known += t.num_known
+                m.num_novel += t.num_novel
+                m.accessible_truth_sites += t.accessible_truth_sites
+                m.calls_at_truth_sites += t.calls_at_truth_sites
+                m.min_vqslod = min(m.min_vqslod, t.min_vqslod)
+            else:
+                merged[key] = Tranche(**t.__dict__)
+    for t in merged.values():
+        t.truth_sensitivity = (t.calls_at_truth_sites / t.accessible_truth_sites
+                               if t.accessible_truth_sites else 0.0)
+    write_tranches(args.output, list(merged.values()), args.mode)
+    print(f"gathered {len(args.input)} tranche files -> {args.output}")
+    return 0
