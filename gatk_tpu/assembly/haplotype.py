@@ -43,6 +43,9 @@ class Haplotype:
     is_ref: bool = False
     score: float = 0.0
     kmer_size: int = 0
+    # min branch-edge multiplicity along the k-best path (KBestHaplotype.weakness;
+    # feeds physical phasing's PMW / phase-read counts)
+    weakness: int = 1 << 30
     # alignment vs the padded reference
     cigar_ops: np.ndarray | None = None
     cigar_lens: np.ndarray | None = None

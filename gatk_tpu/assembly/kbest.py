@@ -21,10 +21,14 @@ class _Entry:
     tiebreak: int
     vid: int = field(compare=False)
     path: tuple = field(compare=False)
+    weakness: int = field(compare=False, default=1 << 30)
 
 
 def find_k_best_paths(graph: ReadThreadingGraph, max_paths: int = 128, max_pop: int = 100000):
-    """Return list of (path_vids, score) from ref source to ref sink, best first."""
+    """Return list of (path_vids, score, weakness) from ref source to ref sink,
+    best first. weakness = min branch-edge multiplicity along the path
+    (KBestHaplotype.java:30: only edges leaving vertices with total outgoing
+    multiplicity > 1 count)."""
     src = graph.ref_source()
     sink = graph.ref_sink()
     if src is None or sink is None:
@@ -37,7 +41,7 @@ def find_k_best_paths(graph: ReadThreadingGraph, max_paths: int = 128, max_pop: 
         e = heapq.heappop(heap)
         pops += 1
         if e.vid == sink:
-            results.append((list(e.path), -e.neg_score))
+            results.append((list(e.path), -e.neg_score, e.weakness))
             continue
         out = graph.out_edges[e.vid]
         if not out:
@@ -48,7 +52,8 @@ def find_k_best_paths(graph: ReadThreadingGraph, max_paths: int = 128, max_pop: 
                 continue
             counter += 1
             sc = e.neg_score - (math.log10(edge.multiplicity) - math.log10(total))
-            heapq.heappush(heap, _Entry(sc, counter, tgt, e.path + (tgt,)))
+            wk = e.weakness if total == 1 else min(e.weakness, edge.multiplicity)
+            heapq.heappush(heap, _Entry(sc, counter, tgt, e.path + (tgt,), wk))
     return results
 
 

@@ -74,6 +74,7 @@ def assign_genotype_likelihoods(
         {e.start for h in haplotypes for e in h.events if span_start <= e.start < span_end}
     )
     variants = []
+    call_support = {}  # id(variant) -> frozenset of supporting haplotype ids (phasing)
     for loc in start_positions:
         events_here = []
         seen = set()
@@ -163,27 +164,39 @@ def assign_genotype_likelihoods(
             marginal, alleles, loc, gt_tuple, counts, phred_no_variant,
             n_non_ref := sum(1 for a in gt_tuple if a != 0), af, ploidy)
 
-        variants.append(
-            Variant(
-                contig=contig,
-                pos=loc,
-                ref=longest_ref,
-                alts=tuple(a.alt for a in alleles[1:]),
-                qual=qual,
-                filters=(),
-                info=info,
-                fmt_keys=("GT", "AD", "DP", "GQ", "PL"),
-                samples=[
-                    {
-                        "GT": "/".join(str(a) for a in gt_tuple),
-                        "AD": ",".join(str(int(c)) for c in counts),
-                        "DP": str(dp),
-                        "GQ": str(gq),
-                        "PL": ",".join(str(int(p)) for p in pl),
-                    }
-                ],
-            )
+        v = Variant(
+            contig=contig,
+            pos=loc,
+            ref=longest_ref,
+            alts=tuple(a.alt for a in alleles[1:]),
+            qual=qual,
+            filters=(),
+            info=info,
+            fmt_keys=("GT", "AD", "DP", "GQ", "PL"),
+            samples=[
+                {
+                    "GT": "/".join(str(a) for a in gt_tuple),
+                    "AD": ",".join(str(int(c)) for c in counts),
+                    "DP": str(dp),
+                    "GQ": str(gq),
+                    "PL": ",".join(str(int(p)) for p in pl),
+                }
+            ],
         )
+        variants.append(v)
+        # haplotypes supporting the first site-specific alt (phasing input;
+        # constructHaplotypeMapping)
+        first_alt = next((a for a in alleles[1:] if a.alt != "*" and not a.alt.startswith("<")), None)
+        if first_alt is not None:
+            call_support[id(v)] = frozenset(id(h) for h in allele_map.get(first_alt, ()))
+
+    # physical phasing (AssemblyBasedCallerUtils.phaseCalls)
+    if len(variants) > 1:
+        from . import phasing
+
+        hap_weakness = {id(h): (h.weakness if h.weakness < (1 << 29) else 0)
+                        for h in haplotypes}
+        phasing.phase_calls(variants, call_support, hap_weakness)
     return variants
 
 

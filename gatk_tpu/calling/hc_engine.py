@@ -34,8 +34,11 @@ class HCArgs:
     standard_confidence: float = 30.0
     ploidy: int = 2
     max_reads_per_alignment_start: int = DEFAULT_MAX_READS_PER_START
-    use_pairhmm_device: bool = False  # True => Pallas kernel; False => host f64
     dont_use_soft_clipped_bases: bool = False
+    # AdaptiveChainPruner instead of fixed prune factor
+    # (ReadThreadingAssemblerArgumentCollection --adaptive-pruning; HC default off,
+    # M2 default on). Essential on deep data.
+    adaptive_pruning: bool = False
 
 
 @dataclass
@@ -48,16 +51,33 @@ class AssemblyRegionCall:
 
 
 def positional_downsample(reads, max_per_start: int):
-    """Keep at most max_per_start reads per alignment start (PositionalDownsampler;
-    deterministic first-k selection for now — the reference uses a seeded reservoir)."""
+    """Keep at most max_per_start reads per alignment start via seeded reservoir
+    sampling (PositionalDownsampler.java:23 + ReservoirDownsampler.java:121-126:
+    slot = globalRandom.nextInt(totalSeen), replace when slot < target; the global
+    generator is the java.util.Random(47382911) shared with QD jitter).
+    reads must be coordinate-sorted."""
+    from ..utils.javarandom import get_random_generator
+
+    rng = get_random_generator()
     out = []
-    count = {}
+    cur_key = None
+    reservoir = []
+    seen = 0
     for r in reads:
         key = (r.ref_id, r.pos)
-        c = count.get(key, 0)
-        if c < max_per_start:
-            out.append(r)
-            count[key] = c + 1
+        if key != cur_key:
+            out.extend(reservoir)
+            reservoir = []
+            seen = 0
+            cur_key = key
+        seen += 1
+        if seen <= max_per_start:
+            reservoir.append(r)
+        else:
+            slot = rng.next_int(seen)
+            if slot < max_per_start:
+                reservoir[slot] = r
+    out.extend(reservoir)
     return out
 
 
@@ -168,9 +188,12 @@ class HaplotypeCallerEngine:
         self.sample = sample
         self.args = args or HCArgs()
 
-    def call_interval(self, reads, interval: Interval):
-        """Call variants on one interval; reads must be coordinate-sorted and
-        overlap the interval. Returns (variants, region_summaries)."""
+    def plan_interval(self, reads, interval: Interval):
+        """Phase 0 of the calling pipeline: read filtering/downsampling +
+        active-region detection. Returns (usable_reads, [active region spans]).
+        Shared by the single-device driver and the mesh scheduler
+        (parallel/scheduler.py) so sharded and unsharded runs see identical
+        region boundaries."""
         args = self.args
         contig_len = self.ref.contig_length(interval.contig)
         usable = [
@@ -191,12 +214,7 @@ class HaplotypeCallerEngine:
         smoothed = activity.band_pass(probs, sc_mean, (span_start, contig_len))
         raw_regions = activity.pop_regions(smoothed)
 
-        # phase 1: host assembly + non-blocking PairHMM dispatch per region;
-        # phase 2: fetch each region's likelihoods and genotype. Device compute
-        # for region i overlaps host assembly of regions i+1.. (and hides
-        # remote-device round-trip latency).
-        pending = []
-        summaries = []
+        spans = []
         for rr in raw_regions:
             if not rr.is_active:
                 continue
@@ -205,6 +223,21 @@ class HaplotypeCallerEngine:
             )
             if region_span.end <= interval.start or region_span.start >= interval.end:
                 continue
+            spans.append(region_span)
+        return usable, spans
+
+    def call_interval(self, reads, interval: Interval):
+        """Call variants on one interval; reads must be coordinate-sorted and
+        overlap the interval. Returns (variants, region_summaries)."""
+        usable, spans = self.plan_interval(reads, interval)
+
+        # phase 1: host assembly + non-blocking PairHMM dispatch per region;
+        # phase 2: fetch each region's likelihoods and genotype. Device compute
+        # for region i overlaps host assembly of regions i+1.. (and hides
+        # remote-device round-trip latency).
+        pending = []
+        summaries = []
+        for region_span in spans:
             prep = self.prepare_region(usable, region_span)
             if prep is not None:
                 pending.append(prep)
@@ -219,7 +252,7 @@ class HaplotypeCallerEngine:
         all_variants = [v for v in all_variants if interval.start <= v.pos < interval.end]
         return all_variants, summaries
 
-    def prepare_region(self, reads, span: Interval):
+    def prepare_region(self, reads, span: Interval, device=None):
         """Host-side assembly + non-blocking PairHMM launch for one region."""
         args = self.args
         contig_len = self.ref.contig_length(span.contig)
@@ -230,12 +263,14 @@ class HaplotypeCallerEngine:
             return None
         ref_bases = self.ref.fetch(span.contig, padded.start, padded.end)
         result = assembler.assemble(final_reads, ref_bases, padded.start,
-                                    min_base_qual=args.min_base_quality_score)
+                                    min_base_qual=args.min_base_quality_score,
+                                    adaptive_pruning=args.adaptive_pruning)
         haplotypes = result.haplotypes
         if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
             return None
         prepped = [read_prep.prepare_read_for_pairhmm(r) for r in final_reads]
-        handle = pairhmm_tpu.start_likelihood_matrix(prepped, [h.bases for h in haplotypes])
+        handle = pairhmm_tpu.start_likelihood_matrix(prepped, [h.bases for h in haplotypes],
+                                                     device=device)
         return dict(span=span, padded=padded, final_reads=final_reads, prepped=prepped,
                     haplotypes=haplotypes, ref_bases=ref_bases, handle=handle)
 
@@ -274,7 +309,8 @@ class HaplotypeCallerEngine:
 
         ref_bases = self.ref.fetch(span.contig, padded.start, padded.end)
         result = assembler.assemble(final_reads, ref_bases, padded.start,
-                                    min_base_qual=args.min_base_quality_score)
+                                    min_base_qual=args.min_base_quality_score,
+                                    adaptive_pruning=args.adaptive_pruning)
         haplotypes = result.haplotypes
         summary.n_haplotypes = len(haplotypes)
         if len(haplotypes) <= 1:
@@ -334,7 +370,8 @@ def call_interval_gvcf(engine: "HaplotypeCallerEngine", reads, interval: Interva
             continue
         ref_bases = engine.ref.fetch(interval.contig, padded.start, padded.end)
         result = assembler.assemble(final_reads, ref_bases, padded.start,
-                                    min_base_qual=args.min_base_quality_score)
+                                    min_base_qual=args.min_base_quality_score,
+                                    adaptive_pruning=args.adaptive_pruning)
         haplotypes = result.haplotypes
         if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
             continue

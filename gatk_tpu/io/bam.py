@@ -1,11 +1,14 @@
 """BAM reader/writer (htsjdk BAMFileReader / ReadsPathDataSource equivalent).
 
-Reference behavior: engine/ReadsPathDataSource.java (multi-file merge, interval
-queries); format per the SAM/BAM spec. Pure python+numpy for now; a C++ BGZF+record
-scanner (native/) is the planned fast path for multi-GB inputs.
+Reference behavior: engine/ReadsPathDataSource.java (interval queries via the
+.bai index — htsjdk BAMFileReader.query), format per the SAM/BAM spec. Interval
+queries use the BAI binning+linear index so only overlapping BGZF blocks are
+decompressed (O(overlap), not O(file)); whole-file iteration decompresses the
+stream once via the multithreaded native BGZF codec.
 """
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -13,26 +16,135 @@ import numpy as np
 from . import bgzf, sam
 from .reads import Read, encode_tags, parse_tags
 
+_UNPACK_CORE = struct.Struct("<iiIHHiiii").unpack_from
+
+
+def _parse_record(data, off):
+    """Parse one BAM record at byte offset off; returns (Read, next_offset)."""
+    (block_size,) = struct.unpack_from("<i", data, off)
+    rec_end = off + 4 + block_size
+    (ref_id, pos, l_rn_mapq_bin, n_cigar, flag, l_seq,
+     next_ref, next_pos, tlen) = _UNPACK_CORE(data, off + 4)
+    l_read_name = l_rn_mapq_bin & 0xFF
+    mapq = (l_rn_mapq_bin >> 8) & 0xFF
+    p = off + 4 + 32
+    name = data[p : p + l_read_name - 1].decode()
+    p += l_read_name
+    cigar_raw = np.frombuffer(data, dtype="<u4", count=n_cigar, offset=p)
+    p += 4 * n_cigar
+    n_seq_bytes = (l_seq + 1) // 2
+    seq4 = np.frombuffer(data, dtype=np.uint8, count=n_seq_bytes, offset=p)
+    p += n_seq_bytes
+    quals = np.frombuffer(data, dtype=np.uint8, count=l_seq, offset=p).copy()
+    p += l_seq
+    tags = parse_tags(data[p:rec_end])
+    hi = seq4 >> 4
+    lo = seq4 & 0xF
+    codes = np.empty(n_seq_bytes * 2, np.uint8)
+    codes[0::2] = hi
+    codes[1::2] = lo
+    bases = sam._NT16_TO_CHAR[codes[:l_seq]]
+    read = Read(
+        name=name, flag=flag, ref_id=ref_id, pos=pos, mapq=mapq,
+        cigar_ops=(cigar_raw & 0xF).astype(np.uint8),
+        cigar_lens=(cigar_raw >> 4).astype(np.int32),
+        bases=bases, quals=quals, mate_ref_id=next_ref, mate_pos=next_pos,
+        tlen=tlen, tags=tags,
+    )
+    return read, rec_end
+
+
+class BaiIndex:
+    """BAM binning+linear index (.bai), per the SAM spec section 5.2."""
+
+    MAX_BIN = 37450  # pseudo-bin holding unmapped counts
+
+    def __init__(self, path: str):
+        with open(path, "rb") as fh:
+            data = fh.read()
+        if data[:4] != b"BAI\x01":
+            raise ValueError(f"{path}: not a BAI index")
+        (n_ref,) = struct.unpack_from("<i", data, 4)
+        off = 8
+        self.bins = []  # per ref: dict bin -> [(beg, end) voffset chunks]
+        self.linear = []  # per ref: array of voffsets per 16kb window
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bins = {}
+            for _b in range(n_bin):
+                bin_no, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                chunks = list(
+                    struct.iter_unpack("<QQ", data[off : off + 16 * n_chunk])
+                )
+                off += 16 * n_chunk
+                if bin_no != self.MAX_BIN:
+                    bins[bin_no] = chunks
+            (n_intv,) = struct.unpack_from("<i", data, off)
+            off += 4
+            self.linear.append(np.frombuffer(data, "<u8", n_intv, off))
+            off += 8 * n_intv
+            self.bins.append(bins)
+
+    @staticmethod
+    def reg2bins(beg: int, end: int):
+        """All bin numbers overlapping [beg, end) (SAM spec reg2bins)."""
+        end -= 1
+        bins = [0]
+        for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+            bins.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+        return bins
+
+    def chunks_for(self, ref_id: int, beg: int, end: int):
+        """Merged voffset chunks possibly containing reads overlapping
+        [beg, end), filtered by the linear index (htsjdk BAMIndexContent)."""
+        if ref_id < 0 or ref_id >= len(self.bins):
+            return []
+        bins = self.bins[ref_id]
+        linear = self.linear[ref_id]
+        win = beg >> 14
+        min_offset = int(linear[min(win, len(linear) - 1)]) if len(linear) else 0
+        chunks = []
+        for b in self.reg2bins(beg, end):
+            for cbeg, cend in bins.get(b, ()):
+                if cend > min_offset:
+                    chunks.append((max(cbeg, min_offset), cend))
+        chunks.sort()
+        merged = []
+        for cbeg, cend in chunks:
+            # merge chunks that touch or share a compressed block
+            if merged and (cbeg >> 16) <= (merged[-1][1] >> 16):
+                merged[-1][1] = max(merged[-1][1], cend)
+            else:
+                merged.append([cbeg, cend])
+        return [(b, e) for b, e in merged]
+
 
 class BamReader:
     def __init__(self, path: str):
         self.path = path
-        data = bgzf.decompress_file(path)
-        if data[:4] != b"BAM\x01":
+        self._bgzf = bgzf.BgzfReader(path)
+        self._data = None  # full uncompressed stream (lazy, for iteration)
+        # parse header incrementally from the leading blocks
+        head = self._read_prefix(4 + 4)
+        if head[:4] != b"BAM\x01":
             raise ValueError(f"{path}: not a BAM file")
-        (l_text,) = struct.unpack_from("<i", data, 4)
-        off = 8
-        text = data[off : off + l_text].split(b"\x00", 1)[0].decode()
-        off += l_text
-        (n_ref,) = struct.unpack_from("<i", data, off)
+        (l_text,) = struct.unpack_from("<i", head, 4)
+        head = self._read_prefix(8 + l_text + 4)
+        text = head[8 : 8 + l_text].split(b"\x00", 1)[0].decode()
+        off = 8 + l_text
+        (n_ref,) = struct.unpack_from("<i", head, off)
         off += 4
         names, lengths = [], []
         for _ in range(n_ref):
-            (l_name,) = struct.unpack_from("<i", data, off)
+            head = self._read_prefix(off + 8)
+            (l_name,) = struct.unpack_from("<i", head, off)
+            head = self._read_prefix(off + 8 + l_name)
             off += 4
-            names.append(data[off : off + l_name - 1].decode())
+            names.append(head[off : off + l_name - 1].decode())
             off += l_name
-            (l_ref,) = struct.unpack_from("<i", data, off)
+            (l_ref,) = struct.unpack_from("<i", head, off)
             off += 4
             lengths.append(l_ref)
         self.header = sam.SamHeader.parse(text, names, lengths)
@@ -41,50 +153,50 @@ class BamReader:
                 sam.SequenceRecord(n, l, i) for i, (n, l) in enumerate(zip(names, lengths))
             ]
             self.header._name_to_index = {s.name: s.index for s in self.header.sequences}
-        self._data = data
         self._records_start = off
+        self._prefix = head
+        self._index = None
+        self._index_checked = False
+
+    def _read_prefix(self, n: int) -> bytes:
+        """At least n uncompressed leading bytes (block-incremental)."""
+        if getattr(self, "_prefix", None) is not None and len(self._prefix) >= n:
+            return self._prefix
+        buf = bytearray()
+        coff = 0
+        while len(buf) < n and coff < len(self._bgzf._data):
+            buf.extend(self._bgzf._block_at(coff))
+            coff = self._bgzf._cache_next
+        self._prefix = bytes(buf)
+        return self._prefix
+
+    @property
+    def index(self) -> BaiIndex | None:
+        if not self._index_checked:
+            self._index_checked = True
+            for cand in (self.path + ".bai", os.path.splitext(self.path)[0] + ".bai"):
+                if os.path.exists(cand):
+                    self._index = BaiIndex(cand)
+                    break
+        return self._index
+
+    def _full_data(self) -> bytes:
+        if self._data is None:
+            self._data = bgzf.decompress_file(self.path)
+        return self._data
 
     def __iter__(self):
-        data = self._data
+        data = self._full_data()
         off = self._records_start
         n = len(data)
-        unpack_core = struct.Struct("<iiIHHiiii").unpack_from
         while off < n:
-            (block_size,) = struct.unpack_from("<i", data, off)
-            rec_end = off + 4 + block_size
-            (ref_id, pos, l_rn_mapq_bin, n_cigar, flag, l_seq,
-             next_ref, next_pos, tlen) = unpack_core(data, off + 4)
-            l_read_name = l_rn_mapq_bin & 0xFF
-            mapq = (l_rn_mapq_bin >> 8) & 0xFF
-            p = off + 4 + 32
-            name = data[p : p + l_read_name - 1].decode()
-            p += l_read_name
-            cigar_raw = np.frombuffer(data, dtype="<u4", count=n_cigar, offset=p)
-            p += 4 * n_cigar
-            n_seq_bytes = (l_seq + 1) // 2
-            seq4 = np.frombuffer(data, dtype=np.uint8, count=n_seq_bytes, offset=p)
-            p += n_seq_bytes
-            quals = np.frombuffer(data, dtype=np.uint8, count=l_seq, offset=p).copy()
-            p += l_seq
-            tags = parse_tags(data[p:rec_end])
-            # unpack 4-bit bases -> ASCII
-            hi = seq4 >> 4
-            lo = seq4 & 0xF
-            codes = np.empty(n_seq_bytes * 2, np.uint8)
-            codes[0::2] = hi
-            codes[1::2] = lo
-            bases = sam._NT16_TO_CHAR[codes[:l_seq]]
-            yield Read(
-                name=name, flag=flag, ref_id=ref_id, pos=pos, mapq=mapq,
-                cigar_ops=(cigar_raw & 0xF).astype(np.uint8),
-                cigar_lens=(cigar_raw >> 4).astype(np.int32),
-                bases=bases, quals=quals, mate_ref_id=next_ref, mate_pos=next_pos,
-                tlen=tlen, tags=tags,
-            )
-            off = rec_end
+            read, off = _parse_record(data, off)
+            yield read
 
     def query(self, contig: str | None = None, start: int = 0, end: int | None = None):
-        """Reads overlapping [start, end) on contig (0-based); whole file if no contig.
+        """Reads overlapping [start, end) on contig (0-based); whole file if no
+        contig. Uses the .bai index when present (only overlapping BGZF blocks
+        are read); falls back to a full scan otherwise.
 
         Unmapped-with-mapped-mate reads placed in the interval are included (they
         carry a position); fully unmapped reads only appear in whole-file iteration.
@@ -95,6 +207,19 @@ class BamReader:
         rid = self.header.sequence_index(contig)
         if end is None:
             end = self.header.sequences[rid].length
+        idx = self.index
+        if idx is not None and self._data is None:
+            for chunk_beg, chunk_end in idx.chunks_for(rid, start, end):
+                buf = self._bgzf.read_range(chunk_beg, chunk_end)
+                off = 0
+                n = len(buf)
+                while off + 4 <= n:
+                    read, off = _parse_record(buf, off)
+                    if read.ref_id != rid or read.pos >= end:
+                        continue
+                    if read.is_unmapped or read.end > start:
+                        yield read
+            return
         for r in self:
             if r.ref_id != rid:
                 continue

@@ -122,10 +122,12 @@ class BgzfReader:
             self._data = fh.read()
         self._cache_coffset = -1
         self._cache_block = b""
+        self.blocks_read = 0  # decompressed-block count (index-efficiency tests)
 
     def _block_at(self, coffset: int) -> bytes:
         if coffset == self._cache_coffset:
             return self._cache_block
+        self.blocks_read += 1
         data = self._data
         bsize = _read_block_size(data, coffset)
         xlen = struct.unpack_from("<H", data, coffset + 10)[0]

@@ -43,6 +43,9 @@ class M2Args:
     pcr_snv_qual: int = 40
     max_mnp_distance: int = 1
     callable_depth: int = 10
+    # M2 uses adaptive pruning by default
+    # (MutectReadThreadingAssemblerArgumentCollection.java)
+    adaptive_pruning: bool = True
 
     def __post_init__(self):
         if self.mitochondria_mode:
@@ -131,6 +134,25 @@ class Mutect2Engine:
             all_variants.extend(self.call_region(usable, region_span, sample_of_read))
         return [v for v in all_variants if interval.start <= v.pos < interval.end]
 
+    def count_callable_sites(self, reads, interval: Interval) -> int:
+        """Sites in the interval with filtered depth >= callable_depth
+        (Mutect2Engine pileup-visit counting; feeds the .stats 'callable' row)."""
+        import numpy as np
+
+        from ..io import sam
+
+        depth = np.zeros(interval.end - interval.start + 1, np.int64)
+        for r in reads:
+            if not m2_read_filter(r):
+                continue
+            s = max(r.pos, interval.start)
+            e = min(r.pos + sam.cigar_ref_length(r.cigar_ops, r.cigar_lens), interval.end)
+            if s < e:
+                depth[s - interval.start] += 1
+                depth[e - interval.start] -= 1
+        cov = np.cumsum(depth[:-1])
+        return int((cov >= self.args.callable_depth).sum())
+
     # ---------------- region calling ----------------
 
     def call_region(self, reads, span: Interval, sample_of_read=None):
@@ -145,7 +167,8 @@ class Mutect2Engine:
 
         ref_bases = self.ref.fetch(span.contig, padded.start, padded.end)
         result = assembler.assemble(final_reads, ref_bases, padded.start,
-                                    min_base_qual=args.min_base_quality_score)
+                                    min_base_qual=args.min_base_quality_score,
+                                    adaptive_pruning=args.adaptive_pruning)
         haplotypes = result.haplotypes
         if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
             return []

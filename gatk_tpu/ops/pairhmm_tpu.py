@@ -291,6 +291,308 @@ def _pairhmm_matrix_call(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax, int
     )(rbase, rq, iq, dq, gcp, e, rlen, hlen)
 
 
+def _pairhmm_kernel_v2(
+    # inputs (Rp, B) i32 / (He, B) i32 / (1, B) i32
+    rbase_ref, rq_ref, iq_ref, dq_ref, gcp_ref, e_ref, rlen_ref, hlen_ref,
+    # output (1, B) f32
+    out_ref,
+    # scratch: M x2 slots, X x2, Y x2, tables x8, acc
+    m0_ref, m1_ref, x0_ref, x1_ref, y0s_ref, y1s_ref,
+    tmm_ref, tim_ref, tmi_ref, tii_ref, tmd_ref, tdd_ref, peq_ref, pne_ref,
+    acc_ref,
+    *, rp: int, hmax: int,
+):
+    """Optimized wavefront: boundary conditions baked into the transition tables
+    and a masked ramp phase / maskless steady phase loop split.
+
+    Baking rules (vs the straightforward _pairhmm_kernel):
+      * row 0 is the DP boundary row: peq/pne row0 = 0 (=> M row0 = 0),
+        tmi/tii row0 = 0 (=> X row0 = 0), tmd row0 = 0 and tdd row0 = 1
+        (=> Y row0 carries its initial 2^s/hapLen value forward unchanged) —
+        no per-diagonal boundary selects.
+      * rows where the read base is N: pne = peq (prior is always "match"),
+        so the prior select needs only (rbase == w). Haplotypes are assumed
+        N-free (guaranteed by assembly; pack_haps asserts) — GKL makes the
+        same fast-path assumption.
+      * the triangle masks (j >= 1) are only needed while d < rp (the ramp);
+        for d >= rp every row is inside the valid band, so the steady loop
+        runs with no masks at all. Tail garbage (j > hapLen) decays and is
+        never read by valid cells (dependencies flow from smaller j) and is
+        masked out of the final-row accumulator.
+    """
+    B = out_ref.shape[1]
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (rp, B), 0)
+
+    neg_ln10_over_10 = jnp.float32(-LN10 / 10.0)
+    e_ins = jnp.exp(iq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_del = jnp.exp(dq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_gcp = jnp.exp(gcp_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_base = jnp.exp(rq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+
+    rlen = rlen_ref[0, :][None, :]
+    pad = iota_i > rlen  # padded read rows; row 0 is the boundary row
+    row0 = iota_i == 0
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+    tmm_ref[:] = jnp.where(pad, zero, one - jnp.minimum(one, e_ins + e_del))
+    tim_ref[:] = jnp.where(pad, zero, one - e_gcp)
+    tmi_ref[:] = jnp.where(pad | row0, jnp.where(row0, zero, one), e_ins)
+    tii_ref[:] = jnp.where(pad | row0, jnp.where(row0, zero, one), e_gcp)
+    tmd_ref[:] = jnp.where(pad | row0, zero, e_del)
+    tdd_ref[:] = jnp.where(row0, one, jnp.where(pad, zero, e_gcp))
+    rbase = rbase_ref[:]
+    peq = jnp.where(pad | row0, zero, one - e_base)
+    peq_ref[:] = peq
+    pne_ref[:] = jnp.where(
+        rbase == N_BASE, peq,
+        jnp.where(pad | row0, zero, e_base * jnp.float32(1.0 / TRISTATE_CORRECTION)),
+    )
+
+    hlen_f = hlen_ref[0, :].astype(jnp.float32)[None, :]
+    y0 = jnp.float32(2.0**INIT_LOG2) / hlen_f  # (1, B)
+    y0_full = jnp.where(row0, jnp.broadcast_to(y0, (rp, B)), zero)
+    m0_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    m1_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    x0_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    x1_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    y0s_ref[:] = y0_full  # diagonal 0: boundary column value at row 0
+    y1s_ref[:] = y0_full  # "diagonal -1": row 0 must also carry the boundary
+    acc_ref[:] = jnp.zeros((1, B), jnp.float32)
+
+    hlen_row = hlen_ref[0, :][None, :]
+    last = rp - 1
+    num_d = rp - 1 + hmax
+
+    def one_diag(d, md2, xd2, yd2, md1, xd1, yd1, masked):
+        # clamp handles the final unrolled half-step when num_d is odd (its
+        # accumulator contribution is masked by j_here <= hlen)
+        start = jnp.maximum(hmax + rp - 1 - d, 0)
+        w = e_ref[pl.ds(start, rp), :]
+        prior = jnp.where(rbase == w, peq_ref[:], pne_ref[:])
+        m_new = prior * (tmm_ref[:] * _roll1(md2) + tim_ref[:] * _roll1(xd2 + yd2))
+        x_new = tmi_ref[:] * _roll1(md1) + tii_ref[:] * _roll1(xd1)
+        y_new = tmd_ref[:] * md1 + tdd_ref[:] * yd1
+        if masked:
+            jvalid = iota_i <= (d - 1)
+            interior = jvalid & ~row0
+            m_new = jnp.where(interior, m_new, zero)
+            x_new = jnp.where(interior, x_new, zero)
+            y_new = jnp.where(row0, jnp.broadcast_to(y0, (rp, B)),
+                              jnp.where(jvalid, y_new, zero))
+        j_here = d - last
+        c = m_new[last, :][None, :] + x_new[last, :][None, :]
+        valid_c = (j_here >= 1) & (j_here <= hlen_row)
+        acc_ref[:] = acc_ref[:] + jnp.where(valid_c, c, zero)
+        return m_new, x_new, y_new
+
+    def make_body(masked):
+        def body(t, _):
+            d = 2 * t + 1
+            # even diagonals in slot 0, odd in slot 1 (static indices)
+            m_a, x_a, y_a = one_diag(d, m1_ref[:], x1_ref[:], y1s_ref[:],
+                                     m0_ref[:], x0_ref[:], y0s_ref[:], masked)
+            m1_ref[:] = m_a
+            x1_ref[:] = x_a
+            y1s_ref[:] = y_a
+            m_b, x_b, y_b = one_diag(d + 1, m0_ref[:], x0_ref[:], y0s_ref[:],
+                                     m_a, x_a, y_a, masked)
+            m0_ref[:] = m_b
+            x0_ref[:] = x_b
+            y0s_ref[:] = y_b
+            return 0
+        return body
+
+    # ramp: diagonals 1..ramp_end (masked); steady: ramp_end+1..num_d (maskless).
+    # Bounds are static; both phases process two diagonals per step.
+    ramp_steps = (rp + 1) // 2  # covers d in 1..2*ramp_steps >= rp
+    jax.lax.fori_loop(0, ramp_steps, make_body(True), 0)
+    total_steps = (num_d + 1) // 2
+    jax.lax.fori_loop(ramp_steps, total_steps, make_body(False), 0)
+    acc = acc_ref[:]
+    out_ref[:] = jnp.where(
+        acc > 0,
+        (jnp.log(acc) - jnp.float32(INIT_LOG2 * LN2)) * jnp.float32(1.0 / LN10),
+        jnp.float32(NEG_INF),
+    )
+
+
+def _pairhmm_kernel_v4(
+    rbase_ref, rq_ref, iq_ref, dq_ref, gcp_ref, e_ref, rlen_ref, hlen_ref,
+    out_ref,
+    m0_ref, m1_ref, x0_ref, x1_ref, y0s_ref, y1s_ref,
+    tmm_ref, tim_ref, tmi_ref, tii_ref, tmd_ref, tdd_ref, peq_ref, pne_ref,
+    acc_ref,
+    *, rp: int, hmax: int, halves: int,
+):
+    """Latency-hiding variant: the block carries `halves` independent 128-lane
+    sub-problems whose per-diagonal dependency chains are interleaved by the
+    instruction scheduler (the wavefront recurrence is a serial chain of ~6
+    dependent vector ops per diagonal; one 128-lane chain leaves the VPU mostly
+    idle). All loads/stores stay 128 lanes wide (Mosaic's alignment-friendly
+    width); only the scheduling interleaves."""
+    B = out_ref.shape[1]
+    L = B // halves
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (rp, B), 0)
+
+    neg_ln10_over_10 = jnp.float32(-LN10 / 10.0)
+    e_ins = jnp.exp(iq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_del = jnp.exp(dq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_gcp = jnp.exp(gcp_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_base = jnp.exp(rq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+
+    rlen = rlen_ref[0, :][None, :]
+    pad = iota_i > rlen
+    row0 = iota_i == 0
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+    tmm_ref[:] = jnp.where(pad, zero, one - jnp.minimum(one, e_ins + e_del))
+    tim_ref[:] = jnp.where(pad, zero, one - e_gcp)
+    tmi_ref[:] = jnp.where(pad | row0, jnp.where(row0, zero, one), e_ins)
+    tii_ref[:] = jnp.where(pad | row0, jnp.where(row0, zero, one), e_gcp)
+    tmd_ref[:] = jnp.where(pad | row0, zero, e_del)
+    tdd_ref[:] = jnp.where(row0, one, jnp.where(pad, zero, e_gcp))
+    rbase_all = rbase_ref[:]
+    peq = jnp.where(pad | row0, zero, one - e_base)
+    peq_ref[:] = peq
+    pne_ref[:] = jnp.where(
+        rbase_all == N_BASE, peq,
+        jnp.where(pad | row0, zero, e_base * jnp.float32(1.0 / TRISTATE_CORRECTION)),
+    )
+
+    hlen_f = hlen_ref[0, :].astype(jnp.float32)[None, :]
+    y0 = jnp.float32(2.0**INIT_LOG2) / hlen_f
+    y0_full = jnp.where(row0, jnp.broadcast_to(y0, (rp, B)), zero)
+    m0_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    m1_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    x0_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    x1_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    y0s_ref[:] = y0_full
+    y1s_ref[:] = y0_full
+    acc_ref[:] = jnp.zeros((1, B), jnp.float32)
+
+    hlen_row = hlen_ref[0, :][None, :]
+    last = rp - 1
+    num_d = rp - 1 + hmax
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (rp, L), 0)
+
+    def one_diag_half(d, h, md2, xd2, yd2, md1, xd1, yd1, masked):
+        lo = h * L
+        start = jnp.maximum(hmax + rp - 1 - d, 0)
+        w = e_ref[pl.ds(start, rp), pl.ds(lo, L)]
+        rbase = rbase_ref[:, pl.ds(lo, L)]
+        prior = jnp.where(rbase == w, peq_ref[:, pl.ds(lo, L)], pne_ref[:, pl.ds(lo, L)])
+        m_new = prior * (tmm_ref[:, pl.ds(lo, L)] * _roll1(md2)
+                         + tim_ref[:, pl.ds(lo, L)] * _roll1(xd2 + yd2))
+        x_new = (tmi_ref[:, pl.ds(lo, L)] * _roll1(md1)
+                 + tii_ref[:, pl.ds(lo, L)] * _roll1(xd1))
+        y_new = tmd_ref[:, pl.ds(lo, L)] * md1 + tdd_ref[:, pl.ds(lo, L)] * yd1
+        if masked:
+            jvalid = iota_sub <= (d - 1)
+            interior = jvalid & (iota_sub > 0)
+            m_new = jnp.where(interior, m_new, zero)
+            x_new = jnp.where(interior, x_new, zero)
+            y_row0 = jnp.broadcast_to(y0[:, pl.ds(lo, L)], (rp, L))
+            y_new = jnp.where(iota_sub == 0, y_row0, jnp.where(jvalid, y_new, zero))
+        j_here = d - last
+        c = m_new[last, :][None, :] + x_new[last, :][None, :]
+        valid_c = (j_here >= 1) & (j_here <= hlen_row[:, pl.ds(lo, L)])
+        acc_ref[:, pl.ds(lo, L)] = acc_ref[:, pl.ds(lo, L)] + jnp.where(valid_c, c, zero)
+        return m_new, x_new, y_new
+
+    def make_body(masked):
+        def body(t, _):
+            d = 2 * t + 1
+            for h in range(halves):
+                lo = h * L
+                sl = (slice(None), pl.ds(lo, L))
+                m_a, x_a, y_a = one_diag_half(
+                    d, h, m1_ref[sl], x1_ref[sl], y1s_ref[sl],
+                    m0_ref[sl], x0_ref[sl], y0s_ref[sl], masked)
+                m1_ref[sl] = m_a
+                x1_ref[sl] = x_a
+                y1s_ref[sl] = y_a
+                m_b, x_b, y_b = one_diag_half(
+                    d + 1, h, m0_ref[sl], x0_ref[sl], y0s_ref[sl],
+                    m_a, x_a, y_a, masked)
+                m0_ref[sl] = m_b
+                x0_ref[sl] = x_b
+                y0s_ref[sl] = y_b
+            return 0
+        return body
+
+    ramp_steps = (rp + 1) // 2
+    jax.lax.fori_loop(0, ramp_steps, make_body(True), 0)
+    total_steps = (num_d + 1) // 2
+    jax.lax.fori_loop(ramp_steps, total_steps, make_body(False), 0)
+    acc = acc_ref[:]
+    out_ref[:] = jnp.where(
+        acc > 0,
+        (jnp.log(acc) - jnp.float32(INIT_LOG2 * LN2)) * jnp.float32(1.0 / LN10),
+        jnp.float32(NEG_INF),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rp", "hmax", "lanes", "interpret"))
+def _pairhmm_call_v4(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax,
+                     lanes=256, interpret=False):
+    """Pair-wise kernel with `lanes // 128` interleaved independent chains."""
+    n = rbase.shape[1]
+    lanes = min(lanes, n)
+    halves = max(lanes // LANES, 1)
+    grid = n // lanes
+    he = e.shape[0]
+    row_spec = pl.BlockSpec((rp, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((he, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((1, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_pairhmm_kernel_v4, rp=rp, hmax=hmax, halves=halves)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[row_spec] * 5 + [e_spec, len_spec, len_spec],
+        out_specs=pl.BlockSpec((1, lanes), lambda g: (0, g), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rp, lanes), jnp.float32)] * 6
+        + [pltpu.VMEM((rp, lanes), jnp.float32)] * 8
+        + [pltpu.VMEM((1, lanes), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=grid * (rp - 1 + hmax) * rp * lanes * 14,
+            bytes_accessed=(5 * rp + he + 3) * n * 4,
+            transcendentals=grid * (rp - 1 + hmax) * lanes * 2,
+        ),
+        interpret=interpret,
+    )(rbase, rq, iq, dq, gcp, e, rlen, hlen)
+
+
+@functools.partial(jax.jit, static_argnames=("rp", "hmax", "lanes", "interpret"))
+def _pairhmm_call_v2(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax,
+                     lanes=512, interpret=False):
+    """Optimized pair-wise kernel: wide lane blocks + 2x-unrolled wavefront."""
+    n = rbase.shape[1]
+    lanes = min(lanes, n)
+    grid = n // lanes
+    he = e.shape[0]
+    row_spec = pl.BlockSpec((rp, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((he, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((1, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_pairhmm_kernel_v2, rp=rp, hmax=hmax)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[row_spec] * 5 + [e_spec, len_spec, len_spec],
+        out_specs=pl.BlockSpec((1, lanes), lambda g: (0, g), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rp, lanes), jnp.float32)] * 6
+        + [pltpu.VMEM((rp, lanes), jnp.float32)] * 8
+        + [pltpu.VMEM((1, lanes), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=grid * (rp - 1 + hmax) * rp * lanes * 14,
+            bytes_accessed=(5 * rp + he + 3) * n * 4,
+            transcendentals=grid * (rp - 1 + hmax) * lanes * 2,
+        ),
+        interpret=interpret,
+    )(rbase, rq, iq, dq, gcp, e, rlen, hlen)
+
+
 @functools.partial(jax.jit, static_argnames=("rp", "hmax", "interpret"))
 def _pairhmm_call(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax, interpret=False):
     n = rbase.shape[1]
@@ -320,6 +622,85 @@ def _pairhmm_call(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax, interpret=
         ),
         interpret=interpret,
     )(rbase, rq, iq, dq, gcp, e, rlen, hlen)
+
+
+@functools.partial(jax.jit, static_argnames=("rp", "hmax"))
+def _pairhmm_scan_call(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax):
+    """Cartesian PairHMM as a pure-jnp lax.scan wavefront (no Pallas).
+
+    Same packed layout and semantics as _pairhmm_matrix_call: reads (rp, NR) i32,
+    haps e (He, NH) i32, rlen (1, NR), hlen (1, NH) -> (NH, NR) f32 log10.
+    Used as the compiled fallback on CPU backends (where Pallas interpret mode is
+    orders of magnitude slower) and as a cross-backend consistency oracle for the
+    Pallas kernel (the VectorPairHMMUnitTest.java:100 pattern).
+    """
+    nr = rbase.shape[1]
+    nh = e.shape[1]
+    f32 = jnp.float32
+    neg = f32(-LN10 / 10.0)
+    e_ins = jnp.exp(iq.astype(f32) * neg)
+    e_del = jnp.exp(dq.astype(f32) * neg)
+    e_gcp = jnp.exp(gcp.astype(f32) * neg)
+    e_base = jnp.exp(rq.astype(f32) * neg)
+
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (rp, 1, 1), 0)
+    pad = iota_i > rlen[0][None, None, :]  # (rp, 1, NR)
+    zero, one = f32(0.0), f32(1.0)
+
+    def rd(x):  # (rp, NR) -> (rp, 1, NR)
+        return x[:, None, :]
+
+    tmm = jnp.where(pad, zero, rd(one - jnp.minimum(one, e_ins + e_del)))
+    tim = jnp.where(pad, zero, rd(one - e_gcp))
+    tmi = jnp.where(pad, one, rd(e_ins))
+    tii = jnp.where(pad, one, rd(e_gcp))
+    tmd = jnp.where(pad, zero, rd(e_del))
+    tdd = jnp.where(pad, zero, rd(e_gcp))
+    peq = jnp.where(pad, zero, rd(one - e_base))
+    pne = jnp.where(pad, zero, rd(e_base * f32(1.0 / TRISTATE_CORRECTION)))
+    rbase3 = rd(rbase)
+
+    hlen_h = hlen[0]  # (NH,)
+    y0 = jnp.where(hlen_h > 0, f32(2.0**INIT_LOG2) / jnp.maximum(hlen_h, 1).astype(f32), zero)
+    y0_full = jnp.where(iota_i == 0, y0[None, :, None], zero)  # (rp, NH, 1) broadcast rows
+
+    shape = (rp, nh, nr)
+    zeros = jnp.zeros(shape, f32)
+    y_d0 = jnp.broadcast_to(y0_full, shape)
+    last = rp - 1
+    num_d = rp - 1 + hmax
+
+    def roll1(x):
+        return jnp.roll(x, 1, axis=0)
+
+    def body(carry, d):
+        m1, x1, y1, m2, x2, y2, acc = carry
+        start = hmax + rp - 1 - d
+        w = jax.lax.dynamic_slice(e, (start, 0), (rp, nh))[:, :, None]  # (rp, NH, 1)
+        prior = jnp.where((rbase3 == w) | (rbase3 == N_BASE) | (w == N_BASE), peq, pne)
+        m_new = prior * (tmm * roll1(m2) + tim * (roll1(x2) + roll1(y2)))
+        x_new = tmi * roll1(m1) + tii * roll1(x1)
+        y_new = tmd * m1 + tdd * y1
+        jvalid = iota_i <= (d - 1)
+        interior = jvalid & (iota_i > 0)
+        m_new = jnp.where(interior, m_new, zero)
+        x_new = jnp.where(interior, x_new, zero)
+        y_new = jnp.where(iota_i == 0, y0_full, jnp.where(jvalid, y_new, zero))
+        j_here = d - last
+        c = m_new[last] + x_new[last]  # (NH, NR)
+        valid_c = (j_here >= 1) & (j_here <= hlen_h)[:, None]
+        acc = acc + jnp.where(valid_c, c, zero)
+        return (m_new, x_new, y_new, m1, x1, y1, acc), None
+
+    init = (zeros, zeros, y_d0, zeros, zeros, zeros, jnp.zeros((nh, nr), f32))
+    (m1, x1, y1, m2, x2, y2, acc), _ = jax.lax.scan(
+        body, init, jnp.arange(1, num_d + 1, dtype=jnp.int32)
+    )
+    return jnp.where(
+        acc > 0,
+        (jnp.log(jnp.maximum(acc, 1e-44)) - f32(INIT_LOG2 * LN2)) * f32(1.0 / LN10),
+        f32(NEG_INF),
+    )
 
 
 def _round_up(x, m):
@@ -471,20 +852,65 @@ def pack_haps(haps, rp, hmax=None):
     return e, hlen, hmax
 
 
-def start_likelihood_matrix(reads, haps, interpret=None):
+# chunk sizes for the scan fallback: bound VMEM-equivalent host memory
+# (rp * NH_CHUNK * NR_CHUNK f32 state x 7 carries) and the compile-shape ladder.
+SCAN_NR_CHUNK = 512
+SCAN_NH_CHUNK = 16
+
+
+class _ScanChunks:
+    """Lazy handle over chunked scan-path dispatches (duck-types device arrays
+    enough for finish_likelihood_matrix)."""
+
+    def __init__(self, parts, nh, nr):
+        self.parts = parts  # list of (h0, r0, array)
+        self.nh = nh
+        self.nr = nr
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.full((self.nh, self.nr), NEG_INF, np.float32)
+        for h0, r0, arr in self.parts:
+            a = np.asarray(arr)
+            out[h0 : h0 + a.shape[0], r0 : r0 + a.shape[1]] = a
+        return out.astype(dtype) if dtype is not None else out
+
+
+def _scan_chunked(packed, e, hlen, rp, hmax, device=None):
+    nr = packed["rbase"].shape[1]
+    nh = e.shape[1]
+    parts = []
+    put = (lambda a: jax.device_put(a, device)) if device is not None else (lambda a: a)
+    for h0 in range(0, nh, SCAN_NH_CHUNK):
+        h1 = min(h0 + SCAN_NH_CHUNK, nh)
+        e_c, hlen_c = put(e[:, h0:h1]), put(hlen[:, h0:h1])
+        for r0 in range(0, nr, SCAN_NR_CHUNK):
+            r1 = min(r0 + SCAN_NR_CHUNK, nr)
+            args = tuple(
+                put(packed[k][:, r0:r1]) for k in ("rbase", "rq", "iq", "dq", "gcp")
+            ) + (e_c, put(packed["rlen"][:, r0:r1]), hlen_c)
+            parts.append((h0, r0, _pairhmm_scan_call(*args, rp=rp, hmax=hmax)))
+    return _ScanChunks(parts, nh, nr)
+
+
+def start_likelihood_matrix(reads, haps, interpret=None, device=None):
     """Pack and LAUNCH the cartesian kernel without blocking; returns an opaque
     handle for finish_likelihood_matrix. Dispatching many regions before
     fetching any result pipelines host packing/assembly with device compute
-    (and hides remote-device round-trip latency)."""
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+    (and hides remote-device round-trip latency).
+
+    On CPU backends the compiled lax.scan fallback replaces the Pallas kernel
+    (interpret mode is orders of magnitude slower); pass interpret=True to force
+    the Pallas interpreter (kernel unit tests). device pins the computation to
+    one mesh device (interval-shard data parallelism)."""
     packed, rp = pack_reads(reads)
     e, hlen, hmax = pack_haps(haps, rp)
-    out = _pairhmm_matrix_call(
-        packed["rbase"], packed["rq"], packed["iq"], packed["dq"], packed["gcp"],
-        e, packed["rlen"], hlen, rp=rp, hmax=hmax, interpret=interpret,
-    )
-    return out
+    if interpret is None and jax.default_backend() == "cpu":
+        return _scan_chunked(packed, e, hlen, rp, hmax, device=device)
+    args = (packed["rbase"], packed["rq"], packed["iq"], packed["dq"], packed["gcp"],
+            e, packed["rlen"], hlen)
+    if device is not None:
+        args = tuple(jax.device_put(a, device) for a in args)
+    return _pairhmm_matrix_call(*args, rp=rp, hmax=hmax, interpret=bool(interpret))
 
 
 def finish_likelihood_matrix(handle, reads, haps, floor="clamp"):
@@ -513,14 +939,7 @@ def compute_likelihood_matrix(reads, haps, interpret=None, floor="clamp"):
     is below -8 are filtered (see module docstring). floor='host': recompute such
     entries exactly on the host (GKL double-fallback semantics).
     """
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    packed, rp = pack_reads(reads)
-    e, hlen, hmax = pack_haps(haps, rp)
-    out = _pairhmm_matrix_call(
-        packed["rbase"], packed["rq"], packed["iq"], packed["dq"], packed["gcp"],
-        e, packed["rlen"], hlen, rp=rp, hmax=hmax, interpret=interpret,
-    )
+    out = start_likelihood_matrix(reads, haps, interpret=interpret)
     mat = np.asarray(out, np.float64)[: len(haps), : len(reads)].T  # (n_reads, n_haps)
     bad = ~(mat > MIN_ACCEPTED_LOG10)
     if bad.any():

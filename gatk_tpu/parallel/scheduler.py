@@ -1,0 +1,108 @@
+"""Interval-shard scheduler: distributed end-to-end calling over a device mesh.
+
+TPU-native replacement for the reference's two distribution paths:
+  * engine/spark/FindAssemblyRegionsSpark.java:30-80 "strict" mode (global
+    active-region detection, then per-partition calling) and
+    tools/HaplotypeCallerSpark.java:129-190 (per-partition engines + VariantsSparkSink)
+  * WDL scatter-gather (SplitIntervals -> per-shard tool run -> GatherVcfsCloud).
+
+Design: active-region detection is cheap, vectorized host/jnp math, so it runs
+once over each target interval (the "strict" semantics — no boundary artifacts);
+the expensive per-region work is then scheduled across the mesh: host assembly per
+region feeds a non-blocking PairHMM dispatch pinned round-robin to each device, and
+results are gathered back in coordinate order. Single-device and multi-device runs
+produce byte-identical VCFs by construction (same region plan, same kernel math —
+only the device placement differs).
+
+For multi-host scale-out, split_interval_shards gives contiguous target shards
+(one per host/process); each host runs this scheduler over its own device set and
+writes a per-shard VCF, merged by MergeVcfs (the GatherVcfsCloud pattern).
+"""
+from __future__ import annotations
+
+import jax
+
+
+def split_interval_shards(targets, n_shards: int):
+    """Split target intervals into n_shards contiguous chunks of ~equal bp
+    (SplitIntervals.java:77 INTERVAL_SUBDIVISION semantics: split by base count,
+    never joining across target gaps). Returns list of lists of Interval."""
+    from ..engine.intervals import Interval
+
+    total = sum(t.end - t.start for t in targets)
+    if total == 0 or n_shards <= 1:
+        return [list(targets)]
+    per = -(-total // n_shards)
+    shards = []
+    cur = []
+    room = per
+    for t in targets:
+        s = t.start
+        while s < t.end:
+            take = min(room, t.end - s)
+            cur.append(Interval(t.contig, s, s + take))
+            s += take
+            room -= take
+            if room == 0 and len(shards) < n_shards - 1:
+                shards.append(cur)
+                cur = []
+                room = per
+    if cur:
+        shards.append(cur)
+    return shards
+
+
+class ShardedCaller:
+    """Schedules per-region calling work across mesh devices.
+
+    engine: HaplotypeCallerEngine (or any engine exposing plan_interval /
+    prepare_region / finish_region). devices: jax devices to round-robin PairHMM
+    batches onto (defaults to all local devices).
+    """
+
+    def __init__(self, engine, devices=None):
+        self.engine = engine
+        self.devices = list(devices) if devices is not None else jax.local_devices()
+
+    def call_interval(self, reads, interval):
+        """Full pipeline on one interval with per-region device round-robin.
+        Returns (variants, summaries) identical to engine.call_interval."""
+        from ..calling.hc_engine import AssemblyRegionCall
+
+        usable, spans = self.engine.plan_interval(reads, interval)
+        pending = []
+        summaries = []
+        for i, span in enumerate(spans):
+            dev = self.devices[i % len(self.devices)]
+            prep = self.engine.prepare_region(usable, span, device=dev)
+            if prep is not None:
+                pending.append(prep)
+            else:
+                summaries.append(AssemblyRegionCall(span, span, 0, 0))
+        variants = []
+        for prep in pending:
+            v, summary = self.engine.finish_region(prep)
+            variants.extend(v)
+            summaries.append(summary)
+        variants = [v for v in variants if interval.start <= v.pos < interval.end]
+        return variants, summaries
+
+    def call_targets(self, read_source, targets, contig_order=None):
+        """Scatter-gather over many target intervals: per-target region planning,
+        device round-robin within each target, then a coordinate-sorted gather
+        (the VariantsSparkSink/GatherVcfsCloud step collapsed into one host).
+
+        read_source: fn(interval) -> coordinate-sorted reads overlapping it.
+        Returns a coordinate-sorted variant list.
+        """
+        order = {c: i for i, c in enumerate(contig_order)} if contig_order else None
+        per_shard = []
+        for target in targets:
+            variants, _ = self.call_interval(read_source(target), target)
+            per_shard.append((target, variants))
+        out = []
+        for target, variants in per_shard:
+            out.extend(sorted(variants, key=lambda v: v.pos))
+        if order is not None:
+            out.sort(key=lambda v: (order.get(v.contig, 1 << 30), v.pos))
+        return out

@@ -220,6 +220,8 @@ def reads_pipeline(argv):
     p.add_argument("-O", "--output", required=True, help="output VCF")
     p.add_argument("-L", "--intervals", action="append", default=None)
     p.add_argument("--emit-ref-confidence", "-ERC", choices=["NONE", "GVCF"], default="NONE")
+    p.add_argument("--adaptive-pruning", action="store_true")
+    p.add_argument("--max-reads-per-alignment-start", type=int, default=50)
     args = p.parse_args(argv)
 
     import tempfile
@@ -239,7 +241,10 @@ def reads_pipeline(argv):
             final_bam = f"{td}/recal.bam"
             bqsr_tools.apply_bqsr(["-I", md_bam, "--bqsr-recal-file", table, "-O", final_bam])
         hc_args = ["-I", final_bam, "-R", args.reference, "-O", args.output,
-                   "-ERC", args.emit_ref_confidence]
+                   "-ERC", args.emit_ref_confidence,
+                   "--max-reads-per-alignment-start", str(args.max_reads_per_alignment_start)]
+        if args.adaptive_pruning:
+            hc_args.append("--adaptive-pruning")
         if args.intervals:
             for s in args.intervals:
                 hc_args += ["-L", s]

@@ -16,6 +16,10 @@ VCF_HEADER_LINES = [
     '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">',
     '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
     '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Normalized, Phred-scaled likelihoods for genotypes as defined in the VCF specification">',
+    '##FORMAT=<ID=PGT,Number=1,Type=String,Description="Physical phasing haplotype information, describing how the alternate alleles are phased in relation to one another; will always be heterozygous and is not intended to describe called alleles">',
+    '##FORMAT=<ID=PID,Number=1,Type=String,Description="Physical phasing ID information, where each unique ID within a given sample (but not across samples) connects records within a phasing group">',
+    '##FORMAT=<ID=PMW,Number=1,Type=Integer,Description="Phased Min Weight, the minimum reads count to support this phased genotype">',
+    '##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phasing set (typically the position of the first variant in the set)">',
 ]
 
 
@@ -27,7 +31,9 @@ def haplotype_caller(argv):
     p.add_argument("--sample-ploidy", type=int, default=2)
     p.add_argument("--min-base-quality-score", type=int, default=10)
     p.add_argument("--dont-use-soft-clipped-bases", action="store_true")
-    p.add_argument("--pairhmm-device", action="store_true", help="force the Pallas kernel")
+    p.add_argument("--adaptive-pruning", action="store_true",
+                   help="use the adaptive chain pruner (recommended for deep data)")
+    p.add_argument("--max-reads-per-alignment-start", type=int, default=50)
     p.add_argument("-ERC", "--emit-ref-confidence", choices=["NONE", "GVCF"], default="NONE")
     args = p.parse_args(argv)
 
@@ -47,9 +53,13 @@ def haplotype_caller(argv):
         standard_confidence=args.standard_min_confidence_threshold_for_calling,
         ploidy=args.sample_ploidy,
         dont_use_soft_clipped_bases=args.dont_use_soft_clipped_bases,
-        use_pairhmm_device=args.pairhmm_device,
+        adaptive_pruning=args.adaptive_pruning,
+        max_reads_per_alignment_start=args.max_reads_per_alignment_start,
     )
     engine = hc_engine.HaplotypeCallerEngine(ref, sample, hc_args)
+    from ..parallel.scheduler import ShardedCaller
+
+    caller = ShardedCaller(engine)  # round-robins regions over all local devices
 
     gvcf_mode = args.emit_ref_confidence == "GVCF"
     header_lines = list(VCF_HEADER_LINES)
@@ -77,7 +87,7 @@ def haplotype_caller(argv):
                 writer.write(v)
                 n += 1
         else:
-            variants, _ = engine.call_interval(reads, target)
+            variants, _ = caller.call_interval(reads, target)
             for v in sorted(variants, key=lambda x: x.pos):
                 writer.write(v)
                 n += 1

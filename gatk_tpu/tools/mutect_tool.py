@@ -62,9 +62,11 @@ def mutect2(argv):
         f1r2_counts = ob.F1R2Counts(sample)
 
     all_variants = []
+    callable_sites = 0
     for t in targets:
         reads = list(reader.query(t.contig, max(0, t.start - 300), min(lengths[t.contig], t.end + 300)))
         all_variants.extend(eng.call_interval(reads, t))
+        callable_sites += eng.count_callable_sites(reads, t)
         if f1r2_counts is not None:
             from ..mutect.engine import m2_read_filter
             ref_bytes = ref.fetch(t.contig, t.start, t.end)
@@ -93,6 +95,11 @@ def mutect2(argv):
     for v in all_variants:
         w.write(v)
     w.close()
+    # stats sidecar (MutectStats.java format; consumed by FilterMutectCalls /
+    # MergeMutectStats — cf. mutect/mito/unfiltered.vcf.stats golden)
+    with open(args.output + ".stats", "w") as fh:
+        fh.write("statistic\tvalue\n")
+        fh.write(f"callable\t{callable_sites}\n")
     print(f"wrote {len(all_variants)} variants to {args.output}")
     return 0
 

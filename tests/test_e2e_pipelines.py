@@ -1,0 +1,147 @@
+"""End-to-end regression tests for the flagship pipelines on real data.
+
+Mirrors the reference's integration-test gate (HaplotypeCallerIntegrationTest.java:80-101,
+Mutect2IntegrationTest "testMitochondria"): run the full CLI path BAM -> VCF on the
+mitochondria test dataset and assert the canonical NA12878 rCRS polymorphisms.
+Runs on the 8-device CPU mesh via conftest (the PairHMM takes the compiled lax.scan
+fallback); the real-TPU path is exercised by the driver/verify recipe with the same CLI.
+
+Expected calls for chrM:1-1000 (canonical NA12878 mito variants, all ~homoplasmic):
+152 T>C, 263 A>G, 302 ins(C), 310 T>TC, 750 A>G — cf. the golden
+mutect/mito/unfiltered.vcf (which adds two low-AF homopolymer artifacts at 301/310
+boundaries that a diploid germline caller correctly drops).
+"""
+import os
+
+import pytest
+
+from gatk_tpu.cli import TOOL_REGISTRY
+
+MITO = "/root/reference/src/test/resources/org/broadinstitute/hellbender/tools/mutect/mito"
+BAM = f"{MITO}/NA12878.bam"
+REF = f"{MITO}/Homo_sapiens_assembly38.mt_only.fasta"
+
+# keep CPU runtime bounded: cap positional downsampling at 5 per start (the data is
+# ~2000x; GATK's own mito pipeline downsamples too) and use adaptive pruning as the
+# reference M2 mito mode does.
+FAST = ["--max-reads-per-alignment-start", "5", "--adaptive-pruning"]
+
+CANONICAL_SITES = {152: ("T", "C"), 263: ("A", "G"), 310: ("T", "TC"), 750: ("A", "G")}
+
+
+def _records(path):
+    out = []
+    for line in open(path):
+        if line.startswith("#"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        out.append(f)
+    return out
+
+
+@pytest.fixture(scope="module")
+def hc_vcf(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("e2e") / "hc.vcf")
+    rc = TOOL_REGISTRY["HaplotypeCaller"](
+        ["-I", BAM, "-R", REF, "-L", "chrM:1-1000", "-O", out] + FAST
+    )
+    assert rc == 0
+    return out
+
+
+def test_haplotypecaller_mito_canonical_sites(hc_vcf):
+    recs = _records(hc_vcf)
+    by_pos = {int(r[1]): r for r in recs}
+    for pos, (ref, alt) in CANONICAL_SITES.items():
+        assert pos in by_pos, f"missing canonical call at chrM:{pos}"
+        r = by_pos[pos]
+        assert r[3] == ref, (pos, r[3])
+        assert alt in r[4].split(","), (pos, r[4])
+    # the 302 insertion region must be called (allele representation may vary)
+    assert 302 in by_pos or 301 in by_pos
+    # homoplasmic sites: hom-alt genotype, high qual
+    for pos in (152, 263, 750):
+        r = by_pos[pos]
+        gt = r[9].split(":")[0]
+        assert gt in ("1/1", "1|1"), (pos, gt)
+        assert float(r[5]) > 1000.0, (pos, r[5])
+    # no spurious calls outside the expected set
+    assert len(recs) <= 7, [r[1] for r in recs]
+
+
+def test_haplotypecaller_mito_record_fields(hc_vcf):
+    recs = _records(hc_vcf)
+    by_pos = {int(r[1]): r for r in recs}
+    r = by_pos[152]
+    info = dict(kv.split("=", 1) for kv in r[7].split(";") if "=" in kv)
+    for key in ("AC", "AF", "AN", "DP", "MLEAC", "MLEAF", "MQ", "QD", "SOR", "FS"):
+        assert key in info, f"missing INFO {key}"
+    assert info["AC"] == "2" and info["AN"] == "2" and info["AF"] == "1.00"
+    assert int(info["DP"]) > 100
+    fmt = dict(zip(r[8].split(":"), r[9].split(":")))
+    ad = [int(x) for x in fmt["AD"].split(",")]
+    assert ad[1] > 10 * max(ad[0], 1), ad  # homoplasmic: alt-dominated AD
+    assert int(fmt["GQ"]) == 99
+
+
+def test_haplotypecaller_gvcf_mode(tmp_path):
+    out = str(tmp_path / "hc.g.vcf")
+    rc = TOOL_REGISTRY["HaplotypeCaller"](
+        ["-I", BAM, "-R", REF, "-L", "chrM:100-400", "-O", out, "-ERC", "GVCF"] + FAST
+    )
+    assert rc == 0
+    recs = _records(out)
+    assert recs, "empty GVCF"
+    variant_pos = set()
+    saw_block = False
+    covered_end = 99
+    for r in recs:
+        pos = int(r[1])
+        alts = r[4]
+        assert pos > covered_end, f"overlapping/unsorted records at {pos}"
+        if alts == "<NON_REF>":
+            saw_block = True
+            info = dict(kv.split("=", 1) for kv in r[7].split(";") if "=" in kv)
+            covered_end = int(info["END"])
+        else:
+            assert alts.endswith(",<NON_REF>"), alts
+            variant_pos.add(pos)
+            covered_end = pos + len(r[3]) - 1
+    assert saw_block
+    for pos in (152, 263, 310):
+        assert pos in variant_pos, f"GVCF missing variant at {pos}"
+    # bands must cover the interval contiguously up to the end
+    assert covered_end >= 395
+
+
+def test_mutect2_mito_mode(tmp_path):
+    out = str(tmp_path / "m2.vcf")
+    rc = TOOL_REGISTRY["Mutect2"](
+        ["-I", BAM, "-R", REF, "-L", "chrM:1-400", "-O", out,
+         "--mitochondria-mode", "--max-reads-per-alignment-start", "5"]
+    )
+    assert rc == 0
+    recs = _records(out)
+    by_pos = {int(r[1]): r for r in recs}
+    for pos, (ref, alt) in {152: ("T", "C"), 263: ("A", "G"), 310: ("T", "TC")}.items():
+        assert pos in by_pos, f"Mutect2 missing {pos}"
+        r = by_pos[pos]
+        assert r[3] == ref
+        assert alt in r[4].split(",")
+    # TLOD present and strong at homoplasmic sites
+    info = dict(kv.split("=", 1) for kv in by_pos[152][7].split(";") if "=" in kv)
+    assert "TLOD" in info
+    assert float(info["TLOD"].split(",")[0]) > 100.0
+    # stats sidecar written (MergeMutectStats/FilterMutectCalls contract)
+    assert os.path.exists(out + ".stats")
+
+
+def test_reads_pipeline_md_bqsr_hc(tmp_path):
+    out = str(tmp_path / "pipe.vcf")
+    rc = TOOL_REGISTRY["ReadsPipeline"](
+        ["-I", BAM, "-R", REF, "-L", "chrM:100-350", "-O", out] + FAST
+    )
+    assert rc == 0
+    by_pos = {int(r[1]): r for r in _records(out)}
+    for pos in (152, 263, 310):
+        assert pos in by_pos, f"pipeline missing {pos}"

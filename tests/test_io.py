@@ -125,3 +125,26 @@ def test_native_bgzf_codec_roundtrip():
     assert bz.decompress_bytes(c_py) == payload
     if native:
         assert bz._load_native()  # native lib present in this checkout
+
+
+def test_bai_indexed_query_matches_full_scan():
+    """BAI-indexed BamReader.query touches only overlapping BGZF blocks and
+    returns exactly the full-scan result (htsjdk BAMFileReader.query parity)."""
+    from gatk_tpu.io import bam
+
+    M = "/root/reference/src/test/resources/org/broadinstitute/hellbender/tools/mutect/mito"
+    r = bam.BamReader(f"{M}/NA12878.bam")
+    assert r.index is not None
+    base = r._bgzf.blocks_read
+    hits = list(r.query("chrM", 100, 200))
+    used = r._bgzf.blocks_read - base
+    # full scan on a separate reader with the index disabled
+    r2 = bam.BamReader(f"{M}/NA12878.bam")
+    r2._index_checked = True
+    full = [x for x in r2.query("chrM", 100, 200)]
+    assert sorted((x.name, x.flag) for x in hits) == sorted((x.name, x.flag) for x in full)
+    # the file has ~500 BGZF blocks; a 100bp window must touch far fewer
+    assert used < 200, used
+    # reg2bins sanity: window bins include bin 0 and the 16kb leaf bin
+    bins = bam.BaiIndex.reg2bins(100, 200)
+    assert 0 in bins and 4681 in bins

@@ -29,3 +29,57 @@ def test_sharded_matches_single_device():
     mesh1 = pmesh.make_mesh(1)
     out1 = np.asarray(pmesh.pairhmm_sharded(mesh1, packed, rp, hmax, interpret=interpret))
     np.testing.assert_allclose(out8, out1, atol=1e-6)
+
+
+def test_split_interval_shards():
+    from gatk_tpu.engine.intervals import Interval
+    from gatk_tpu.parallel.scheduler import split_interval_shards
+
+    targets = [Interval("chr1", 0, 1000), Interval("chr2", 500, 1500)]
+    shards = split_interval_shards(targets, 4)
+    assert len(shards) == 4
+    # contiguous, non-overlapping, full coverage, never joined across targets
+    flat = [iv for sh in shards for iv in sh]
+    assert sum(iv.end - iv.start for iv in flat) == 2000
+    per_contig = {}
+    for iv in flat:
+        per_contig.setdefault(iv.contig, []).append(iv)
+    assert per_contig["chr1"][0].start == 0 and per_contig["chr1"][-1].end == 1000
+    assert per_contig["chr2"][0].start == 500 and per_contig["chr2"][-1].end == 1500
+    for ivs in per_contig.values():
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.end == b.start
+
+
+def test_sharded_calling_e2e_matches_single_device():
+    """8-device-mesh full HaplotypeCaller run == single-device run on the real
+    mito BAM (the HaplotypeCallerSparkIntegrationTest spark-vs-walker equivalence
+    pattern, SURVEY §4.4)."""
+    import jax
+
+    from gatk_tpu.calling import hc_engine
+    from gatk_tpu.engine.intervals import Interval
+    from gatk_tpu.io import bam, fasta
+    from gatk_tpu.parallel.scheduler import ShardedCaller
+
+    M = "/root/reference/src/test/resources/org/broadinstitute/hellbender/tools/mutect/mito"
+    ref = fasta.FastaReference(f"{M}/Homo_sapiens_assembly38.mt_only.fasta")
+    reads = list(bam.BamReader(f"{M}/NA12878.bam").query("chrM", 0, 700))
+    args = hc_engine.HCArgs(adaptive_pruning=True, max_reads_per_alignment_start=4)
+    engine = hc_engine.HaplotypeCallerEngine(ref, "NA12878", args)
+    interval = Interval("chrM", 100, 350)
+
+    from gatk_tpu.utils.javarandom import reset_random_generator
+
+    devices = jax.local_devices()
+    assert len(devices) >= 8, "conftest must provide the 8-device CPU mesh"
+    multi = ShardedCaller(engine, devices)
+    reset_random_generator()  # Utils.resetRandomGenerator: QD jitter determinism
+    v_multi, _ = multi.call_interval(reads, interval)
+    single = ShardedCaller(engine, devices[:1])
+    reset_random_generator()
+    v_single, _ = single.call_interval(reads, interval)
+
+    assert [str(v) for v in v_multi] == [str(v) for v in v_single]
+    called = {v.pos for v in v_multi}  # 0-based; VCF positions are pos+1
+    assert {151, 262, 309} <= called, called
