@@ -48,7 +48,7 @@ def _kernel_bench():
 
     rng = np.random.default_rng(0)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    R, H, NP = 151, 400, 8192
+    R, H, NP = 151, 400, 32768
     n_reads, n_haps = 64, 16
     hap_master = bases[rng.integers(0, 4, H)]
     haps = []
@@ -82,17 +82,31 @@ def _kernel_bench():
     )
     interpret = jax.default_backend() == "cpu"
     dev_args = [jax.device_put(a) for a in args]
-    np.asarray(pairhmm_tpu._pairhmm_call(*dev_args, rp=rp, hmax=hmax, interpret=interpret))
-    iters = 1 if interpret else 10
+
+    def call():
+        return pairhmm_tpu._pairhmm_call_v6(*dev_args, rp=rp, hmax=hmax,
+                                            interpret=interpret)
+
+    # timing: enqueue a chain of k calls and fetch only the LAST result, so the
+    # per-call figure measures device compute, not the host<->device round-trip
+    # latency (which is ~25 ms through the remote-TPU tunnel and fully hidden by
+    # the engine's pipelined dispatch in production).
+    def chain(k):
+        outs = [call() for _ in range(k)]
+        return np.asarray(outs[-1])
+
+    val0 = chain(1)  # compile + warm
+    iters = 1 if interpret else 20
     t0 = time.time()
-    outs = [
-        pairhmm_tpu._pairhmm_call(*dev_args, rp=rp, hmax=hmax, interpret=interpret)
-        for _ in range(iters)
-    ]
-    vals = [np.asarray(o) for o in outs]
-    dt = (time.time() - t0) / iters
+    chain(1)
+    t1 = time.time() - t0
+    t0 = time.time()
+    val = chain(iters)
+    tk = time.time() - t0
+    dt = (tk - t1) / (iters - 1) if iters > 1 else tk
     cells = NP * R * H
     tpu_gcups = cells / dt / 1e9
+    vals = [val0]
     frac_ok = float(np.mean(vals[0][0, :NP] > pairhmm_tpu.MIN_ACCEPTED_LOG10))
     if frac_ok < 0.5:
         print(f"WARNING: only {frac_ok:.0%} of pairs above f32 floor", file=sys.stderr)

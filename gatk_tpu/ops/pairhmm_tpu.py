@@ -42,6 +42,10 @@ LANES = 128
 INIT_LOG2 = 100  # initial condition 2^100 / hapLen (vs Java's 2^1020; log-corrected)
 MIN_ACCEPTED_LOG10 = -28.0  # below this, recompute in f64 on host (GKL contract)
 NEG_INF = -1e30
+# bottom padding rows in the packed hap array so the group-of-8 kernel (v5) can
+# load its per-group hap window at an 8-aligned sublane offset (Mosaic requires
+# dynamic sublane starts to be provable multiples of 8 for wide-lane loads)
+E_OFF = 16
 
 
 def _roll1(x):
@@ -103,7 +107,7 @@ def _pairhmm_kernel(
         s = jax.lax.rem(d, 2)
         ns = 1 - s
         # haplotype bases along this anti-diagonal: W[i] = hap[d-i-1]
-        start = hmax + rp - 1 - d
+        start = E_OFF + hmax + rp - 1 - d
         w = e_ref[pl.ds(start, rp), :]
         prior = jnp.where(
             (rbase == w) | (rbase == N_BASE) | (w == N_BASE), peq_ref[:], pne_ref[:]
@@ -218,7 +222,7 @@ def _pairhmm_matrix_kernel(
         def body(d, _):
             s = jax.lax.rem(d, 2)
             ns = 1 - s
-            start = hmax + rp - 1 - d
+            start = E_OFF + hmax + rp - 1 - d
             w = whap_ref[pl.ds(start, rp), :]  # (rp, 1) broadcasts across lanes
             prior = jnp.where(
                 (rbase == w) | (rbase == N_BASE) | (w == N_BASE), peq_ref[:], pne_ref[:]
@@ -289,6 +293,28 @@ def _pairhmm_matrix_call(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax, int
         ),
         interpret=interpret,
     )(rbase, rq, iq, dq, gcp, e, rlen, hlen)
+
+
+@functools.partial(jax.jit, static_argnames=("rp", "hmax", "lanes", "interpret"))
+def _pairhmm_cartesian_v6(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax,
+                          lanes=128, interpret=False):
+    """Cartesian (all reads x all haps) likelihoods via on-device pair expansion
+    feeding the v6 pair kernel: returns (NH, NR) f32 log10.
+
+    Expansion is hap-major so each 128-lane block shares one haplotype (NR is a
+    multiple of 128), giving a tight per-block dynamic diagonal bound; padded
+    haps (hlen 0) cost only ~rp/2 diagonals. The gather happens on device, so
+    host->device transfer stays compact (reads + haps, not pairs)."""
+    nr = rbase.shape[1]
+    nh = e.shape[1]
+    idx = jnp.arange(nr * nh, dtype=jnp.int32)
+    ri = idx % nr
+    hi = idx // nr
+    out = _pairhmm_call_v6(
+        rbase[:, ri], rq[:, ri], iq[:, ri], dq[:, ri], gcp[:, ri],
+        e[:, hi], rlen[:, ri], jnp.maximum(hlen[:, hi], 1),
+        rp=rp, hmax=hmax, lanes=lanes, interpret=interpret)
+    return out.reshape(nh, nr)
 
 
 def _pairhmm_kernel_v2(
@@ -366,7 +392,7 @@ def _pairhmm_kernel_v2(
     def one_diag(d, md2, xd2, yd2, md1, xd1, yd1, masked):
         # clamp handles the final unrolled half-step when num_d is odd (its
         # accumulator contribution is masked by j_here <= hlen)
-        start = jnp.maximum(hmax + rp - 1 - d, 0)
+        start = jnp.maximum(E_OFF + hmax + rp - 1 - d, 0)
         w = e_ref[pl.ds(start, rp), :]
         prior = jnp.where(rbase == w, peq_ref[:], pne_ref[:])
         m_new = prior * (tmm_ref[:] * _roll1(md2) + tim_ref[:] * _roll1(xd2 + yd2))
@@ -477,7 +503,7 @@ def _pairhmm_kernel_v4(
 
     def one_diag_half(d, h, md2, xd2, yd2, md1, xd1, yd1, masked):
         lo = h * L
-        start = jnp.maximum(hmax + rp - 1 - d, 0)
+        start = jnp.maximum(E_OFF + hmax + rp - 1 - d, 0)
         w = e_ref[pl.ds(start, rp), pl.ds(lo, L)]
         rbase = rbase_ref[:, pl.ds(lo, L)]
         prior = jnp.where(rbase == w, peq_ref[:, pl.ds(lo, L)], pne_ref[:, pl.ds(lo, L)])
@@ -593,6 +619,294 @@ def _pairhmm_call_v2(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax,
     )(rbase, rq, iq, dq, gcp, e, rlen, hlen)
 
 
+def _pairhmm_kernel_v5(
+    rbase_ref, rq_ref, iq_ref, dq_ref, gcp_ref, e_ref, rlen_ref, hlen_ref,
+    out_ref,
+    m0_ref, m1_ref, x0_ref, x1_ref, y0s_ref, y1s_ref,
+    tmmd_ref, timd_ref, tmid_ref, tiid_ref, tmd_ref, tdd_ref, peq_ref, pne_ref,
+    acc_ref,
+    *, rp: int, hmax: int,
+):
+    """Group-of-8 unrolled wavefront. Three ideas over _pairhmm_kernel_v2:
+
+    1. *Aligned hap loads*: the per-diagonal hap window slides by one sublane per
+       step, which Mosaic cannot lower for wide (>128) lane blocks (dynamic
+       sublane starts must be provable multiples of 8). Diagonals are processed
+       in groups of 8; each group loads one (rp+16)-row block at an 8-aligned
+       offset (E_OFF bottom padding guarantees in-bounds) and takes eight static
+       sub-slices — so wide lane blocks compile, amortizing loop overhead.
+    2. *Register-resident chains*: within a group the six live state arrays pass
+       from diagonal to diagonal as values; only the last two diagonals' states
+       are stored back to scratch at the group boundary, cutting VMEM state
+       traffic ~8x (the kernel is VMEM-bandwidth-bound, not FLOP-bound).
+    3. *Pre-rolled tables*: storing T'[i] = T[i+1] for the M/I transition tables
+       turns (tmm*roll(m) + tim*roll(x+y)) into roll(tmm'*m + tim'*(x+y)) — two
+       sublane rolls per diagonal instead of four. Boundary conditions stay baked
+       (v2 scheme): row 0 of tmi/tii/peq/pne is 0, tdd row 0 is 1, so invalid
+       wavefront cells provably stay 0 from the all-zero initial state and NO
+       per-diagonal masks are needed in either phase (the only masking left is
+       the (1,B) accumulator window test).
+    """
+    B = out_ref.shape[1]
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (rp, B), 0)
+
+    neg_ln10_over_10 = jnp.float32(-LN10 / 10.0)
+    e_ins = jnp.exp(iq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_del = jnp.exp(dq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_gcp = jnp.exp(gcp_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_base = jnp.exp(rq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+
+    rlen = rlen_ref[0, :][None, :]
+    pad = iota_i > rlen
+    row0 = iota_i == 0
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+
+    def down(t):  # pre-roll: T'[i] = T[i+1] (wraps row 0 into row rp-1)
+        return pltpu.roll(t, shift=rp - 1, axis=0)
+
+    tmmd_ref[:] = down(jnp.where(pad, zero, one - jnp.minimum(one, e_ins + e_del)))
+    timd_ref[:] = down(jnp.where(pad, zero, one - e_gcp))
+    tmid_ref[:] = down(jnp.where(pad | row0, jnp.where(row0, zero, one), e_ins))
+    tiid_ref[:] = down(jnp.where(pad | row0, jnp.where(row0, zero, one), e_gcp))
+    tmd_ref[:] = jnp.where(pad | row0, zero, e_del)
+    tdd_ref[:] = jnp.where(row0, one, jnp.where(pad, zero, e_gcp))
+    rbase = rbase_ref[:]
+    peq = jnp.where(pad | row0, zero, one - e_base)
+    peq_ref[:] = peq
+    pne_ref[:] = jnp.where(
+        rbase == N_BASE, peq,
+        jnp.where(pad | row0, zero, e_base * jnp.float32(1.0 / TRISTATE_CORRECTION)),
+    )
+
+    hlen_f = hlen_ref[0, :].astype(jnp.float32)[None, :]
+    y0 = jnp.float32(2.0**INIT_LOG2) / hlen_f
+    y0_full = jnp.where(row0, jnp.broadcast_to(y0, (rp, B)), zero)
+    m0_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    m1_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    x0_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    x1_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    # d=0 slot: boundary cell (0,0) = y0. d=-1 slot: ALL ZERO — with no ramp
+    # masks, a y0 here would leak the boundary into the j=0 column via the
+    # M-recurrence's d-2 read (cell (1,0) = prior*tim*y0 instead of 0).
+    y0s_ref[:] = y0_full
+    y1s_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    acc_ref[:] = jnp.zeros((1, B), jnp.float32)
+
+    hlen_row = hlen_ref[0, :][None, :]
+    last = rp - 1
+    # num_d = rp - 1 + hmax = 8*n_groups - 1; the final group's 8th diagonal
+    # overshoots by one (j > hlen there, masked out of the accumulator)
+    n_groups = (rp + hmax) // 8
+
+    def one_diag(w, md2, xd2, yd2, md1, xd1, yd1):
+        prior = jnp.where(rbase == w, peq_ref[:], pne_ref[:])
+        m_new = prior * _roll1(tmmd_ref[:] * md2 + timd_ref[:] * (xd2 + yd2))
+        x_new = _roll1(tmid_ref[:] * md1 + tiid_ref[:] * xd1)
+        y_new = tmd_ref[:] * md1 + tdd_ref[:] * yd1
+        return m_new, x_new, y_new
+
+    def make_body(with_acc):
+        def body(g, _):
+            # group g covers diagonals d = 8g+1 .. 8g+8; hap window rows
+            # [E_OFF+hmax+rp-16-8g, +rp+16) cover all eight (8-aligned start)
+            a = pl.multiple_of(E_OFF + hmax + rp - 16 - 8 * g, 8)
+            blk = e_ref[pl.ds(a, rp + 16), :]
+            st = (m1_ref[:], x1_ref[:], y1s_ref[:], m0_ref[:], x0_ref[:], y0s_ref[:])
+            if with_acc:
+                acc = acc_ref[:]
+                d0 = 8 * g
+            for c in range(8):
+                w = blk[14 - c : 14 - c + rp, :]
+                m_new, x_new, y_new = one_diag(w, *st)
+                if with_acc:
+                    j_here = (d0 + 1 + c) - last
+                    cc = m_new[last, :][None, :] + x_new[last, :][None, :]
+                    acc = acc + jnp.where((j_here >= 1) & (j_here <= hlen_row), cc, zero)
+                st = (st[3], st[4], st[5], m_new, x_new, y_new)
+            m1_ref[:], x1_ref[:], y1s_ref[:] = st[0], st[1], st[2]
+            m0_ref[:], x0_ref[:], y0s_ref[:] = st[3], st[4], st[5]
+            if with_acc:
+                acc_ref[:] = acc
+            return 0
+        return body
+
+    # groups entirely below the readout row contribute nothing to the accumulator
+    g_quiet = max((rp - 8) // 8, 0)  # all d in groups [0, g_quiet) have d < rp
+    jax.lax.fori_loop(0, g_quiet, make_body(False), 0)
+    jax.lax.fori_loop(g_quiet, n_groups, make_body(True), 0)
+    acc = acc_ref[:]
+    out_ref[:] = jnp.where(
+        acc > 0,
+        (jnp.log(acc) - jnp.float32(INIT_LOG2 * LN2)) * jnp.float32(1.0 / LN10),
+        jnp.float32(NEG_INF),
+    )
+
+
+def _pairhmm_kernel_v6(
+    rbase_ref, rq_ref, iq_ref, dq_ref, gcp_ref, e_ref, rlen_ref, hlen_ref,
+    out_ref,
+    m0_ref, m1_ref, x0_ref, x1_ref, y0s_ref, y1s_ref,
+    tmmd_ref, timd_ref, tmid_ref, tiid_ref, tmd_ref, tdd_ref, peq_ref, pne_ref,
+    acc_ref,
+    *, rp: int, hmax: int,
+):
+    """Production pair-wise kernel: v2's 2x-unrolled wavefront plus
+
+    * pre-rolled transition tables (T'[i] = T[i+1]) so M and X need one sublane
+      roll each instead of two (roll(a)*b == roll(a * roll_inv(b))),
+    * no per-diagonal masks at all — boundary conditions are baked into the
+      tables (row 0: tmi=tii=peq=pne=0, tdd=1) and the d=-1 state slot is
+      all-zero, so invalid wavefront cells provably stay 0 (cf. _pairhmm_kernel_v5),
+    * a *dynamic* diagonal bound: the sweep stops at this block's max haplotype
+      length instead of the static hmax bucket, so bucket padding costs nothing
+      (pairs are grouped 128 to a block; the engine batches similar-length haps).
+    """
+    B = out_ref.shape[1]
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (rp, B), 0)
+
+    neg_ln10_over_10 = jnp.float32(-LN10 / 10.0)
+    e_ins = jnp.exp(iq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_del = jnp.exp(dq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_gcp = jnp.exp(gcp_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_base = jnp.exp(rq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+
+    rlen = rlen_ref[0, :][None, :]
+    pad = iota_i > rlen
+    row0 = iota_i == 0
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+
+    def down(t):  # pre-roll: T'[i] = T[i+1] (wraps row 0 into row rp-1)
+        return pltpu.roll(t, shift=rp - 1, axis=0)
+
+    tmmd_ref[:] = down(jnp.where(pad, zero, one - jnp.minimum(one, e_ins + e_del)))
+    timd_ref[:] = down(jnp.where(pad, zero, one - e_gcp))
+    tmid_ref[:] = down(jnp.where(pad | row0, jnp.where(row0, zero, one), e_ins))
+    tiid_ref[:] = down(jnp.where(pad | row0, jnp.where(row0, zero, one), e_gcp))
+    tmd_ref[:] = jnp.where(pad | row0, zero, e_del)
+    tdd_ref[:] = jnp.where(row0, one, jnp.where(pad, zero, e_gcp))
+    rbase = rbase_ref[:]
+    peq = jnp.where(pad | row0, zero, one - e_base)
+    peq_ref[:] = peq
+    pne_ref[:] = jnp.where(
+        rbase == N_BASE, peq,
+        jnp.where(pad | row0, zero, e_base * jnp.float32(1.0 / TRISTATE_CORRECTION)),
+    )
+
+    hlen_f = hlen_ref[0, :].astype(jnp.float32)[None, :]
+    y0 = jnp.float32(2.0**INIT_LOG2) / hlen_f
+    y0_full = jnp.where(row0, jnp.broadcast_to(y0, (rp, B)), zero)
+    m0_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    m1_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    x0_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    x1_ref[:] = jnp.zeros((rp, B), jnp.float32)
+    y0s_ref[:] = y0_full  # d=0 slot: boundary cell (0,0)
+    y1s_ref[:] = jnp.zeros((rp, B), jnp.float32)  # d=-1 slot MUST be zero (maskless)
+    acc_ref[:] = jnp.zeros((1, B), jnp.float32)
+
+    hlen_row = hlen_ref[0, :][None, :]
+    last = rp - 1
+
+    def one_diag(d, md2, xd2, yd2, md1, xd1, yd1):
+        start = E_OFF + hmax + rp - 1 - d
+        w = e_ref[pl.ds(start, rp), :]
+        prior = jnp.where(rbase == w, peq_ref[:], pne_ref[:])
+        m_new = prior * _roll1(tmmd_ref[:] * md2 + timd_ref[:] * (xd2 + yd2))
+        x_new = _roll1(tmid_ref[:] * md1 + tiid_ref[:] * xd1)
+        y_new = tmd_ref[:] * md1 + tdd_ref[:] * yd1
+        j_here = d - last
+        c = m_new[last, :][None, :] + x_new[last, :][None, :]
+        acc_ref[:] = acc_ref[:] + jnp.where(
+            (j_here >= 1) & (j_here <= hlen_row), c, zero)
+        return m_new, x_new, y_new
+
+    def body(t, _):
+        d = 2 * t + 1
+        m_a, x_a, y_a = one_diag(d, m1_ref[:], x1_ref[:], y1s_ref[:],
+                                 m0_ref[:], x0_ref[:], y0s_ref[:])
+        m1_ref[:] = m_a
+        x1_ref[:] = x_a
+        y1s_ref[:] = y_a
+        m_b, x_b, y_b = one_diag(d + 1, m0_ref[:], x0_ref[:], y0s_ref[:],
+                                 m_a, x_a, y_a)
+        m0_ref[:] = m_b
+        x0_ref[:] = x_b
+        y0s_ref[:] = y_b
+        return 0
+
+    # diagonals beyond rp-1+max(hlen) cannot contribute: stop there (dynamic
+    # bound; +1 step of overshoot is masked by the accumulator window)
+    max_hlen = jnp.max(hlen_ref[0, :])
+    total_steps = (rp + max_hlen + 1) // 2
+    jax.lax.fori_loop(0, total_steps, body, 0)
+    acc = acc_ref[:]
+    out_ref[:] = jnp.where(
+        acc > 0,
+        (jnp.log(acc) - jnp.float32(INIT_LOG2 * LN2)) * jnp.float32(1.0 / LN10),
+        jnp.float32(NEG_INF),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rp", "hmax", "lanes", "interpret"))
+def _pairhmm_call_v6(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax,
+                     lanes=128, interpret=False):
+    """Production pair-wise kernel (see _pairhmm_kernel_v6)."""
+    n = rbase.shape[1]
+    lanes = min(lanes, n)
+    grid = n // lanes
+    he = e.shape[0]
+    row_spec = pl.BlockSpec((rp, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((he, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((1, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_pairhmm_kernel_v6, rp=rp, hmax=hmax)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[row_spec] * 5 + [e_spec, len_spec, len_spec],
+        out_specs=pl.BlockSpec((1, lanes), lambda g: (0, g), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rp, lanes), jnp.float32)] * 14
+        + [pltpu.VMEM((1, lanes), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=grid * (rp - 1 + hmax) * rp * lanes * 14,
+            bytes_accessed=(5 * rp + he + 3) * n * 4,
+            transcendentals=grid * rp * lanes * 4,
+        ),
+        interpret=interpret,
+    )(rbase, rq, iq, dq, gcp, e, rlen, hlen)
+
+
+@functools.partial(jax.jit, static_argnames=("rp", "hmax", "lanes", "interpret"))
+def _pairhmm_call_v5(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax,
+                     lanes=256, interpret=False):
+    """Group-of-8 pair-wise kernel (see _pairhmm_kernel_v5)."""
+    assert (rp + hmax) % 8 == 0, "rp+hmax must be a multiple of 8"
+    n = rbase.shape[1]
+    lanes = min(lanes, n)
+    grid = n // lanes
+    he = e.shape[0]
+    row_spec = pl.BlockSpec((rp, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((he, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((1, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_pairhmm_kernel_v5, rp=rp, hmax=hmax)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[row_spec] * 5 + [e_spec, len_spec, len_spec],
+        out_specs=pl.BlockSpec((1, lanes), lambda g: (0, g), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rp, lanes), jnp.float32)] * 14
+        + [pltpu.VMEM((1, lanes), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=grid * (rp - 1 + hmax) * rp * lanes * 14,
+            bytes_accessed=(5 * rp + he + 3) * n * 4,
+            transcendentals=grid * rp * lanes * 4,
+        ),
+        interpret=interpret,
+    )(rbase, rq, iq, dq, gcp, e, rlen, hlen)
+
+
 @functools.partial(jax.jit, static_argnames=("rp", "hmax", "interpret"))
 def _pairhmm_call(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax, interpret=False):
     n = rbase.shape[1]
@@ -675,7 +989,7 @@ def _pairhmm_scan_call(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax):
 
     def body(carry, d):
         m1, x1, y1, m2, x2, y2, acc = carry
-        start = hmax + rp - 1 - d
+        start = E_OFF + hmax + rp - 1 - d
         w = jax.lax.dynamic_slice(e, (start, 0), (rp, nh))[:, :, None]  # (rp, NH, 1)
         prior = jnp.where((rbase3 == w) | (rbase3 == N_BASE) | (w == N_BASE), peq, pne)
         m_new = prior * (tmm * roll1(m2) + tim * (roll1(x2) + roll1(y2)))
@@ -741,7 +1055,7 @@ def pack_batch(reads, haps, pair_read_idx, pair_hap_idx, rp=None, hmax=None):
     if max_r > rp - 2 or max_h > hmax:
         raise ValueError(f"bucket too small: R={max_r}->rp={rp}, H={max_h}->hmax={hmax}")
     n = _round_up(max(n_pairs, 1), LANES)
-    he = hmax + 2 * rp
+    he = hmax + 2 * rp + E_OFF
 
     def as_u8(x):
         return np.frombuffer(bytes(x), dtype=np.uint8) if isinstance(x, (bytes, bytearray)) else np.asarray(x, dtype=np.uint8)
@@ -774,7 +1088,7 @@ def pack_batch(reads, haps, pair_read_idx, pair_hap_idx, rp=None, hmax=None):
         hlen_h[k] = len(b)
         # E[t] = hap[hmax - 1 - (t - p)]: reversed hap occupying t in [p + hmax - len, p + hmax)
         rev = b[::-1]
-        e_h[p + hmax - len(b) : p + hmax, k] = rev
+        e_h[E_OFF + p + hmax - len(b) : E_OFF + p + hmax, k] = rev
 
     ri = np.asarray(pair_read_idx, np.int64)
     hi = np.asarray(pair_hap_idx, np.int64)
@@ -837,7 +1151,7 @@ def pack_haps(haps, rp, hmax=None):
         raise ValueError(f"hap bucket too small: {max_h} -> hmax={hmax}")
     # pad columns carry hlen=0: the kernel skips their DP sweep entirely
     nh = _bucket(len(haps), NH_BUCKETS)
-    he = hmax + 2 * rp
+    he = hmax + 2 * rp + E_OFF
     e = np.zeros((he, nh), np.int32)
     hlen = np.zeros((1, nh), np.int32)
     p = rp - 1
@@ -848,7 +1162,7 @@ def pack_haps(haps, rp, hmax=None):
     for k, h in enumerate(haps):
         b = as_u8(h)
         hlen[0, k] = len(b)
-        e[p + hmax - len(b) : p + hmax, k] = b[::-1]
+        e[E_OFF + p + hmax - len(b) : E_OFF + p + hmax, k] = b[::-1]
     return e, hlen, hmax
 
 
@@ -910,7 +1224,7 @@ def start_likelihood_matrix(reads, haps, interpret=None, device=None):
             e, packed["rlen"], hlen)
     if device is not None:
         args = tuple(jax.device_put(a, device) for a in args)
-    return _pairhmm_matrix_call(*args, rp=rp, hmax=hmax, interpret=bool(interpret))
+    return _pairhmm_cartesian_v6(*args, rp=rp, hmax=hmax, interpret=bool(interpret))
 
 
 def finish_likelihood_matrix(handle, reads, haps, floor="clamp"):
@@ -966,7 +1280,7 @@ def compute_log10_likelihoods(reads, haps, pair_read_idx, pair_hap_idx, interpre
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     packed, rp, hmax, n_pairs = pack_batch(reads, haps, pair_read_idx, pair_hap_idx)
-    out = _pairhmm_call(
+    out = _pairhmm_call_v6(
         packed["rbase"], packed["rq"], packed["iq"], packed["dq"], packed["gcp"],
         packed["e"], packed["rlen"], packed["hlen"], rp=rp, hmax=hmax, interpret=interpret,
     )

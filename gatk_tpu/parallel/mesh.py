@@ -55,7 +55,7 @@ def pairhmm_sharded(mesh: Mesh, packed: dict, rp: int, hmax: int, interpret: boo
         check_rep=False,
     )
     def step(rbase, rq, iq, dq, gcp, e, rlen, hlen):
-        return pairhmm_tpu._pairhmm_call(
+        return pairhmm_tpu._pairhmm_call_v6(
             rbase, rq, iq, dq, gcp, e, rlen, hlen, rp=rp, hmax=hmax, interpret=interpret
         )
 
