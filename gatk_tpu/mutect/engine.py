@@ -342,6 +342,11 @@ class Mutect2Engine:
             kept_frags = [f for f, k in zip(fragments, keep) if k]
             mbq, mmq, mfrl, mpos, sb, f1r2, f2r1 = self._allele_annotations(
                 emit_alleles, kept_frags, sub_vals, loc)
+            # ECNTH: events in each alt's best supporting haplotype
+            # (GATKVCFConstants.EVENT_COUNT_IN_HAPLOTYPE_KEY; consumed by
+            # filtering/ClusteredEventsFilter.java)
+            ecnth = [max((len(h.events) for h in allele_map[alleles[ai]]), default=1)
+                     for ai in emitted]
             variants.append(Variant(
                 contig=span.contig,
                 pos=loc,
@@ -352,6 +357,7 @@ class Mutect2Engine:
                 info={
                     "DP": str(dp),
                     "ECNT": str(len(start_positions)),
+                    "ECNTH": ",".join(str(x) for x in ecnth),
                     "MBQ": ",".join(str(x) for x in mbq),
                     "MFRL": ",".join(str(x) for x in mfrl),
                     "MMQ": ",".join(str(x) for x in mmq),

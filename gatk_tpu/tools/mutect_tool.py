@@ -80,6 +80,8 @@ def mutect2(argv):
     all_variants.sort(key=lambda v: (v.contig, v.pos))
     header_lines = [
         '##INFO=<ID=DP,Number=1,Type=Integer,Description="Approximate read depth">',
+        '##INFO=<ID=ECNT,Number=1,Type=Integer,Description="Number of events in this haplotype">',
+        '##INFO=<ID=ECNTH,Number=A,Type=Integer,Description="Number of events in the best supporting haplotype for each alt allele">',
         '##INFO=<ID=TLOD,Number=A,Type=Float,Description="Log 10 likelihood ratio score of variant existing versus not existing">',
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
         '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allelic depths">',
@@ -106,30 +108,56 @@ def mutect2(argv):
 
 @register_tool("FilterMutectCalls")
 def filter_mutect_calls(argv):
-    """Filter somatic SNVs and indels called by Mutect2."""
+    """Filter somatic SNVs and indels called by Mutect2.
+
+    Reference: mutect/filtering/FilterMutectCalls.java — 2 learning passes,
+    a threshold pass, and a final apply pass over the full probabilistic
+    filter roster with the learned somatic clustering model.
+    """
     import argparse as _ap
 
     from ..io import vcf as vcfio
-    from ..mutect.filtering import FilterMutectCallsEngine
+    from ..mutect.filtering import (
+        M2FilterArgs, MUTECT_FILTER_HEADER_LINES, ThresholdCalculator,
+        read_mutect_stats, run_filter_mutect_calls)
 
     p = _ap.ArgumentParser(description="FilterMutectCalls")
     p.add_argument("-V", "--variant", required=True)
     p.add_argument("-R", "--reference", default=None)
     p.add_argument("-O", "--output", required=True)
+    p.add_argument("--stats", default=None, help="Mutect2 stats file (default <vcf>.stats)")
+    p.add_argument("--filtering-stats", default=None)
     p.add_argument("--mitochondria-mode", action="store_true")
+    p.add_argument("--microbial-mode", action="store_true")
+    p.add_argument("--threshold-strategy", default="OPTIMAL_F_SCORE",
+                   choices=["CONSTANT", "FALSE_DISCOVERY_RATE", "OPTIMAL_F_SCORE"])
+    p.add_argument("--f-score-beta", type=float, default=1.0)
+    p.add_argument("--false-discovery-rate", type=float, default=0.05)
+    p.add_argument("--initial-threshold", type=float, default=0.1)
     p.add_argument("--min-median-base-quality", type=int, default=20)
     p.add_argument("--min-median-mapping-quality", type=int, default=-1)
     p.add_argument("--min-median-read-position", type=int, default=1)
-    p.add_argument("--max-events-in-region", type=int, default=2)
+    p.add_argument("--max-events-in-region", type=int, default=3)
+    p.add_argument("--max-events-in-haplotype", type=int, default=2)
     p.add_argument("--max-alt-allele-count", type=int, default=1)
+    p.add_argument("--unique-alt-read-count", type=int, default=0)
+    p.add_argument("--max-median-fragment-length-difference", type=int, default=10000)
+    p.add_argument("--max-n-ratio", type=float, default=float("inf"))
+    p.add_argument("--min-reads-per-strand", type=int, default=0)
     p.add_argument("--min-allele-fraction", type=float, default=0.0)
+    p.add_argument("--min-slippage-length", type=int, default=8)
+    p.add_argument("--pcr-slippage-rate", type=float, default=0.1)
+    p.add_argument("--distance-on-haplotype", type=int, default=100)
+    p.add_argument("--long-indel-length", type=int, default=5)
+    p.add_argument("--normal-p-value-threshold", type=float, default=0.001)
+    p.add_argument("--log-snv-prior", type=float, default=None)
+    p.add_argument("--log-indel-prior", type=float, default=None)
+    p.add_argument("--contamination-table", action="append", default=[])
+    p.add_argument("--contamination-estimate", type=float, default=0.0)
+    p.add_argument("--tumor-segmentation", action="append", default=[])
     p.add_argument("--orientation-bias-artifact-priors", "--ob-priors", action="append",
                    default=[], help="tar.gz of artifact priors from LearnReadOrientationModel")
     args = p.parse_args(argv)
-
-    min_mmq = args.min_median_mapping_quality
-    if min_mmq < 0:
-        min_mmq = 20 if args.mitochondria_mode else 30
 
     orientation_priors = {}
     for path in args.orientation_bias_artifact_priors:
@@ -142,32 +170,90 @@ def filter_mutect_calls(argv):
         from ..io import fasta
         reference = fasta.FastaReference(args.reference)
 
+    contamination_by_sample = {}
+    for path in args.contamination_table:
+        with open(path) as fh:
+            header = fh.readline().rstrip("\n").split("\t")
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2:
+                    contamination_by_sample[parts[0]] = float(parts[1])
+
+    tumor_segments = {}
+    for path in args.tumor_segmentation:
+        sample = None
+        segs = []
+        with open(path) as fh:
+            cols = None
+            for line in fh:
+                if line.startswith("#<METADATA>SAMPLE="):
+                    sample = line.rstrip("\n").split("=", 1)[1]
+                elif line.startswith("#"):
+                    continue
+                elif cols is None:
+                    cols = line.rstrip("\n").split("\t")
+                else:
+                    parts = line.rstrip("\n").split("\t")
+                    row = dict(zip(cols, parts))
+                    segs.append((row.get("contig", row.get("CONTIG")),
+                                 int(row.get("start", row.get("START", 0))),
+                                 int(row.get("end", row.get("END", 0))),
+                                 float(row.get("minor_allele_fraction",
+                                               row.get("MINOR_ALLELE_FRACTION", 0.5)))))
+        if sample:
+            tumor_segments[sample] = segs
+
     reader = vcfio.VcfReader(args.variant)
     variants = list(reader)
-    eng = FilterMutectCallsEngine(
-        min_mbq=args.min_median_base_quality, min_mmq=min_mmq,
-        min_mpos=args.min_median_read_position, max_events=args.max_events_in_region,
-        max_alt_alleles=args.max_alt_allele_count, min_af=args.min_allele_fraction,
-        mitochondria_mode=args.mitochondria_mode,
-        orientation_priors=orientation_priors, reference=reference,
-    )
-    eng.learn(variants)
-    n_pass, n_filt = eng.apply(variants)
+    normal_samples = {line.split("=", 1)[1].strip()
+                      for line in reader.header_lines if line.startswith("##normal_sample=")}
 
-    filter_headers = [
-        '##FILTER=<ID=PASS,Description="All filters passed">',
-        '##FILTER=<ID=weak_evidence,Description="Mutation does not meet likelihood threshold">',
-        '##FILTER=<ID=base_qual,Description="alt median base quality">',
-        '##FILTER=<ID=map_qual,Description="ref - alt median mapping quality">',
-        '##FILTER=<ID=position,Description="median distance of alt variants from end of reads">',
-        '##FILTER=<ID=clustered_events,Description="Clustered events observed in the tumor">',
-        '##FILTER=<ID=multiallelic,Description="Site filtered because too many alt alleles pass tumor LOD">',
-        '##FILTER=<ID=low_allele_fraction,Description="Allele fraction is below specified threshold">',
-        '##FILTER=<ID=strand_bias,Description="Evidence for alt allele comes from one read direction only">',
-        '##FILTER=<ID=orientation,Description="orientation bias detected by the orientation bias mixture model">',
-    ]
+    stats_path = args.stats or (args.variant + ".stats")
+    stats = read_mutect_stats(stats_path)
+    callable_sites = stats.get("callable")
+
+    import math as _math
+    filter_args = M2FilterArgs(
+        threshold_strategy=args.threshold_strategy,
+        f_score_beta=args.f_score_beta,
+        max_false_discovery_rate=args.false_discovery_rate,
+        initial_threshold=args.initial_threshold,
+        mitochondria=args.mitochondria_mode,
+        microbial=args.microbial_mode,
+        max_events_in_region=args.max_events_in_region,
+        max_events_in_haplotype=args.max_events_in_haplotype,
+        max_alt_alleles=args.max_alt_allele_count,
+        unique_alt_read_count=args.unique_alt_read_count,
+        min_median_mapping_quality=args.min_median_mapping_quality,
+        min_median_base_quality=args.min_median_base_quality,
+        max_median_fragment_length_difference=args.max_median_fragment_length_difference,
+        min_median_read_position=args.min_median_read_position,
+        max_n_ratio=args.max_n_ratio,
+        min_reads_on_each_strand=args.min_reads_per_strand,
+        min_af=args.min_allele_fraction,
+        normal_p_value_threshold=args.normal_p_value_threshold,
+        min_slippage_length=args.min_slippage_length,
+        slippage_rate=args.pcr_slippage_rate,
+        max_distance_to_filtered_call_on_same_haplotype=args.distance_on_haplotype,
+        long_indel_length=args.long_indel_length,
+        contamination_estimate=args.contamination_estimate,
+        contamination_by_sample=contamination_by_sample,
+        tumor_segments=tumor_segments,
+        orientation_priors=orientation_priors,
+        reference=reference,
+    )
+    if args.log_snv_prior is not None:
+        filter_args.log_snv_prior = args.log_snv_prior
+    if args.log_indel_prior is not None:
+        filter_args.log_indel_prior = args.log_indel_prior
+
+    filtering_stats = args.filtering_stats or (args.output + ".filteringStats.tsv")
+    n_pass, n_filt, _ = run_filter_mutect_calls(
+        variants, filter_args, reader.samples, normal_samples,
+        callable_sites=callable_sites, filtering_stats_path=filtering_stats)
+
     w = vcfio.VcfWriter(args.output, reader.samples,
-                        extra_header_lines=reader.header_lines + filter_headers)
+                        extra_header_lines=reader.header_lines + MUTECT_FILTER_HEADER_LINES)
     for v in variants:
         w.write(v)
     w.close()
@@ -331,4 +417,148 @@ def learn_read_orientation_model_tool(argv):
     ob.write_artifact_priors_targz(collections, args.output)
     for coll in collections:
         print(f"{coll.sample}: learned priors for {coll.num_unique_contexts()} unique contexts")
+    return 0
+
+
+@register_tool("MergeMutectStats")
+def merge_mutect_stats(argv):
+    """Merge the stats output by scatters of a single Mutect2 job.
+
+    Reference: mutect/MergeMutectStats.java — 'callable' aggregates by sum.
+    """
+    p = argparse.ArgumentParser(description="MergeMutectStats")
+    p.add_argument("--stats", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+
+    from ..mutect.filtering import read_mutect_stats
+
+    totals: dict[str, float] = {}
+    for path in args.stats:
+        for key, value in read_mutect_stats(path).items():
+            totals[key] = totals.get(key, 0.0) + value
+    with open(args.output, "w") as fh:
+        fh.write("statistic\tvalue\n")
+        for key, value in totals.items():
+            fh.write(f"{key}\t{value:.1f}\n" if value != int(value) else f"{key}\t{int(value)}\n")
+    print(f"merged {len(args.stats)} stats files -> {args.output}")
+    return 0
+
+
+@register_tool("CreateSomaticPanelOfNormals")
+def create_somatic_panel_of_normals(argv):
+    """Make a panel of normals (PoN) for use with Mutect2.
+
+    Reference: mutect/CreateSomaticPanelOfNormals.java — collate sites with
+    artifacts (germline probability < --max-germline-probability) in at least
+    --min-sample-count normals into a sites-only VCF with FRACTION and a
+    fitted beta shape (fitBeta, :205-230).
+    """
+    import math as _math
+
+    import numpy as np
+
+    from ..mutect.filtering import beta_binomial_log_prob, binomial_prob
+
+    p = argparse.ArgumentParser(description="CreateSomaticPanelOfNormals")
+    p.add_argument("-V", "--variant", action="append", required=True,
+                   help="normal-sample Mutect2 tumor-only VCFs (repeatable)")
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--min-sample-count", type=int, default=2)
+    p.add_argument("--germline-resource", default=None)
+    p.add_argument("--max-germline-probability", type=float, default=0.5)
+    args = p.parse_args(argv)
+
+    ARTIFACT_PRIOR = 0.001
+    ARTIFACT_ALPHA, ARTIFACT_BETA = 1.0, 7.0
+    NEGLIGIBLE_AF = 1.0e-8
+
+    germline_af = {}
+    if args.germline_resource:
+        for v in vcf.VcfReader(args.germline_resource):
+            af = v.info.get("AF")
+            if af is not None:
+                germline_af[(v.contig, v.pos, v.ref)] = sum(
+                    float(x) for x in str(af).split(",") if x not in ("", "."))
+
+    def germline_probability(af, alt, total):
+        if af < NEGLIGIBLE_AF or af > 1:
+            return 0.0
+        het_prior = 2 * af * (1 - af)
+        hom_prior = af * af
+        het_lik = binomial_prob(total, alt, 0.5)
+        hom_lik = binomial_prob(total, alt, 0.98)
+        artifact_lik = _math.exp(float(beta_binomial_log_prob(
+            ARTIFACT_ALPHA, ARTIFACT_BETA, total, alt)))
+        germ = het_prior * het_lik + hom_prior * hom_lik
+        art = ARTIFACT_PRIOR * artifact_lik
+        return germ / (germ + art) if germ + art > 0 else 0.0
+
+    # gather genotype AD data per site across all normals
+    sites: dict[tuple, dict] = {}
+    contigs = None
+    sample_names = []
+    for path in args.variant:
+        reader = vcf.VcfReader(path)
+        sample_names.extend(reader.samples or ["NORMAL"])
+        for v in reader:
+            if not v.alts or (len(v.alts) == 1 and v.alts[0] == "*"):
+                continue
+            key = (v.contig, v.pos, v.ref)
+            entry = sites.setdefault(key, {"alts": v.alts, "genotypes": []})
+            if len(v.alts) > len(entry["alts"]):
+                entry["alts"] = v.alts
+            for s in v.samples:
+                ad = s.get("AD")
+                if ad not in (None, "."):
+                    entry["genotypes"].append([int(x) for x in ad.split(",")])
+
+    n_samples = max(len(args.variant), 1)
+
+    def fit_beta(alt_ref_counts):
+        total_alt = sum(a for a, _ in alt_ref_counts)
+        total_ref = sum(r for _, r in alt_ref_counts)
+        mn = min(total_alt, total_ref)
+        base_alpha = (total_alt + 1.0) / (mn + 1)
+        base_beta = (total_ref + 1.0) / (mn + 1)
+        scales = np.geomspace(0.5, 1000.0, 40)
+        best_s, best_ll = 1.0, -_math.inf
+        for s in scales:
+            ll = sum(float(beta_binomial_log_prob(base_alpha * s, base_beta * s, a + r, a))
+                     for a, r in alt_ref_counts)
+            if ll > best_ll:
+                best_s, best_ll = s, ll
+        return base_alpha * best_s, base_beta * best_s
+
+    records = []
+    for (contig, pos, ref), entry in sorted(sites.items()):
+        gts = entry["genotypes"]
+        af = germline_af.get((contig, pos, ref), 0.0)
+        multi = len(entry["alts"]) > 1
+        variant_gts = []
+        for ad in gts:
+            alt = sum(ad[1:])
+            if multi:
+                variant_gts.append(ad)
+            elif alt > 0 and germline_probability(af, alt, sum(ad)) < args.max_germline_probability:
+                variant_gts.append(ad)
+        if len(variant_gts) < args.min_sample_count:
+            continue
+        fraction = len(variant_gts) / n_samples
+        counts = [(sum(ad[1:]), ad[0]) for ad in variant_gts]
+        alpha, beta = fit_beta(counts)
+        records.append(vcf.Variant(
+            contig=contig, pos=pos, ref=ref, alts=entry["alts"], qual=None,
+            filters=(), info={"FRACTION": f"{fraction:.3f}",
+                              "BETA": f"{alpha:.2f},{beta:.2f}"}))
+
+    header = [
+        '##INFO=<ID=FRACTION,Number=1,Type=Float,Description="Fraction of samples exhibiting artifact">',
+        '##INFO=<ID=BETA,Number=2,Type=Float,Description="Beta distribution parameters to fit artifact allele fractions">',
+    ] + [f"##normal_sample={s}" for s in sample_names]
+    w = vcf.VcfWriter(args.output, [], extra_header_lines=header, write_format=False)
+    for rec in records:
+        w.write(rec)
+    w.close()
+    print(f"panel of normals: {len(records)} sites from {n_samples} normals -> {args.output}")
     return 0

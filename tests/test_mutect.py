@@ -69,35 +69,91 @@ def test_m2_read_filter(synthetic_read=None):
 
 
 def test_filter_mutect_calls_engine():
-    """Core filter semantics on synthetic records."""
+    """Core filter semantics on synthetic records (new multi-pass engine)."""
     from gatk_tpu.io.vcf import Variant
-    from gatk_tpu.mutect.filtering import FilterMutectCallsEngine
+    from gatk_tpu.mutect.filtering import M2FilterArgs, run_filter_mutect_calls
 
     def mk(tlod, mbq_alt=30, mpos=30, ecnt=1, alts=("C",)):
+        tl = ",".join(f"{tlod:.2f}" for _ in alts)
         return Variant(
             contig="chrM", pos=100, ref="A", alts=alts,
-            info={"TLOD": f"{tlod:.2f}", "MBQ": f"30,{mbq_alt}", "MMQ": "60,60",
-                  "MPOS": str(mpos), "ECNT": str(ecnt)},
-            fmt_keys=("GT", "AF", "SB"),
-            samples=[{"GT": "0/1", "AF": "0.5", "SB": "10,10,10,10"}],
+            info={"TLOD": tl, "MBQ": f"30,{','.join(str(mbq_alt) for _ in alts)}",
+                  "MMQ": "60," + ",".join("60" for _ in alts),
+                  "MPOS": ",".join(str(mpos) for _ in alts),
+                  "ECNT": str(ecnt), "ECNTH": ",".join("1" for _ in alts)},
+            fmt_keys=("GT", "AD", "AF", "SB"),
+            samples=[{"GT": "0/1", "AD": "50,50", "AF": "0.5", "SB": "25,25,25,25"}],
         )
 
     strong, weak, lowbq, endpos = mk(500.0), mk(0.2), mk(500.0, mbq_alt=5), mk(500.0, mpos=0)
-    eng = FilterMutectCallsEngine(mitochondria_mode=True)
     variants = [strong, weak, lowbq, endpos]
-    eng.learn(variants)
-    eng.apply(variants)
+    args = M2FilterArgs(mitochondria=True)
+    run_filter_mutect_calls(variants, args, ["S"], callable_sites=16000)
     assert strong.filters == ("PASS",)
     assert "weak_evidence" in weak.filters
     assert "base_qual" in lowbq.filters
     assert "position" in endpos.filters
     # mito mode: multiallelic not applied; default mode: applied
     multi = mk(500.0, alts=("C", "G", "T"))
-    eng.apply([multi])
+    run_filter_mutect_calls([multi], M2FilterArgs(mitochondria=True), ["S"])
     assert multi.filters == ("PASS",)
-    eng2 = FilterMutectCallsEngine(mitochondria_mode=False)
-    eng2.apply([multi])
-    assert "multiallelic" in multi.filters
+    multi2 = mk(500.0, alts=("C", "G", "T"))
+    run_filter_mutect_calls([multi2], M2FilterArgs(), ["S"])
+    assert "multiallelic" in multi2.filters
+
+
+def test_filter_mutect_calls_mito_golden():
+    """FILTER + AS_FilterStatus parity with the reference integration test
+    (Mutect2IntegrationTest.testFilterMitochondria, vcfsForFiltering row 1:
+    mito mode, min-af 0.5, min-reads-per-strand 1, unique-alt-read-count 2
+    on mutect/mito/unfiltered-with-assb.vcf)."""
+    import os
+    import tempfile
+
+    from gatk_tpu.tools.mutect_tool import filter_mutect_calls
+    from gatk_tpu.utils.testdata import reference_path
+
+    src = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/"
+                         "mutect/mito/unfiltered-with-assb.vcf")
+    if not os.path.exists(src):
+        import pytest
+        pytest.skip("reference test data unavailable")
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "filtered.vcf")
+        filter_mutect_calls([
+            "-V", src, "-O", out, "--mitochondria-mode",
+            "--min-allele-fraction", "0.5",
+            "--min-reads-per-strand", "1",
+            "--unique-alt-read-count", "2",
+        ])
+        rows = [line.rstrip("\n").split("\t") for line in open(out)
+                if not line.startswith("#")]
+        # filtering stats sidecar written with learned threshold metadata
+        stats = open(out + ".filteringStats.tsv").read()
+        assert "#<METADATA>threshold=" in stats
+    actual_filters = [set(r[6].split(";")) for r in rows]
+    infos = [dict(kv.split("=", 1) for kv in r[7].split(";") if "=" in kv) for r in rows]
+    actual_as = [i.get("AS_FilterStatus", "") for i in infos]
+    expected_filters = [
+        {"strand_bias", "strict_strand"},
+        {"PASS"},
+        {"weak_evidence", "low_allele_frac"},
+        {"PASS"},
+        {"PASS"},
+        {"duplicate"},
+        {"FAIL"},
+    ]
+    expected_as = [
+        "strand_bias,strict_strand",
+        "SITE",
+        "weak_evidence,low_allele_frac",
+        "SITE|weak_evidence,strand_bias,low_allele_frac|strand_bias,strict_strand,low_allele_frac",
+        "SITE",
+        "duplicate",
+        "weak_evidence,strand_bias,strict_strand|low_allele_frac",
+    ]
+    assert actual_filters == expected_filters
+    assert actual_as == expected_as
 
 
 def test_calculate_contamination_known_mixtures():
@@ -120,3 +176,52 @@ def test_calculate_contamination_known_mixtures():
         _s, sites = read_pileup_table(os.path.join(D, fname))
         c, _se = calculate_contamination(sites)
         assert abs(c - expected) < max(0.15 * expected, 0.005), (fname, c)
+
+
+def test_merge_mutect_stats(tmp_path):
+    from gatk_tpu.tools.mutect_tool import merge_mutect_stats
+
+    a = tmp_path / "a.stats"
+    b = tmp_path / "b.stats"
+    a.write_text("statistic\tvalue\ncallable\t1000\n")
+    b.write_text("statistic\tvalue\ncallable\t500\n")
+    out = tmp_path / "merged.stats"
+    merge_mutect_stats(["--stats", str(a), "--stats", str(b), "-O", str(out)])
+    from gatk_tpu.mutect.filtering import read_mutect_stats
+    assert read_mutect_stats(str(out))["callable"] == 1500.0
+
+
+def test_create_somatic_panel_of_normals(tmp_path):
+    """Sites with artifacts in >= min-sample-count normals enter the panel;
+    likely-germline and singleton sites are excluded
+    (CreateSomaticPanelOfNormals.java semantics)."""
+    from gatk_tpu.tools.mutect_tool import create_somatic_panel_of_normals
+
+    header = ("##fileformat=VCFv4.2\n"
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{s}\n")
+    # artifact site chr1:100 in both normals (low-AF alt), singleton at 200,
+    # germline-looking het at 300 (AF 0.5 in the germline resource)
+    n1 = tmp_path / "n1.vcf"
+    n1.write_text(header.format(s="N1")
+                  + "chr1\t100\t.\tA\tC\t.\t.\t.\tGT:AD\t0/1:95,5\n"
+                  + "chr1\t200\t.\tG\tT\t.\t.\t.\tGT:AD\t0/1:90,10\n"
+                  + "chr1\t300\t.\tT\tG\t.\t.\t.\tGT:AD\t0/1:50,50\n")
+    n2 = tmp_path / "n2.vcf"
+    n2.write_text(header.format(s="N2")
+                  + "chr1\t100\t.\tA\tC\t.\t.\t.\tGT:AD\t0/1:93,7\n"
+                  + "chr1\t300\t.\tT\tG\t.\t.\t.\tGT:AD\t0/1:48,52\n")
+    germ = tmp_path / "germ.vcf"
+    germ.write_text(header.format(s="POP")
+                    + "chr1\t300\t.\tT\tG\t.\t.\tAF=0.3\tGT\t0/1\n")
+    out = tmp_path / "pon.vcf"
+    create_somatic_panel_of_normals([
+        "-V", str(n1), "-V", str(n2), "-O", str(out),
+        "--germline-resource", str(germ)])
+    rows = [l.split("\t") for l in out.read_text().splitlines() if not l.startswith("#")]
+    positions = [int(r[1]) for r in rows]
+    assert 100 in positions      # shared artifact
+    assert 200 not in positions  # singleton
+    assert 300 not in positions  # germline
+    info = dict(kv.split("=", 1) for kv in rows[0][7].split(";"))
+    assert float(info["FRACTION"]) == 1.0
+    assert "BETA" in info
