@@ -39,6 +39,22 @@ class HCArgs:
     # (ReadThreadingAssemblerArgumentCollection --adaptive-pruning; HC default off,
     # M2 default on). Essential on deep data.
     adaptive_pruning: bool = False
+    # pre-genotyping weak-allele removal (haplotypecaller/AlleleFiltering.java,
+    # --filter-alleles; default off as in AssemblyBasedCallerArgumentCollection:377)
+    filter_alleles: bool = False
+    prefilter_qual_threshold: float = 30.0
+    prefilter_sor_threshold: float = 3.0
+
+
+def maybe_filter_alleles(lik, args, span_start):
+    """Apply pre-genotyping allele filtering when --filter-alleles is on
+    (HaplotypeCallerEngine.java:928-942); returns (likelihoods, haplotypes)."""
+    if not args.filter_alleles:
+        return lik, lik.alleles
+    from .allele_filtering import filter_alleles as _filter
+    lik = _filter(lik, span_start, args.prefilter_qual_threshold,
+                  args.prefilter_sor_threshold)
+    return lik, lik.alleles
 
 
 @dataclass
@@ -187,6 +203,9 @@ class HaplotypeCallerEngine:
         self.ref = reference
         self.sample = sample
         self.args = args or HCArgs()
+        # optional bamout collector (utils/haplotype/HaplotypeBAMWriter.java);
+        # set by the CLI when -bamout is given
+        self.bamout = None
 
     def plan_interval(self, reads, interval: Interval):
         """Phase 0 of the calling pipeline: read filtering/downsampling +
@@ -289,11 +308,14 @@ class HaplotypeCallerEngine:
         lik.filter_poorly_modeled_reads(
             lambda r: min(2.0, np.ceil(len(r.bases) * EXPECTED_ERROR_RATE_PER_BASE)) * -4.0
         )
+        lik, haplotypes = maybe_filter_alleles(lik, args, span.start)
         variants = genotyping_engine.assign_genotype_likelihoods(
             haplotypes, lik, prep["ref_bases"], padded.start, span.start, span.end,
             span.contig, self.sample,
             standard_confidence=args.standard_confidence, ploidy=args.ploidy,
         )
+        if self.bamout is not None:
+            self.bamout.add_region(span.contig, haplotypes, lik)
         summary.variants = variants
         return variants, summary
 
@@ -320,11 +342,14 @@ class HaplotypeCallerEngine:
             return [], summary
 
         lik = compute_pairhmm_likelihoods(haplotypes, final_reads, args)
+        lik, haplotypes = maybe_filter_alleles(lik, args, span.start)
         variants = genotyping_engine.assign_genotype_likelihoods(
             haplotypes, lik, ref_bases, padded.start, span.start, span.end,
             span.contig, self.sample,
             standard_confidence=args.standard_confidence, ploidy=args.ploidy,
         )
+        if self.bamout is not None:
+            self.bamout.add_region(span.contig, haplotypes, lik)
         summary.variants = variants
         return variants, summary
 
@@ -376,6 +401,7 @@ def call_interval_gvcf(engine: "HaplotypeCallerEngine", reads, interval: Interva
         if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
             continue
         lik = compute_pairhmm_likelihoods(haplotypes, final_reads, args)
+        lik, haplotypes = maybe_filter_alleles(lik, args, region_span.start)
         variants.extend(genotyping_engine.assign_genotype_likelihoods(
             haplotypes, lik, ref_bases, padded.start, region_span.start, region_span.end,
             interval.contig, engine.sample,

@@ -33,6 +33,12 @@ def haplotype_caller(argv):
     p.add_argument("--dont-use-soft-clipped-bases", action="store_true")
     p.add_argument("--adaptive-pruning", action="store_true",
                    help="use the adaptive chain pruner (recommended for deep data)")
+    p.add_argument("-bamout", "--bam-output", dest="bamout", default=None,
+                   help="write assembled haplotypes and realigned reads to this BAM")
+    p.add_argument("--filter-alleles", action="store_true",
+                   help="pre-genotyping weak-allele filtering (AlleleFiltering.java)")
+    p.add_argument("--prefilter-qual-threshold", type=float, default=30.0)
+    p.add_argument("--prefilter-sor-threshold", type=float, default=3.0)
     p.add_argument("--max-reads-per-alignment-start", type=int, default=50)
     p.add_argument("-ERC", "--emit-ref-confidence", choices=["NONE", "GVCF"], default="NONE")
     args = p.parse_args(argv)
@@ -55,8 +61,15 @@ def haplotype_caller(argv):
         dont_use_soft_clipped_bases=args.dont_use_soft_clipped_bases,
         adaptive_pruning=args.adaptive_pruning,
         max_reads_per_alignment_start=args.max_reads_per_alignment_start,
+        filter_alleles=args.filter_alleles,
+        prefilter_qual_threshold=args.prefilter_qual_threshold,
+        prefilter_sor_threshold=args.prefilter_sor_threshold,
     )
     engine = hc_engine.HaplotypeCallerEngine(ref, sample, hc_args)
+    if args.bamout:
+        from ..calling.bamout import BamoutCollector
+        contig_ids = {s.name: i for i, s in enumerate(header.sequences)}
+        engine.bamout = BamoutCollector(contig_ids)
     from ..parallel.scheduler import ShardedCaller
 
     caller = ShardedCaller(engine)  # round-robins regions over all local devices
@@ -92,5 +105,8 @@ def haplotype_caller(argv):
                 writer.write(v)
                 n += 1
     writer.close()
+    if engine.bamout is not None:
+        engine.bamout.write(args.bamout, header)
+        print(f"wrote bamout with {len(engine.bamout.records)} records to {args.bamout}")
     print(f"wrote {n} variants to {args.output}")
     return 0
