@@ -147,6 +147,10 @@ class VcfWriter:
     def write(self, v: Variant):
         self._lines.append(variant_to_line(v))
 
+    def write_line(self, line: str):
+        """Append an already-formatted data line (checkpoint resume path)."""
+        self._lines.append(line.rstrip("\n"))
+
     def close(self):
         payload = ("\n".join(self._lines) + "\n").encode()
         if self.path.endswith(".gz"):

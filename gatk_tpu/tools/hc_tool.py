@@ -33,6 +33,11 @@ def haplotype_caller(argv):
     p.add_argument("--dont-use-soft-clipped-bases", action="store_true")
     p.add_argument("--adaptive-pruning", action="store_true",
                    help="use the adaptive chain pruner (recommended for deep data)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="per-interval-shard checkpoint dir; reruns skip completed shards")
+    p.add_argument("--shard-size", type=int, default=None,
+                   help="split -L targets into shards of this many bp (the checkpoint "
+                        "unit; reruns must use the same value)")
     p.add_argument("-bamout", "--bam-output", dest="bamout", default=None,
                    help="write assembled haplotypes and realigned reads to this BAM")
     p.add_argument("--filter-alleles", action="store_true",
@@ -53,6 +58,9 @@ def haplotype_caller(argv):
         targets = [iv.parse_interval(s, contig_lengths) for s in args.intervals]
     else:
         targets = [iv.Interval(s.name, 0, s.length) for s in header.sequences]
+    if args.shard_size:
+        targets = [iv.Interval(t.contig, s, min(s + args.shard_size, t.end))
+                   for t in targets for s in range(t.start, t.end, args.shard_size)]
 
     hc_args = hc_engine.HCArgs(
         min_base_quality_score=args.min_base_quality_score,
@@ -88,22 +96,37 @@ def haplotype_caller(argv):
         contigs=[(s.name, s.length) for s in header.sequences],
         extra_header_lines=header_lines,
     )
+    ckpt = None
+    if args.checkpoint_dir:
+        from ..engine.checkpoint import ShardCheckpointer
+        ckpt = ShardCheckpointer(args.checkpoint_dir)
+    from ..engine.progress import ProgressMeter
+    pm = ProgressMeter("HaplotypeCaller", unit="variants").start()
     n = 0
     for target in targets:
+        if ckpt is not None and ckpt.is_done(target):
+            for line in ckpt.load_lines(target):
+                writer.write_line(line)
+                n += 1
+            pm.update(f"{target.contig}:{target.end}", n=0)
+            continue
         reads = []
         for r in readers:
             reads.extend(r.query(target.contig, max(0, target.start - 1000), target.end + 1000))
         reads.sort(key=lambda x: (x.pos, x.name))
         if gvcf_mode:
             records = hc_engine.call_interval_gvcf(engine, reads, target)
-            for v in records:
-                writer.write(v)
-                n += 1
         else:
             variants, _ = caller.call_interval(reads, target)
-            for v in sorted(variants, key=lambda x: x.pos):
-                writer.write(v)
-                n += 1
+            records = sorted(variants, key=lambda x: x.pos)
+        lines = [vcf.variant_to_line(v) for v in records]
+        if ckpt is not None:
+            ckpt.save_lines(target, lines)
+        for line in lines:
+            writer.write_line(line)
+            n += 1
+            pm.update(f"{target.contig}:{target.end}")
+    pm.stop()
     writer.close()
     if engine.bamout is not None:
         engine.bamout.write(args.bamout, header)

@@ -61,11 +61,15 @@ def mutect2(argv):
         from ..mutect import orientation as ob
         f1r2_counts = ob.F1R2Counts(sample)
 
+    from ..engine.progress import ProgressMeter
+    pm = ProgressMeter("Mutect2", unit="variants").start()
     all_variants = []
     callable_sites = 0
     for t in targets:
         reads = list(reader.query(t.contig, max(0, t.start - 300), min(lengths[t.contig], t.end + 300)))
-        all_variants.extend(eng.call_interval(reads, t))
+        found = eng.call_interval(reads, t)
+        all_variants.extend(found)
+        pm.update(f"{t.contig}:{t.end}", n=len(found))
         callable_sites += eng.count_callable_sites(reads, t)
         if f1r2_counts is not None:
             from ..mutect.engine import m2_read_filter
@@ -77,6 +81,7 @@ def mutect2(argv):
         from ..mutect import orientation as ob
         ob.write_f1r2_targz(f1r2_counts, args.f1r2_tar_gz)
 
+    pm.stop()
     all_variants.sort(key=lambda v: (v.contig, v.pos))
     header_lines = [
         '##INFO=<ID=DP,Number=1,Type=Integer,Description="Approximate read depth">',

@@ -145,3 +145,46 @@ def test_reads_pipeline_md_bqsr_hc(tmp_path):
     by_pos = {int(r[1]): r for r in _records(out)}
     for pos in (152, 263, 310):
         assert pos in by_pos, f"pipeline missing {pos}"
+
+
+def test_hc_checkpoint_resume(tmp_path):
+    """Per-shard checkpoint/resume: a rerun skips completed shards and emits the
+    identical VCF (scatter-gather shard checkpoint pattern, SURVEY §5.4c)."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "a.vcf")
+    base = ["HaplotypeCaller", "-I", BAM, "-R", REF,
+            "-L", "chrM:1-1200", "--shard-size", "400",
+            "--checkpoint-dir", ckpt] + FAST
+    TOOL_REGISTRY["HaplotypeCaller"](base[1:] + ["-O", out1])
+    shards = sorted(os.listdir(ckpt))
+    assert len(shards) == 3, shards
+    # simulate a crash that lost the last shard, then resume
+    os.remove(os.path.join(ckpt, shards[-1]))
+    kept = [os.path.join(ckpt, s) for s in shards[:-1]]
+    mtimes = [os.path.getmtime(p) for p in kept]
+    out2 = str(tmp_path / "b.vcf")
+    TOOL_REGISTRY["HaplotypeCaller"](base[1:] + ["-O", out2])
+    # kept shards were reused, not recomputed
+    assert [os.path.getmtime(p) for p in kept] == mtimes
+    body = lambda p: [l for l in open(p) if not l.startswith("#")]
+    assert body(out1) == body(out2)
+    assert len(body(out1)) > 0
+
+
+def test_progress_meter_output():
+    import io
+
+    from gatk_tpu.engine.progress import ProgressMeter
+
+    buf = io.StringIO()
+    pm = ProgressMeter("Test", unit="regions", seconds_between_updates=0.0, out=buf)
+    pm.start()
+    for i in range(5):
+        pm.update(f"chr1:{i * 100}")
+    pm.stop()
+    text = buf.getvalue()
+    assert "Starting Test traversal" in text
+    assert "chr1:400" in text
+    assert "Processed 5 total regions" in text
