@@ -49,7 +49,8 @@ def haplotype_caller(argv):
     args = p.parse_args(argv)
 
     ref = fasta.FastaReference(args.reference)
-    readers = [bam.BamReader(path) for path in args.input]
+    from ..io.cram import open_reads
+    readers = [open_reads(path, reference=ref) for path in args.input]
     header = readers[0].header
     sample = header.read_groups[0].get("SM", "SAMPLE") if header.read_groups else "SAMPLE"
 

@@ -39,7 +39,8 @@ def mutect2(argv):
         m2args.initial_log10_odds = args.initial_tumor_lod
 
     ref = fasta.FastaReference(args.reference)
-    reader = bam.BamReader(args.input[0])
+    from ..io.cram import open_reads
+    reader = open_reads(args.input[0], reference=ref)
     lengths = {s.name: s.length for s in reader.header.sequences}
     sample = args.tumor_sample
     if sample is None:
