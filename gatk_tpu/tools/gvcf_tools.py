@@ -380,3 +380,173 @@ def calculate_genotype_posteriors(argv):
     w.close()
     print(f"wrote {n} records to {args.output}")
     return 0
+
+@register_tool("GnarlyGenotyper")
+def gnarly_genotyper(argv):
+    """Quick-and-dirty large-cohort joint genotyping on combined GVCF records.
+
+    Reference: gnarlyGenotyper/GnarlyGenotyperEngine.java — QUALapprox
+    thresholding with SNP/indel heterozygosity priors (:9-10), NON_REF
+    trimming with PL/AD subsetting and GT calling from PLs
+    (iterateOnGenotypes), AC/AF/AN from called genotypes, ExcessHet from
+    genotype counts, FS/SOR from the summed SB table, QD = QUALapprox/VarDP.
+    """
+    import math
+
+    import numpy as np
+
+    from ..gvcf import annotations as ann
+    from ..gvcf import genotype_gvcfs as gg
+
+    p = argparse.ArgumentParser(description="GnarlyGenotyper")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--keep-all-sites", action="store_true")
+    p.add_argument("--max-alternate-alleles", type=int, default=6)
+    args = p.parse_args(argv)
+
+    SNP_HET, INDEL_HET = 1e-3, 1.25e-4  # HomoSapiensConstants
+    SNP_QUAL_THRESHOLD = 30.0 - 10 * math.log10(SNP_HET)
+    INDEL_QUAL_THRESHOLD = 30.0 - 10 * math.log10(INDEL_HET)
+
+    if args.variant.startswith("gendb://"):
+        if args.reference is None:
+            raise UserError("GnarlyGenotyper on a gendb:// workspace requires -R")
+        reader = _GendbReader(args.variant, args.reference, args.intervals)
+    else:
+        reader = vcf.VcfReader(args.variant)
+    samples = list(reader.samples)
+
+    def pl_index_to_pair(idx):
+        # canonical diploid genotype ordering: (j,k) j<=k at k(k+1)/2+j
+        k = 0
+        while (k + 1) * (k + 2) // 2 <= idx:
+            k += 1
+        j = idx - k * (k + 1) // 2
+        return j, k
+
+    out = []
+    for v in reader:
+        alleles = [v.ref] + list(v.alts)
+        has_non_ref = v.alts and v.alts[-1] == gg.NON_REF
+        targets = alleles[:-1] if has_non_ref else alleles
+        concrete_alts = [a for a in targets[1:] if a != "*"]
+        if not concrete_alts:
+            continue
+        n_target = len(targets)
+        n_gts = n_target * (n_target + 1) // 2
+
+        # QUALapprox: INFO if present (ReblockGVCF emits it), else per-sample PL[0] sum
+        if "QUALapprox" in v.info:
+            qual_approx = float(v.info["QUALapprox"])
+        else:
+            qual_approx = 0.0
+            for s in v.samples:
+                pl = s.get("PL")
+                if pl not in (None, "."):
+                    qual_approx += float(pl.split(",")[0])
+        has_snp = any(len(a) == len(v.ref) and a != "*" for a in targets[1:])
+        is_indel = not has_snp
+        site_prior = INDEL_HET if is_indel else SNP_HET
+        threshold = INDEL_QUAL_THRESHOLD if is_indel else SNP_QUAL_THRESHOLD
+        if qual_approx < threshold:
+            if not args.keep_all_sites:
+                continue
+
+        # genotypes: trim NON_REF, call GT from PLs
+        new_samples = []
+        ac = np.zeros(n_target, int)
+        an = 0
+        sb_sum = np.zeros(4, int)
+        het = hom_var = 0
+        var_dp = 0
+        for s in v.samples:
+            new_s = {}
+            pl = s.get("PL")
+            ad = s.get("AD")
+            if ad not in (None, "."):
+                ad_vals = [int(x) for x in ad.split(",")][:n_target]
+                new_s["AD"] = ",".join(str(x) for x in ad_vals)
+            else:
+                ad_vals = None
+            if pl in (None, "."):
+                new_s["GT"] = "./."
+                new_samples.append(new_s)
+                continue
+            pls = [int(x) for x in pl.split(",")][:n_gts]
+            order = sorted(pls)
+            gq = (order[1] - order[0]) if len(order) > 1 else 0
+            j, k = pl_index_to_pair(int(np.argmin(pls)))
+            new_s["GT"] = f"{j}/{k}"
+            new_s["GQ"] = str(min(gq, 99))
+            new_s["PL"] = ",".join(str(x - order[0]) for x in pls)
+            if "DP" in s and s["DP"] != ".":
+                new_s["DP"] = s["DP"]
+            an += 2
+            ac[j] += 1
+            ac[k] += 1
+            if j != k:
+                het += 1
+            elif k != 0:
+                hom_var += 1
+            if (j, k) != (0, 0) and ad_vals:
+                var_dp += sum(ad_vals)
+            sb = s.get("SB")
+            if sb not in (None, "."):
+                sb_sum += np.array([int(x) for x in sb.split(",")][:4])
+            new_samples.append(new_s)
+
+        if an == 0:
+            continue
+        info = {}
+        info["AC"] = ",".join(str(int(x)) for x in ac[1:])
+        info["AF"] = ",".join(f"{x / an:.3f}" for x in ac[1:])
+        info["AN"] = str(an)
+        if qual_approx < threshold:  # keep-all-sites path
+            filters = ("LowQual",)
+        else:
+            filters = ()
+        ref_count = max(an // 2 - het - hom_var, 0)
+        info["ExcessHet"] = f"{ann.excess_het_phred(het, hom_var, ref_count + het + hom_var):.4f}"
+        info["FS"] = ann.format_vcf_double(
+            ann.fisher_strand_phred(int(sb_sum[0]), int(sb_sum[1]), int(sb_sum[2]), int(sb_sum[3])))
+        info["SOR"] = ann.format_vcf_double(
+            ann.strand_odds_ratio(int(sb_sum[0]), int(sb_sum[1]), int(sb_sum[2]), int(sb_sum[3])))
+        if "RAW_MQandDP" in v.info:
+            sq, dp = (float(x) for x in str(v.info["RAW_MQandDP"]).split(",")[:2])
+            if dp > 0:
+                info["MQ"] = f"{math.sqrt(sq / dp):.2f}"
+        if var_dp > 0:
+            qd = qual_approx / var_dp
+            info["QD"] = f"{min(qd, 35.0):.2f}"
+        qual = qual_approx + 10 * math.log10(site_prior)
+        out.append(vcf.Variant(
+            contig=v.contig, pos=v.pos, ref=v.ref, alts=tuple(targets[1:]),
+            qual=round(qual, 2), filters=filters, info=info,
+            fmt_keys=("GT", "AD", "DP", "GQ", "PL"),
+            samples=new_samples))
+
+    header_lines = [
+        '##FILTER=<ID=LowQual,Description="Low quality">',
+        '##INFO=<ID=AC,Number=A,Type=Integer,Description="Allele count in genotypes">',
+        '##INFO=<ID=AF,Number=A,Type=Float,Description="Allele Frequency">',
+        '##INFO=<ID=AN,Number=1,Type=Integer,Description="Total number of alleles in called genotypes">',
+        '##INFO=<ID=ExcessHet,Number=1,Type=Float,Description="Phred-scaled p-value for exact test of excess heterozygosity">',
+        '##INFO=<ID=FS,Number=1,Type=Float,Description="Phred-scaled p-value using Fisher exact test to detect strand bias">',
+        '##INFO=<ID=MQ,Number=1,Type=Float,Description="RMS Mapping Quality">',
+        '##INFO=<ID=QD,Number=1,Type=Float,Description="Variant Confidence/Quality by Depth">',
+        '##INFO=<ID=SOR,Number=1,Type=Float,Description="Symmetric Odds Ratio of 2x1x2 contingency table to detect strand bias">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allelic depths">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth">',
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">',
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred-scaled genotype likelihoods">',
+    ]
+    w = vcf.VcfWriter(args.output, samples, extra_header_lines=header_lines)
+    for rec in out:
+        w.write(rec)
+    w.close()
+    print(f"wrote {len(out)} variants to {args.output}")
+    return 0

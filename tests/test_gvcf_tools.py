@@ -137,3 +137,38 @@ def test_ref_vs_any_gls_clean_pileup():
     pls, dp = ref_vs_any_gls(reads, 0, 20, ref)
     assert (dp == 10).all()
     assert (pls[:, 0] == 0).all() and (pls[:, 1] > 0).all()
+
+
+def test_gnarly_genotyper(tmp_path):
+    """GnarlyGenotyper on a GVCF: QUALapprox thresholding, NON_REF trimming,
+    GT calling from PLs, AC/AF/AN + ExcessHet/FS/SOR annotations
+    (gnarlyGenotyper/GnarlyGenotyperEngine.java semantics)."""
+    from gatk_tpu.cli import TOOL_REGISTRY
+
+    out = str(tmp_path / "gnarly.vcf")
+    TOOL_REGISTRY["GnarlyGenotyper"]([
+        "-V", os.path.join(GG_DIR, "gvcfExample1.vcf"), "-O", out])
+    rows = [l.rstrip("\n").split("\t") for l in open(out) if not l.startswith("#")]
+    assert rows, "no records emitted"
+    for r in rows:
+        info = dict(kv.split("=", 1) for kv in r[7].split(";") if "=" in kv)
+        assert "<NON_REF>" not in r[4]
+        for key in ("AC", "AF", "AN", "ExcessHet", "FS", "SOR"):
+            assert key in info, (r[1], key)
+        assert float(r[5]) > 0
+        assert "/" in r[9].split(":")[0]
+    by_pos = {int(r[1]): r for r in rows}
+    # 20:69511 A>G hom-alt with PL 2284,207,0,...: called 1/1, weak sites dropped
+    assert 69511 in by_pos
+    assert by_pos[69511][9].split(":")[0] == "1/1"
+    info = dict(kv.split("=", 1) for kv in by_pos[69511][7].split(";") if "=" in kv)
+    assert info["AC"] == "2" and info["AN"] == "2"
+    # QUAL = QUALapprox + 10*log10(snp het prior) = 2284 - 30
+    assert abs(float(by_pos[69511][5]) - 2254.0) < 1.0
+    # keep-all-sites retains sub-threshold records as LowQual
+    out2 = str(tmp_path / "gnarly_all.vcf")
+    TOOL_REGISTRY["GnarlyGenotyper"]([
+        "-V", os.path.join(GG_DIR, "gvcfExample1.vcf"), "-O", out2,
+        "--keep-all-sites"])
+    rows2 = [l.rstrip("\n").split("\t") for l in open(out2) if not l.startswith("#")]
+    assert len(rows2) >= len(rows)
