@@ -549,30 +549,14 @@ def model_segments(argv):
                    [p for p, rc, ac in af_pts if lo <= p < hi]
             segments.append((c, min(starts), max(ends), seg_cr, seg_af))
 
-    # ---- posterior summaries (deterministic approximations of the MCMC) ----
-    from scipy.stats import beta as beta_dist, t as t_dist
+    # ---- posterior sampling (utils/mcmc Gibbs/slice equivalents, jax-native:
+    # every segment's parameter slice-steps in parallel per sweep; cnv/mcmc.py) ----
+    from ..cnv import mcmc as cnvmcmc
 
-    def cr_posterior(values):
-        n = len(values)
-        if n == 0:
-            return (NAN, NAN, NAN)
-        m = float(np.mean(values))
-        if n == 1:
-            return (m, m, m)
-        se = float(np.std(values, ddof=1)) / math.sqrt(n)
-        q10, q90 = t_dist.ppf([0.1, 0.9], df=max(n - 1, 1), loc=m, scale=max(se, 1e-10))
-        return (float(q10), m, float(q90))
-
-    def af_posterior(pairs):
-        if not pairs:
-            return (NAN, NAN, NAN)
-        # folded minor-allele fraction: beta posterior over the aggregated counts
-        minor = sum(min(rc, ac) for rc, ac in pairs)
-        major = sum(max(rc, ac) for rc, ac in pairs)
-        a, b = minor + 1, major + 1
-        q = beta_dist.ppf([0.1, 0.5, 0.9], a, b)
-        q = np.minimum(q, 0.5)
-        return (float(q[0]), float(q[1]), float(q[2]))
+    cr_quantiles = cnvmcmc.sample_copy_ratio_posteriors(
+        [seg_cr for _, _, _, seg_cr, _ in segments])
+    af_quantiles = cnvmcmc.sample_allele_fraction_posteriors(
+        [seg_af for _, _, _, _, seg_af in segments])
 
     fd = somatic.format_double
 
@@ -581,9 +565,9 @@ def model_segments(argv):
 
     model_rows = []
     cr_seg_rows = []
-    for c, s, e, seg_cr, seg_af in segments:
-        c10, c50, c90 = cr_posterior(seg_cr)
-        a10, a50, a90 = af_posterior(seg_af)
+    for i, (c, s, e, seg_cr, seg_af) in enumerate(segments):
+        c10, c50, c90 = cr_quantiles[i]
+        a10, a50, a90 = af_quantiles[i]
         model_rows.append((c, s, e, len(seg_cr), len(seg_af),
                            fmt(c10), fmt(c50), fmt(c90), fmt(a10), fmt(a50), fmt(a90)))
         cr_seg_rows.append((c, s, e, len(seg_cr),

@@ -176,3 +176,58 @@ def test_model_segments_synthetic(tmp_path):
     _s3, _h3, mcols, mrows = somatic.read_sam_tsv(os.path.join(outdir, "case.modelFinal.seg"))
     assert "MINOR_ALLELE_FRACTION_POSTERIOR_50" in mcols
     assert len(mrows) == 3
+
+
+def test_mcmc_copy_ratio_posteriors():
+    """Posterior deciles recover the segment means within noise, with sensible
+    interval widths (CopyRatioModeller semantics)."""
+    import numpy as np
+
+    from gatk_tpu.cnv import mcmc
+
+    rng = np.random.default_rng(3)
+    seg_means = [0.0, 1.5, -0.8]
+    seg_values = [rng.normal(m, 0.15, 300) for m in seg_means]
+    q = mcmc.sample_copy_ratio_posteriors(seg_values, seed=1)
+    for i, m in enumerate(seg_means):
+        q10, q50, q90 = q[i]
+        assert abs(q50 - m) < 0.05, (i, q[i])
+        assert q10 < q50 < q90
+        assert (q90 - q10) < 0.1  # tight with 300 points
+    # empty segments produce NaN
+    q2 = mcmc.sample_copy_ratio_posteriors([rng.normal(0, 0.1, 50), []])
+    assert np.isnan(q2[1]).all() and not np.isnan(q2[0]).any()
+
+
+def test_mcmc_copy_ratio_outlier_robustness():
+    import numpy as np
+
+    from gatk_tpu.cnv import mcmc
+
+    rng = np.random.default_rng(4)
+    clean = rng.normal(0.5, 0.1, 200)
+    with_outliers = np.concatenate([clean, np.full(8, 4.0)])  # 4% outliers
+    q = mcmc.sample_copy_ratio_posteriors([with_outliers], seed=2)
+    assert abs(q[0][1] - 0.5) < 0.1, q  # outliers absorbed by the outlier state
+
+
+def test_mcmc_allele_fraction_posteriors():
+    import numpy as np
+
+    from gatk_tpu.cnv import mcmc
+
+    rng = np.random.default_rng(5)
+    # segment 1: balanced hets (minor AF 0.5); segment 2: minor AF 0.2
+    def hets(f, n, depth=60):
+        out = []
+        for _ in range(n):
+            minor_is_alt = rng.random() < 0.5
+            p = f if minor_is_alt else 1 - f
+            a = rng.binomial(depth, p)
+            out.append((depth - a, a))
+        return out
+
+    q = mcmc.sample_allele_fraction_posteriors([hets(0.5, 150), hets(0.2, 150)], seed=3)
+    assert abs(q[0][1] - 0.5) < 0.03, q[0]
+    assert abs(q[1][1] - 0.2) < 0.03, q[1]
+    assert q[0][0] < q[0][1] <= q[0][2]
