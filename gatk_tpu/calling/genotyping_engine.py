@@ -63,6 +63,7 @@ def assign_genotype_likelihoods(
     ploidy: int = 2,
     emit_all_active: bool = False,
     add_non_ref: bool = False,
+    as_annotations: bool = False,
 ):
     """Produce Variant records for one assembled region.
 
@@ -163,6 +164,10 @@ def assign_genotype_likelihoods(
         info = _standard_annotations(
             marginal, alleles, loc, gt_tuple, counts, phred_no_variant,
             n_non_ref := sum(1 for a in gt_tuple if a != 0), af, ploidy)
+        if as_annotations:
+            info.update(_allele_specific_annotations(
+                marginal, alleles, loc, phred_no_variant, counts))
+            info = {k: info[k] for k in sorted(info)}
 
         v = Variant(
             contig=contig,
@@ -283,3 +288,60 @@ def _standard_annotations(marginal, alleles, loc, gt_tuple, counts, qual, n_non_
         info["QD"] = f"{qd:.2f}"
     info["SOR"] = f"{strand_odds_ratio(*sb):.3f}"
     return {k: info[k] for k in sorted(info)}
+
+
+def _allele_specific_annotations(marginal, alleles, loc, qual, counts):
+    """AS_* allele-specific annotation spine (tools/walkers/annotator/
+    allelespecific/: AS_SB_TABLE raw form, finalized AS_FS/AS_SOR per allele
+    contingency, AS_MQ RMS over allele reads, AS_*RankSum alt-vs-ref,
+    AS_QD per-allele qual over allele depth)."""
+    from ..gvcf.annotations import (
+        fisher_strand_phred,
+        format_vcf_double,
+        mann_whitney_z,
+        rms_mapping_quality,
+        strand_odds_ratio,
+    )
+
+    n_alleles = len(alleles)
+    best_idx, _best, conf = marginal.best_alleles()
+    reads = marginal.reads
+    sb = [[0, 0] for _ in range(n_alleles)]
+    mq = [[] for _ in range(n_alleles)]
+    bq = [[] for _ in range(n_alleles)]
+    pos = [[] for _ in range(n_alleles)]
+    for ri, read in enumerate(reads):
+        if conf[ri] <= 0.2:
+            continue
+        ai = int(best_idx[ri])
+        sb[ai][1 if read.is_reverse else 0] += 1
+        mq[ai].append(read.mapq)
+        off = _read_offset_at(read, loc)
+        if off is not None:
+            bq[ai].append(int(read.quals[off]))
+            pos[ai].append(min(off, len(read.bases) - 1 - off))
+
+    info = {}
+    info["AS_SB_TABLE"] = "|".join(f"{f},{r}" for f, r in sb)
+    as_fs, as_sor, as_mq = [], [], []
+    as_bqrs, as_mqrs, as_rprs, as_qd = [], [], [], []
+    for ai in range(1, n_alleles):
+        table = (sb[0][0], sb[0][1], sb[ai][0], sb[ai][1])
+        as_fs.append(f"{fisher_strand_phred(*table):.3f}")
+        as_sor.append(f"{strand_odds_ratio(*table):.3f}")
+        as_mq.append(f"{rms_mapping_quality(mq[ai]):.2f}" if mq[ai] else "NaN")
+        for out, alt_v, ref_v in ((as_bqrs, bq[ai], bq[0]),
+                                  (as_mqrs, mq[ai], mq[0]),
+                                  (as_rprs, pos[ai], pos[0])):
+            z = mann_whitney_z(alt_v, ref_v)
+            out.append(format_vcf_double(z) if z is not None else "NaN")
+        depth = int(counts[ai]) if ai < len(counts) else 0
+        as_qd.append(f"{min(qual / depth, 35.0):.2f}" if depth > 0 else "NaN")
+    info["AS_FS"] = ",".join(as_fs)
+    info["AS_SOR"] = ",".join(as_sor)
+    info["AS_MQ"] = ",".join(as_mq)
+    info["AS_BaseQRankSum"] = ",".join(as_bqrs)
+    info["AS_MQRankSum"] = ",".join(as_mqrs)
+    info["AS_ReadPosRankSum"] = ",".join(as_rprs)
+    info["AS_QD"] = ",".join(as_qd)
+    return info

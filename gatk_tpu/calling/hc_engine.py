@@ -44,6 +44,13 @@ class HCArgs:
     filter_alleles: bool = False
     prefilter_qual_threshold: float = 30.0
     prefilter_sor_threshold: float = 3.0
+    # AS_* allele-specific annotations (-G AS_StandardAnnotation;
+    # tools/walkers/annotator/allelespecific/)
+    as_annotations: bool = False
+    # user --read-filter / --disable-read-filter toggles on top of the HC
+    # default stack (GATKReadFilterPluginDescriptor equivalent)
+    extra_read_filters: tuple = ()
+    disabled_read_filters: tuple = ()
 
 
 def maybe_filter_alleles(lik, args, span_start):
@@ -215,11 +222,18 @@ class HaplotypeCallerEngine:
         region boundaries."""
         args = self.args
         contig_len = self.ref.contig_length(interval.contig)
-        usable = [
-            r
-            for r in reads
-            if filters.hc_read_filter(r, args.min_mapping_quality, contig_len)
-        ]
+        if args.extra_read_filters or args.disabled_read_filters:
+            stack = filters.build_filter_stack(
+                filters.HC_DEFAULT_FILTER_NAMES, enable=args.extra_read_filters,
+                disable=args.disabled_read_filters,
+                min_mapping_quality=args.min_mapping_quality)
+            usable = [r for r in reads if stack(r)]
+        else:
+            usable = [
+                r
+                for r in reads
+                if filters.hc_read_filter(r, args.min_mapping_quality, contig_len)
+            ]
         usable = positional_downsample(usable, args.max_reads_per_alignment_start)
 
         span_start = max(0, interval.start - REGION_PADDING)
@@ -313,6 +327,7 @@ class HaplotypeCallerEngine:
             haplotypes, lik, prep["ref_bases"], padded.start, span.start, span.end,
             span.contig, self.sample,
             standard_confidence=args.standard_confidence, ploidy=args.ploidy,
+            as_annotations=args.as_annotations,
         )
         if self.bamout is not None:
             self.bamout.add_region(span.contig, haplotypes, lik)
@@ -347,6 +362,7 @@ class HaplotypeCallerEngine:
             haplotypes, lik, ref_bases, padded.start, span.start, span.end,
             span.contig, self.sample,
             standard_confidence=args.standard_confidence, ploidy=args.ploidy,
+            as_annotations=args.as_annotations,
         )
         if self.bamout is not None:
             self.bamout.add_region(span.contig, haplotypes, lik)

@@ -40,6 +40,11 @@ def haplotype_caller(argv):
                         "unit; reruns must use the same value)")
     p.add_argument("-bamout", "--bam-output", dest="bamout", default=None,
                    help="write assembled haplotypes and realigned reads to this BAM")
+    p.add_argument("-G", "--annotation-group", action="append", default=[],
+                   help="annotation groups (AS_StandardAnnotation enables AS_* annotations)")
+    p.add_argument("--read-filter", action="append", default=[],
+                   help="additional read filters by library name")
+    p.add_argument("--disable-read-filter", action="append", default=[])
     p.add_argument("--filter-alleles", action="store_true",
                    help="pre-genotyping weak-allele filtering (AlleleFiltering.java)")
     p.add_argument("--prefilter-qual-threshold", type=float, default=30.0)
@@ -73,6 +78,9 @@ def haplotype_caller(argv):
         filter_alleles=args.filter_alleles,
         prefilter_qual_threshold=args.prefilter_qual_threshold,
         prefilter_sor_threshold=args.prefilter_sor_threshold,
+        as_annotations="AS_StandardAnnotation" in args.annotation_group,
+        extra_read_filters=tuple(args.read_filter),
+        disabled_read_filters=tuple(args.disable_read_filter),
     )
     engine = hc_engine.HaplotypeCallerEngine(ref, sample, hc_args)
     if args.bamout:

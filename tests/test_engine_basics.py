@@ -93,3 +93,87 @@ class TestClipping:
         r = mk_read(100, "3S5M2S")
         assert r.unclipped_start() == 97
         assert r.unclipped_end() == 107
+
+
+def test_read_filter_library_registry():
+    """ReadFilterLibrary-style registry: named toggles + counting summary
+    (engine/filters/ReadFilterLibrary.java + CountingReadFilter.java)."""
+    import numpy as np
+
+    from gatk_tpu.engine import filters
+    from gatk_tpu.io.reads import Read
+
+    def mk(mapq=60, flag=0, tlen=100, n=50):
+        return Read("r", flag, 0, 100, mapq,
+                    np.array([0], np.uint8), np.array([n], np.int32),
+                    np.full(n, ord("A"), np.uint8), np.full(n, 30, np.uint8),
+                    tlen=tlen, tags={"RG": "rg1"})
+
+    assert len(filters.READ_FILTER_LIBRARY) >= 25
+    stack = filters.build_filter_stack(filters.HC_DEFAULT_FILTER_NAMES)
+    assert stack(mk())
+    assert not stack(mk(mapq=10))
+    assert stack.counts["MappingQualityReadFilter"] == 1
+    # disabling the MQ filter lets the low-MQ read through
+    stack2 = filters.build_filter_stack(
+        filters.HC_DEFAULT_FILTER_NAMES, disable=["MappingQualityReadFilter"])
+    assert stack2(mk(mapq=10))
+    # enabling an extra filter rejects unpaired reads
+    stack3 = filters.build_filter_stack(
+        filters.HC_DEFAULT_FILTER_NAMES, enable=["PairedReadFilter"])
+    assert not stack3(mk())
+    assert stack3(mk(flag=0x1 | 0x2))
+    # summary lines mention filtered counts
+    assert any("MappingQualityReadFilter" in l for l in stack.summary_lines())
+    # parameterized filters
+    assert filters.ReadLengthReadFilter(10, 60)(mk())
+    assert not filters.ReadLengthReadFilter(51, 60)(mk())
+    assert filters.FragmentLengthReadFilter(150)(mk())
+    assert not filters.FragmentLengthReadFilter(50)(mk())
+    nread = mk()
+    nread.bases[:10] = ord("N")
+    assert not filters.AmbiguousBaseReadFilter(0.05)(nread)
+    assert filters.AmbiguousBaseReadFilter(0.5)(nread)
+
+
+def test_as_annotations_emitted():
+    """-G AS_StandardAnnotation adds the AS_* spine to INFO."""
+    import numpy as np
+
+    from gatk_tpu.assembly.haplotype import Haplotype, build_event_map
+    from gatk_tpu.calling.genotyping_engine import assign_genotype_likelihoods
+    from gatk_tpu.calling.likelihoods import AlleleLikelihoods
+    from gatk_tpu.io.reads import Read
+
+    ref = "ACGTACGTACGTACGTACGT"
+    alt = ref[:10] + "T" + ref[11:]
+
+    def hap(bases, is_ref=False):
+        h = Haplotype(bases=bases.encode(), is_ref=is_ref,
+                      cigar_ops=np.array([0], np.uint8),
+                      cigar_lens=np.array([len(bases)], np.int32),
+                      alignment_start=0)
+        build_event_map(h, np.frombuffer(ref.encode(), np.uint8), 0)
+        return h
+
+    haps = [hap(ref, True), hap(alt)]
+    reads = []
+    for i in range(20):
+        bases = (ref if i % 2 else alt).encode()
+        reads.append(Read(f"r{i}", 16 if i % 3 == 0 else 0, 0, 0, 60,
+                          np.array([0], np.uint8), np.array([len(bases)], np.int32),
+                          np.frombuffer(bases, np.uint8).copy(),
+                          np.full(len(bases), 30, np.uint8)))
+    values = np.zeros((2, 20))
+    values[0, 0::2] = -8.0
+    values[1, 1::2] = -8.0
+    lik = AlleleLikelihoods(haps, reads, values)
+    variants = assign_genotype_likelihoods(
+        haps, lik, np.frombuffer(ref.encode(), np.uint8), 0, 0, len(ref),
+        "chr1", "S", as_annotations=True)
+    assert variants
+    info = variants[0].info
+    for key in ("AS_SB_TABLE", "AS_FS", "AS_SOR", "AS_MQ",
+                "AS_BaseQRankSum", "AS_ReadPosRankSum", "AS_QD"):
+        assert key in info, key
+    assert "|" in info["AS_SB_TABLE"]
