@@ -45,6 +45,7 @@ def assemble(
     allow_non_unique_kmers_in_ref: bool = False,
     recover_dangling: bool = True,
     adaptive_pruning: bool = False,
+    use_seq_graph: bool = True,
 ) -> AssemblyResult:
     """Assemble region reads against the padded reference sequence.
 
@@ -89,15 +90,33 @@ def assemble(
             graph._remove_orphans()
         if graph.ref_source() is None or graph.ref_sink() is None:
             continue
-        paths = kbest.find_k_best_paths(graph, num_best)
-        for path, score, weakness in paths:
-            bases = kbest.path_to_bases(graph, path)
+        if use_seq_graph:
+            # default GATK path: zip to a SeqGraph, run the simplification
+            # transforms, then k-best over the simplified graph
+            # (ReadThreadingAssembler.findBestPaths :229-324 via
+            # AssemblyResult's seq graph; graphs/SeqGraph.simplifyGraph)
+            from . import seqgraph as sg
+
+            seq_graph = sg.SeqGraph.from_read_threading_graph(graph).simplify()
+            paths = [((None, bases), score, weakness) for bases, score, weakness
+                     in sg.find_k_best_haplotypes(seq_graph, num_best)]
+        else:
+            paths = [((path, None), score, weakness) for path, score, weakness
+                     in kbest.find_k_best_paths(graph, num_best)]
+        # dedupe + length-filter, then SW-align every candidate in one batched
+        # call (the per-haplotype AVX alignment loop of findBestPaths :324)
+        candidates = []
+        for (path, path_bases), score, weakness in paths:
+            bases = path_bases if path_bases is not None else kbest.path_to_bases(graph, path)
             if bases in seen:
                 continue
             seen.add(bases)
             if len(bases) < graph.kmer_size:
                 continue
-            aln = sw.align(ref_hap.bases, bases, sw.NEW_SW_PARAMETERS, sw.SOFTCLIP)
+            candidates.append((bases, score, weakness))
+        alignments = sw.align_batch(
+            ref_hap.bases, [c[0] for c in candidates], sw.NEW_SW_PARAMETERS, sw.SOFTCLIP)
+        for (bases, score, weakness), aln in zip(candidates, alignments):
             if _too_clipped(aln):
                 continue
             hap = Haplotype(

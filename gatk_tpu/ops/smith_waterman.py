@@ -204,3 +204,111 @@ def _calculate_cigar(H, btrack, overhang) -> SWAlignment:
     return SWAlignment(
         np.array(ops[::-1], np.uint8), np.array(lens[::-1], np.int32), offset, maxscore
     )
+
+
+def align_batch(ref, alts, params: SWParameters, overhang: str = SOFTCLIP):
+    """Batched SW: align many alts against one ref in a single vectorized DP.
+
+    The per-row update is identical to align() with a leading batch dimension,
+    amortizing the Python/numpy dispatch overhead across the whole haplotype
+    set (the reference handles this volume with its AVX kernel; the assembler
+    aligns up to 128 k-best haplotypes per kmer size against the same padded
+    reference, ReadThreadingAssembler.findBestPaths :324).
+
+    Returns a list of SWAlignment in alts order (exact-match fast path and
+    per-item cigar backtrack preserved; scores identical to align()).
+    """
+    ref_arr = np.frombuffer(bytes(ref), dtype=np.uint8) if isinstance(ref, (bytes, bytearray)) \
+        else np.asarray(ref, dtype=np.uint8)
+    n = len(ref_arr)
+    results: list = [None] * len(alts)
+    todo = []
+    for idx, alt in enumerate(alts):
+        alt_arr = np.frombuffer(bytes(alt), dtype=np.uint8) if isinstance(alt, (bytes, bytearray)) \
+            else np.asarray(alt, dtype=np.uint8)
+        if len(alt_arr) == 0 or n == 0:
+            raise ValueError("empty sequences")
+        if overhang == SOFTCLIP and n == len(alt_arr) and np.array_equal(ref_arr, alt_arr):
+            results[idx] = SWAlignment(np.array([sam.OP_M], np.uint8),
+                                       np.array([len(alt_arr)], np.int32), 0,
+                                       len(alt_arr) * params.match)
+        else:
+            todo.append((idx, alt_arr))
+    if not todo:
+        return results
+
+    # bound DP-matrix memory: (chunk, n, m) int32 x2 stays < ~100MB
+    max_chunk = max(1, int(100e6 / max(1, 8 * (n + 1) * (max(len(a) for _, a in todo) + 1))))
+    if len(todo) > max_chunk:
+        for lo in range(0, len(todo), max_chunk):
+            chunk = todo[lo:lo + max_chunk]
+            sub = align_batch(ref_arr, [a for _, a in chunk], params, overhang)
+            for (idx, _), aln in zip(chunk, sub):
+                results[idx] = aln
+        return results
+
+    B = len(todo)
+    m = max(len(a) for _, a in todo)
+    alt_mat = np.zeros((B, m), np.uint8)  # 0 never matches ACGT bytes
+    m_lens = np.zeros(B, np.int64)
+    for b, (_, a) in enumerate(todo):
+        alt_mat[b, :len(a)] = a
+        m_lens[b] = len(a)
+
+    w_open, w_ext = params.gap_open, params.gap_extend
+    H = np.zeros((B, n + 1, m + 1), np.int32)
+    btrack = np.zeros((B, n + 1, m + 1), np.int32)
+    if overhang in (INDEL, LEADING_INDEL):
+        H[:, 0, 1:] = w_open + np.arange(m) * w_ext
+        H[:, 1:, 0] = w_open + np.arange(n) * w_ext
+
+    best_v = np.full((B, m + 1), LOW_INIT, np.int64)
+    size_v = np.zeros((B, m + 1), np.int64)
+    jcols = np.arange(m + 1)
+
+    for i in range(1, n + 1):
+        prev = H[:, i - 1].astype(np.int64)
+        prev_gap = prev + w_open
+        best_v += w_ext
+        reset = prev_gap > best_v
+        best_v = np.where(reset, prev_gap, best_v)
+        size_v = np.where(reset, 1, size_v + 1)
+
+        s = np.where(alt_mat == ref_arr[i - 1], params.match, params.mismatch)
+        step_diag = prev[:, :-1] + s
+        step_down = best_v[:, 1:]
+        h0 = np.maximum(step_diag, step_down)
+
+        r = np.empty((B, m + 1), np.int64)
+        r[:, 0] = H[:, i, 0]
+        r[:, 1:] = h0
+        r -= jcols[None, :] * w_ext
+        runmax = np.maximum.accumulate(r, axis=1)
+        F = runmax[:, :-1] + w_open + jcols[None, 1:] * w_ext - w_ext
+
+        h_final = np.maximum(h0, F)
+        r2 = np.empty((B, m + 1), np.int64)
+        r2[:, 0] = H[:, i, 0]
+        r2[:, 1:] = h_final
+        r2 -= jcols[None, :] * w_ext
+        runmax2 = np.maximum.accumulate(r2, axis=1)
+        changed = np.empty((B, m + 1), bool)
+        changed[:, 0] = True
+        changed[:, 1:] = r2[:, 1:] > runmax2[:, :-1]
+        argmax2 = np.maximum.accumulate(np.where(changed, jcols[None, :], -1), axis=1)
+        step_right = runmax2[:, :-1] + w_open + (jcols[None, 1:] - 1) * w_ext
+        ki = jcols[None, 1:] - argmax2[:, :-1]
+
+        diag_best = (step_diag >= step_down) & (step_diag >= step_right)
+        right_best = ~diag_best & (step_right >= step_down)
+        btrack[:, i, 1:] = np.where(diag_best, 0, np.where(right_best, -ki, size_v[:, 1:]))
+        H[:, i, 1:] = np.maximum(
+            MATRIX_MIN_CUTOFF,
+            np.where(diag_best, step_diag, np.where(right_best, step_right, step_down)),
+        )
+
+    for b, (idx, alt_arr) in enumerate(todo):
+        mi = int(m_lens[b])
+        results[idx] = _calculate_cigar(
+            H[b, :, :mi + 1].astype(np.int64), btrack[b, :, :mi + 1], overhang)
+    return results
