@@ -568,3 +568,120 @@ def create_somatic_panel_of_normals(argv):
     w.close()
     print(f"panel of normals: {len(records)} sites from {n_samples} normals -> {args.output}")
     return 0
+
+
+def _merge_as_filter(v, applied, filter_name):
+    """AlleleFilterUtils.getMergedASFilterString: append filter_name to each
+    failing allele's AS_FilterStatus entry."""
+    existing = str(v.info.get("AS_FilterStatus", "")).split("|") if v.info.get("AS_FilterStatus") else ["SITE"] * len(v.alts)
+    while len(existing) < len(v.alts):
+        existing.append("SITE")
+    out = []
+    for i in range(len(v.alts)):
+        entry = existing[i]
+        if i < len(applied) and applied[i]:
+            parts = [p for p in entry.split(",") if p not in ("SITE", "PASS", "")]
+            parts.append(filter_name)
+            entry = ",".join(parts)
+        out.append(entry)
+    return "|".join(out)
+
+
+@register_tool("NuMTFilterTool")
+def numt_filter_tool(argv):
+    """Filter mitochondrial alleles whose depth is consistent with a nuclear
+    NuMT copy (mutect/filtering/NuMTFilterTool.java: Poisson cutoff from the
+    median autosomal coverage)."""
+    from scipy.stats import poisson
+
+    from ..io import vcf as vcfio
+
+    p = argparse.ArgumentParser(description="NuMTFilterTool")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--autosomal-coverage", type=float, default=0.0)
+    p.add_argument("--max-numt-autosomal-copies", type=float, default=4.0)
+    args = p.parse_args(argv)
+
+    cutoff = 0
+    if args.autosomal_coverage > 0 and args.max_numt_autosomal_copies > 0:
+        lam = args.autosomal_coverage * args.max_numt_autosomal_copies / 2.0
+        cutoff = int(poisson.ppf(1 - 0.01, lam))
+
+    reader = vcfio.VcfReader(args.variant)
+    variants = list(reader)
+    n_filtered = 0
+    for v in variants:
+        ads = [0] * len(v.alts)
+        for s in v.samples:
+            raw = s.get("AD")
+            if raw in (None, "."):
+                continue
+            vals = [int(x) for x in raw.split(",")]
+            for i in range(min(len(v.alts), len(vals) - 1)):
+                ads[i] = max(ads[i], vals[i + 1])
+        applied = [d < cutoff for d in ads]
+        if applied and all(applied):
+            v.filters = tuple(sorted(set(v.filters) - {"PASS", "."} | {"possible_numt"}))
+            n_filtered += 1
+        if any(applied):
+            v.info["AS_FilterStatus"] = _merge_as_filter(v, applied, "possible_numt")
+    header = ['##FILTER=<ID=possible_numt,Description="Alt depth is below expected coverage of NuMT in autosome">']
+    w = vcfio.VcfWriter(args.output, reader.samples,
+                        extra_header_lines=reader.header_lines + header)
+    for v in variants:
+        w.write(v)
+    w.close()
+    print(f"{n_filtered} sites flagged possible_numt -> {args.output}")
+    return 0
+
+
+@register_tool("MTLowHeteroplasmyFilterTool")
+def mt_low_heteroplasmy_filter_tool(argv):
+    """Two-pass filter: if more than --max-allowed-low-hets unfiltered low-
+    heteroplasmy sites exist, filter all of them
+    (mutect/filtering/MTLowHeteroplasmyFilterTool.java)."""
+    from ..io import vcf as vcfio
+
+    p = argparse.ArgumentParser(description="MTLowHeteroplasmyFilterTool")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--max-allowed-low-hets", type=int, default=3)
+    p.add_argument("--low-het-threshold", type=float, default=0.1)
+    args = p.parse_args(argv)
+
+    reader = vcfio.VcfReader(args.variant)
+    variants = list(reader)
+
+    def allele_afs(v):
+        afs = [0.0] * len(v.alts)
+        for s in v.samples:
+            raw = s.get("AF")
+            if raw in (None, "."):
+                continue
+            vals = [float(x) for x in raw.split(",")]
+            for i in range(min(len(afs), len(vals))):
+                afs[i] = max(afs[i], vals[i])
+        return afs
+
+    low_het_sites = sum(
+        1 for v in variants
+        if v.filters in ((), ("PASS",)) and max(allele_afs(v), default=0.0) < args.low_het_threshold)
+    failed = low_het_sites > args.max_allowed_low_hets
+    n_filtered = 0
+    if failed:
+        for v in variants:
+            applied = [af < args.low_het_threshold for af in allele_afs(v)]
+            if applied and all(applied):
+                v.filters = tuple(sorted(set(v.filters) - {"PASS", "."} | {"mt_many_low_hets"}))
+                n_filtered += 1
+            if any(applied):
+                v.info["AS_FilterStatus"] = _merge_as_filter(v, applied, "mt_many_low_hets")
+    header = ['##FILTER=<ID=mt_many_low_hets,Description="Low heteroplasmy sites are filtered when at least x low het sites pass all other filters">']
+    w = vcfio.VcfWriter(args.output, reader.samples,
+                        extra_header_lines=reader.header_lines + header)
+    for v in variants:
+        w.write(v)
+    w.close()
+    print(f"{low_het_sites} low-het sites, {n_filtered} filtered -> {args.output}")
+    return 0

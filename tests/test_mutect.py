@@ -225,3 +225,43 @@ def test_create_somatic_panel_of_normals(tmp_path):
     info = dict(kv.split("=", 1) for kv in rows[0][7].split(";"))
     assert float(info["FRACTION"]) == 1.0
     assert "BETA" in info
+
+
+def test_mito_filter_tools(tmp_path):
+    """NuMTFilterTool + MTLowHeteroplasmyFilterTool semantics."""
+    from gatk_tpu.tools.mutect_tool import (
+        mt_low_heteroplasmy_filter_tool, numt_filter_tool)
+
+    header = ("##fileformat=VCFv4.2\n"
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+    # low-depth alt (possible NuMT at 30x autosomal coverage) vs high-depth alt
+    src = tmp_path / "in.vcf"
+    src.write_text(header
+                   + "chrM\t100\t.\tA\tC\t.\t.\t.\tGT:AD:AF\t0/1:500,20:0.04\n"
+                   + "chrM\t200\t.\tG\tT\t.\t.\t.\tGT:AD:AF\t0/1:100,900:0.90\n")
+    out = tmp_path / "numt.vcf"
+    numt_filter_tool(["-V", str(src), "-O", str(out), "--autosomal-coverage", "30"])
+    rows = {int(r[1]): r for r in
+            (l.split("\t") for l in out.read_text().splitlines() if not l.startswith("#"))}
+    assert "possible_numt" in rows[100][6]
+    assert "possible_numt" not in rows[200][6]
+
+    # 5 low-het passing sites > max 3 -> all low hets filtered
+    src2 = tmp_path / "in2.vcf"
+    lines = [f"chrM\t{100 + i}\t.\tA\tC\t.\t.\t.\tGT:AD:AF\t0/1:500,20:0.04\n"
+             for i in range(5)]
+    lines.append("chrM\t900\t.\tG\tT\t.\t.\t.\tGT:AD:AF\t0/1:100,900:0.90\n")
+    src2.write_text(header + "".join(lines))
+    out2 = tmp_path / "lowhet.vcf"
+    mt_low_heteroplasmy_filter_tool(["-V", str(src2), "-O", str(out2)])
+    rows2 = {int(r[1]): r for r in
+             (l.split("\t") for l in out2.read_text().splitlines() if not l.startswith("#"))}
+    assert all("mt_many_low_hets" in rows2[100 + i][6] for i in range(5))
+    assert "mt_many_low_hets" not in rows2[900][6]
+    # below the threshold count: nothing filtered
+    src3 = tmp_path / "in3.vcf"
+    src3.write_text(header + "".join(lines[:2]))
+    out3 = tmp_path / "lowhet3.vcf"
+    mt_low_heteroplasmy_filter_tool(["-V", str(src3), "-O", str(out3)])
+    assert all(r.split("\t")[6] == "." for r in out3.read_text().splitlines()
+               if not r.startswith("#"))
