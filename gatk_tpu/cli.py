@@ -84,6 +84,7 @@ def _register_builtin_tools():
     from .tools import variant_tools  # noqa: F401
     from .tools import analysis_tools  # noqa: F401
     from .tools import vets_tools  # noqa: F401
+    from .tools import pathseq_tools  # noqa: F401
 
 
 _register_builtin_tools()

@@ -1,0 +1,285 @@
+"""PathSeq: microbial read classification.
+
+Reference: tools/spark/pathseq/ — PathSeqBuildKmers.java (host reference →
+canonicalized masked kmer set, PSKmerSet/PSKmerUtils), PathSeqFilterSpark.java
+(quality + DUST low-complexity masking + host kmer subtraction, PSFilter.java),
+PathSeqScoreSpark.java (alignment hits → taxonomic abundance scores with tree
+propagation and per-kingdom normalization, PSScorer.java:283-360, PSTree.java).
+
+Re-architecture notes (cited reductions): the Spark RDD pipeline collapses to
+vectorized numpy over read batches — kmer membership is np.searchsorted against
+a sorted uint64 array (the Hopscotch-set equivalent), which XLA/TPU-style
+batches trivially. The bwa-mem host/pathogen alignment stages (PSBwaAligner)
+have no in-repo equivalent (bwa is a JNI binary in the reference too); host
+subtraction is kmer-based and pathogen assignment reads an aligned BAM, as the
+reference's scorer does.
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..cli import register_tool
+
+KMER_SIZE_DEFAULT = 31
+
+_BASE_CODE = np.full(256, 255, np.uint8)
+for i, b in enumerate(b"ACGT"):
+    _BASE_CODE[b] = i
+    _BASE_CODE[b + 32] = i
+
+
+def _canonical_kmers(seq: np.ndarray, k: int) -> np.ndarray:
+    """Canonicalized (min of kmer, revcomp) 2-bit packed kmers as uint64,
+    excluding windows containing non-ACGT (PSKmerCollection.canonicalizeAndMask)."""
+    codes = _BASE_CODE[seq]
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64)
+    valid = codes != 255
+    ok = np.lib.stride_tricks.sliding_window_view(valid, k).all(axis=1)
+    win = np.lib.stride_tricks.sliding_window_view(codes, k).astype(np.uint64)
+    weights_fwd = (np.uint64(4) ** np.arange(k - 1, -1, -1, dtype=np.uint64))
+    fwd = (win * weights_fwd[None, :]).sum(axis=1)
+    rc_codes = np.uint64(3) - win[:, ::-1]
+    rev = (rc_codes * weights_fwd[None, :]).sum(axis=1)
+    canon = np.minimum(fwd, rev)
+    return canon[ok]
+
+
+def _read_kmer_hits(bases: np.ndarray, k: int, kmer_set: np.ndarray) -> int:
+    kmers = _canonical_kmers(bases, k)
+    if kmers.size == 0:
+        return 0
+    idx = np.searchsorted(kmer_set, kmers)
+    idx = np.minimum(idx, len(kmer_set) - 1)
+    return int(np.count_nonzero(kmer_set[idx] == kmers)) if len(kmer_set) else 0
+
+
+def dust_mask(bases: np.ndarray, quals: np.ndarray, window: int = 64,
+              t_score: float = 20.0, mask_qual: int = 2) -> np.ndarray:
+    """DUST low-complexity masking (PSFilter.doDustMasking / DUSTReadTransformer):
+    set base quals to mask_qual inside low-complexity windows scored by
+    triplet-frequency: score = sum c_t(c_t-1)/2 / (w-3)."""
+    n = len(bases)
+    if n < 3:
+        return quals
+    codes = _BASE_CODE[bases]
+    trip = codes[:-2].astype(np.int32) * 16 + codes[1:-1] * 4 + codes[2:]
+    trip[(codes[:-2] == 255) | (codes[1:-1] == 255) | (codes[2:] == 255)] = -1
+    out = quals.copy()
+    for start in range(0, n, window):
+        end = min(start + window, n)
+        t = trip[start:max(start, end - 2)]
+        t = t[t >= 0]
+        if len(t) < 4:
+            continue
+        counts = np.bincount(t, minlength=64)
+        score = float((counts * (counts - 1) // 2).sum()) / max(len(t) - 1, 1)
+        if score > t_score:
+            out[start:end] = mask_qual
+    return out
+
+
+@register_tool("PathSeqBuildKmers")
+def pathseq_build_kmers(argv):
+    """Build the host-reference kmer library (PathSeqBuildKmers.java)."""
+    from ..io import fasta
+
+    p = argparse.ArgumentParser(description="PathSeqBuildKmers")
+    p.add_argument("--reference", "-R", required=True)
+    p.add_argument("-O", "--output", required=True, help=".npz kmer library")
+    p.add_argument("--kmer-size", type=int, default=KMER_SIZE_DEFAULT)
+    args = p.parse_args(argv)
+
+    ref = fasta.FastaReference(args.reference)
+    all_kmers = []
+    for name in ref.index:
+        seq = ref.fetch(name)
+        all_kmers.append(_canonical_kmers(seq, args.kmer_size))
+    kmers = np.unique(np.concatenate(all_kmers)) if all_kmers else np.zeros(0, np.uint64)
+    np.savez_compressed(args.output, kmers=kmers, kmer_size=args.kmer_size)
+    print(f"kmer library: {len(kmers)} unique canonical {args.kmer_size}-mers -> {args.output}")
+    return 0
+
+
+@register_tool("PathSeqFilter")
+def pathseq_filter(argv):
+    """Subtract host reads and low-quality/low-complexity sequence
+    (PathSeqFilterSpark.java / PSFilter.java stages: quality trim, DUST,
+    host kmer subtraction)."""
+    from ..io import bam as bamio
+
+    p = argparse.ArgumentParser(description="PathSeqFilter")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("--paired-output", required=True)
+    p.add_argument("--unpaired-output", default=None)
+    p.add_argument("--kmer-file", required=True)
+    p.add_argument("--filter-min-kmer-count", type=int, default=1)  # PSFilterArgumentCollection:minKmerCount
+    p.add_argument("--min-clipped-read-length", type=int, default=31)
+    p.add_argument("--dust-window", type=int, default=64)
+    p.add_argument("--dust-t", type=float, default=20.0)
+    p.add_argument("--dust-mask-quality", type=int, default=2)
+    p.add_argument("--min-base-quality", type=int, default=15)
+    p.add_argument("--max-masked-bases", type=float, default=0.05,
+                   help="fraction of ambiguous/masked bases allowed (filterAmbiguous)")
+    args = p.parse_args(argv)
+
+    lib = np.load(args.kmer_file)
+    kmer_set = np.sort(lib["kmers"])
+    k = int(lib["kmer_size"])
+
+    reader = bamio.BamReader(args.input)
+    kept_by_name: dict[str, list] = {}
+    n_in = n_host = n_lowq = 0
+    for r in reader:
+        if r.is_secondary or r.is_supplementary or r.is_duplicate:
+            continue
+        n_in += 1
+        quals = dust_mask(r.bases, r.quals, args.dust_window, args.dust_t,
+                          args.dust_mask_quality)
+        masked = int(np.count_nonzero(quals < args.min_base_quality))
+        if len(r.bases) < args.min_clipped_read_length or \
+                masked > args.max_masked_bases * len(r.bases):
+            n_lowq += 1
+            continue
+        if _read_kmer_hits(r.bases, k, kmer_set) >= args.filter_min_kmer_count:
+            n_host += 1
+            continue
+        kept_by_name.setdefault(r.name, []).append(r)
+
+    paired, unpaired = [], []
+    for name, group in kept_by_name.items():
+        (paired if len(group) == 2 else unpaired).extend(group)
+    w = bamio.BamWriter(args.paired_output, reader.header)
+    for r in paired:
+        w.write(r)
+    w.close()
+    if args.unpaired_output:
+        w2 = bamio.BamWriter(args.unpaired_output, reader.header)
+        for r in unpaired:
+            w2.write(r)
+        w2.close()
+    print(f"{n_in} reads in; {n_host} host-subtracted, {n_lowq} low quality/complexity; "
+          f"{len(paired)} paired + {len(unpaired)} unpaired kept")
+    return 0
+
+
+def read_taxonomy(path: str):
+    """tax_id\tparent_id\trank\tname\t[length]\t[accessions,...] per line."""
+    nodes = {}
+    accession_to_tax = {}
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.rstrip("\n").split("\t")
+            tax_id, parent = int(parts[0]), int(parts[1])
+            rank, name = parts[2], parts[3]
+            length = int(parts[4]) if len(parts) > 4 and parts[4] else 0
+            nodes[tax_id] = {"parent": parent, "rank": rank, "name": name,
+                             "length": length}
+            if len(parts) > 5 and parts[5]:
+                for acc in parts[5].split(","):
+                    accession_to_tax[acc] = tax_id
+    return nodes, accession_to_tax
+
+
+def _path_to_root(nodes, tax_id):
+    path = []
+    seen = set()
+    while tax_id in nodes and tax_id not in seen:
+        path.append(tax_id)
+        seen.add(tax_id)
+        parent = nodes[tax_id]["parent"]
+        if parent == tax_id:
+            break
+        tax_id = parent
+    return path
+
+
+@register_tool("PathSeqScore")
+def pathseq_score(argv):
+    """Taxonomic abundance scores from pathogen-aligned reads
+    (PathSeqScoreSpark.java / PSScorer.computeTaxScores :283-360): each read's
+    hits map to taxa via the alignment contig; a read hitting one taxon adds 1
+    to 'unambiguous', reads hitting N taxa add 1/N to each; scores propagate
+    up the taxonomy to the root and normalize to percent within kingdom."""
+    from ..io import bam as bamio
+
+    p = argparse.ArgumentParser(description="PathSeqScore")
+    p.add_argument("--paired-input", default=None)
+    p.add_argument("--unpaired-input", default=None)
+    p.add_argument("--taxonomy-file", required=True)
+    p.add_argument("--scores-output", "-O", required=True)
+    p.add_argument("--min-score-identity", type=float, default=0.9)
+    p.add_argument("--divide-by-genome-length", action="store_true")
+    args = p.parse_args(argv)
+
+    nodes, acc_to_tax = read_taxonomy(args.taxonomy_file)
+
+    def hits_for(path):
+        reader = bamio.BamReader(path)
+        contigs = [s.name for s in reader.header.sequences]
+        by_template: dict[str, set] = {}
+        for r in reader:
+            if r.is_unmapped or r.ref_id < 0:
+                continue
+            # identity filter: matched bases / read length
+            matched = sum(int(l) for o, l in zip(r.cigar_ops, r.cigar_lens)
+                          if int(o) in (0, 7))
+            if matched < args.min_score_identity * len(r.bases):
+                continue
+            acc = contigs[r.ref_id]
+            tax = acc_to_tax.get(acc)
+            if tax is not None:
+                by_template.setdefault(r.name, set()).add(tax)
+        return by_template
+
+    scores: dict[int, dict] = {}
+
+    def bump(tax_id, key, val):
+        s = scores.setdefault(tax_id, {"self_score": 0.0, "score": 0.0,
+                                       "reads": 0, "unambiguous": 0})
+        s[key] += val
+
+    total_templates = 0
+    for path in (args.paired_input, args.unpaired_input):
+        if not path:
+            continue
+        for name, taxa in hits_for(path).items():
+            total_templates += 1
+            n = len(taxa)
+            for t in taxa:
+                w = 1.0 / n
+                if args.divide_by_genome_length and nodes.get(t, {}).get("length"):
+                    w = w * 1e6 / nodes[t]["length"]
+                bump(t, "self_score", w)
+                bump(t, "reads", 1)
+                if n == 1:
+                    bump(t, "unambiguous", 1)
+
+    # propagate self scores to ancestors (PSScorer: scores are cumulative up the tree)
+    for tax_id in list(scores):
+        s = scores[tax_id]["self_score"]
+        for anc in _path_to_root(nodes, tax_id):
+            bump(anc, "score", s)
+
+    # normalized: percent of the summed root score (per-kingdom in the reference;
+    # single-kingdom taxonomies normalize over the whole tree)
+    roots = [t for t in scores if nodes.get(t, {}).get("parent", t) == t or
+             nodes.get(t, {}).get("rank") == "root"]
+    total = sum(scores[r]["score"] for r in roots) or \
+        sum(s["self_score"] for s in scores.values()) or 1.0
+
+    with open(args.scores_output, "w") as fh:
+        fh.write("tax_id\trank\tname\tscore\tscore_normalized\treads\tunambiguous\treference_length\n")
+        for tax_id in sorted(scores):
+            node = nodes.get(tax_id, {"rank": "?", "name": "?", "length": 0})
+            s = scores[tax_id]
+            fh.write(f"{tax_id}\t{node['rank']}\t{node['name']}\t{s['score']:.4f}\t"
+                     f"{100.0 * s['score'] / total:.4f}\t{s['reads']}\t"
+                     f"{s['unambiguous']}\t{node['length']}\n")
+    print(f"scored {total_templates} templates across {len(scores)} taxa -> {args.scores_output}")
+    return 0

@@ -352,3 +352,126 @@ def sv_cluster(argv):
     w.close()
     print(f"clustered {len(records)} records into {len(out)} variants -> {args.output}")
     return 0
+
+
+@register_tool("CollectSVEvidence")
+def collect_sv_evidence(argv):
+    """Collect split-read and discordant-pair SV evidence from a BAM.
+
+    Reference: tools/walkers/sv/CollectSVEvidence.java — soft-clipped reads
+    yield SplitReadEvidence at the clip position (first-cigar-op M -> RIGHT at
+    start+refLength, else LEFT at start, getSplitPosition :423-430), counted
+    per (position, direction); non-properly-paired primary reads yield
+    DiscordantPairEvidence (reportDiscordantReadPair :332). Encodings match
+    utils/codecs/SplitReadEvidenceCodec.encode :91 and
+    DiscordantPairEvidenceCodec.encode :89 (tab-separated, 0-based, bgzipped).
+    """
+    import argparse as _ap
+
+    from ..io import bam as bamio, bgzf, sam as samio
+
+    p = _ap.ArgumentParser(description="CollectSVEvidence")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("--sr-file", default=None, help="split-read evidence output (.sr.txt.gz)")
+    p.add_argument("--pe-file", default=None, help="discordant-pair evidence output (.pe.txt.gz)")
+    p.add_argument("--sample-name", default=None)
+    args = p.parse_args(argv)
+
+    reader = bamio.BamReader(args.input)
+    sample = args.sample_name
+    if sample is None:
+        sample = reader.header.read_groups[0].get("SM", "SAMPLE") \
+            if reader.header.read_groups else "SAMPLE"
+    contigs = [s.name for s in reader.header.sequences]
+
+    sr_counts: dict = {}   # (ref_id, pos0, direction) -> count
+    pe_rows = []
+    seen_pairs = set()
+    for r in reader:
+        if r.is_unmapped or r.is_secondary or r.is_supplementary or r.is_duplicate:
+            continue
+        ops = [int(o) for o in r.cigar_ops]
+        lens = [int(l) for l in r.cigar_lens]
+        if ops and samio.OP_S in ops:
+            # getSplitPosition: leading M -> RIGHT clip at start+refLen; leading S -> LEFT
+            if ops[0] == samio.OP_M:
+                ref_len = sum(l for o, l in zip(ops, lens)
+                              if o in (samio.OP_M, samio.OP_D, samio.OP_N, samio.OP_EQ, samio.OP_X))
+                key = (r.ref_id, r.pos + ref_len, "right")
+                sr_counts[key] = sr_counts.get(key, 0) + 1
+            elif ops[0] == samio.OP_S:
+                key = (r.ref_id, r.pos, "left")
+                sr_counts[key] = sr_counts.get(key, 0) + 1
+        if r.is_paired and not (r.flag & 0x2) and not (r.flag & 0x8) \
+                and r.mate_ref_id >= 0:
+            # report once per template, from the earlier-coordinate read
+            if (r.ref_id, r.pos) < (r.mate_ref_id, r.mate_pos) or \
+                    ((r.ref_id, r.pos) == (r.mate_ref_id, r.mate_pos) and r.name not in seen_pairs):
+                seen_pairs.add(r.name)
+                pe_rows.append((r.ref_id, r.pos,
+                                "-" if r.is_reverse else "+",
+                                r.mate_ref_id, r.mate_pos,
+                                "-" if (r.flag & 0x20) else "+"))
+
+    if args.sr_file:
+        lines = []
+        for (rid, pos, direction), count in sorted(sr_counts.items()):
+            lines.append(f"{contigs[rid]}\t{pos}\t{direction}\t{count}\t{sample}")
+        payload = ("\n".join(lines) + "\n").encode() if lines else b""
+        with open(args.sr_file, "wb") as fh:
+            fh.write(bgzf.compress_bytes(payload))
+        print(f"{len(lines)} split-read evidence records -> {args.sr_file}")
+    if args.pe_file:
+        lines = []
+        for rid, pos, strand, mrid, mpos, mstrand in sorted(pe_rows):
+            lines.append(f"{contigs[rid]}\t{pos}\t{strand}\t{contigs[mrid]}\t{mpos}\t{mstrand}\t{sample}")
+        payload = ("\n".join(lines) + "\n").encode() if lines else b""
+        with open(args.pe_file, "wb") as fh:
+            fh.write(bgzf.compress_bytes(payload))
+        print(f"{len(lines)} discordant-pair evidence records -> {args.pe_file}")
+    return 0
+
+
+@register_tool("PrintSVEvidence")
+def print_sv_evidence(argv):
+    """Print (optionally subset) an SV evidence file
+    (tools/sv/PrintSVEvidence.java: round-trips evidence records)."""
+    import argparse as _ap
+    import gzip as _gzip
+
+    p = _ap.ArgumentParser(description="PrintSVEvidence")
+    p.add_argument("--evidence-file", "-F", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    args = p.parse_args(argv)
+
+    def parse_interval(s):
+        if ":" not in s:
+            return s, 0, 1 << 60
+        contig, _, rng = s.partition(":")
+        lo, _, hi = rng.partition("-")
+        return contig, int(lo) - 1, int(hi)
+
+    targets = [parse_interval(s) for s in args.intervals] if args.intervals else None
+    opener = _gzip.open if args.evidence_file.endswith(".gz") else open
+    out_lines = []
+    with opener(args.evidence_file, "rt") as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            parts = line.split("\t")
+            contig, pos = parts[0], int(parts[1])
+            if targets is not None and not any(
+                    contig == c and lo <= pos < hi for c, lo, hi in targets):
+                continue
+            out_lines.append(line.rstrip("\n"))
+    if args.output.endswith(".gz"):
+        from ..io import bgzf
+        with open(args.output, "wb") as fh:
+            fh.write(bgzf.compress_bytes(("\n".join(out_lines) + "\n").encode() if out_lines else b""))
+    else:
+        with open(args.output, "w") as fh:
+            for line in out_lines:
+                fh.write(line + "\n")
+    print(f"{len(out_lines)} evidence records -> {args.output}")
+    return 0

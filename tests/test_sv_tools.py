@@ -107,3 +107,62 @@ def test_sv_cluster(tmp_path):
     assert types == ["<DEL>", "<DUP>", "<INV>"]
     del_line = next(ln for ln in lines if ln[4] == "<DEL>")
     assert "a_del" in del_line[7] and "b_del" in del_line[7]
+
+
+def test_collect_and_print_sv_evidence(tmp_path):
+    """SR clip positions/directions, PE discordant pairs, codec round-trip."""
+    import gzip
+
+    import numpy as np
+
+    from gatk_tpu.cli import TOOL_REGISTRY
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 10000, 0),
+                                        samio.SequenceRecord("chr2", 10000, 1)])
+
+    def mk(name, pos, cigar, flag=0x1 | 0x40, mate_ref=0, mate_pos=None, tags=None):
+        ops, lens = [], []
+        for ln, op in cigar:
+            ops.append(op)
+            lens.append(ln)
+        n = sum(l for l, o in zip(lens, ops) if o in (0, 1, 4))
+        return Read(name=name, flag=flag, ref_id=0, pos=pos, mapq=60,
+                    cigar_ops=np.array(ops, np.uint8), cigar_lens=np.array(lens, np.int32),
+                    bases=np.full(n, ord("A"), np.uint8), quals=np.full(n, 30, np.uint8),
+                    mate_ref_id=mate_ref, mate_pos=mate_pos if mate_pos is not None else pos + 300,
+                    tags=tags or {"RG": "rg1"})
+
+    reads = [
+        # two right-clipped reads at the same breakpoint (pos 100 + 50M -> 150)
+        mk("a", 100, [(50, 0), (25, 4)], flag=0x1 | 0x2),
+        mk("b", 100, [(50, 0), (25, 4)], flag=0x1 | 0x2),
+        # one left-clipped read at 200
+        mk("c", 200, [(25, 4), (50, 0)], flag=0x1 | 0x2),
+        # discordant pair: not properly paired, mate on chr2
+        mk("d", 300, [(75, 0)], flag=0x1, mate_ref=1, mate_pos=5000),
+    ]
+    bam = tmp_path / "in.bam"
+    hdr = samio.SamHeader(sequences=header.sequences,
+                          read_groups=[{"ID": "rg1", "SM": "S1"}])
+    w = bamio.BamWriter(str(bam), hdr)
+    for r in sorted(reads, key=lambda x: x.pos):
+        w.write(r)
+    w.close()
+
+    sr = tmp_path / "out.sr.txt.gz"
+    pe = tmp_path / "out.pe.txt.gz"
+    TOOL_REGISTRY["CollectSVEvidence"]([
+        "-I", str(bam), "--sr-file", str(sr), "--pe-file", str(pe)])
+    sr_rows = [l.split("\t") for l in gzip.open(sr, "rt").read().splitlines()]
+    assert ["chr1", "150", "right", "2", "S1"] in sr_rows
+    assert ["chr1", "200", "left", "1", "S1"] in sr_rows
+    pe_rows = [l.split("\t") for l in gzip.open(pe, "rt").read().splitlines()]
+    assert pe_rows == [["chr1", "300", "+", "chr2", "5000", "+", "S1"]]
+
+    out = tmp_path / "subset.sr.txt"
+    TOOL_REGISTRY["PrintSVEvidence"]([
+        "-F", str(sr), "-O", str(out), "-L", "chr1:140-160"])
+    assert [l.split("\t") for l in out.read_text().splitlines()] == \
+        [["chr1", "150", "right", "2", "S1"]]
