@@ -33,6 +33,15 @@ def main(argv=None):
     if tool not in TOOL_REGISTRY:
         print(f"ERROR: unknown tool '{tool}'. Use --list to see tools.", file=sys.stderr)
         return 2
+    # --gatk-config-file is parsed before the tool, like Main.java:177-184
+    rest = argv[1:]
+    if "--gatk-config-file" in rest:
+        from .utils.config import set_config_file
+
+        i = rest.index("--gatk-config-file")
+        set_config_file(rest[i + 1])
+        rest = rest[:i] + rest[i + 2:]
+        argv = [tool] + rest
     t0 = time.time()
     try:
         rc = TOOL_REGISTRY[tool](argv[1:]) or 0

@@ -70,3 +70,43 @@ def print_reads(argv):
     w.close()
     print(f"wrote {n} reads")
     return 0
+
+
+@register_tool("Pileup")
+def pileup_tool(argv):
+    """Print read bases per covered locus (tools/walkers/qc/Pileup.java, a
+    LocusWalker on the walker framework: engine/walkers.py)."""
+    import argparse
+
+    from ..engine.walkers import LocusWalker
+
+    p = argparse.ArgumentParser(description="Pileup")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--read-filter", action="append", default=[])
+    p.add_argument("--disable-read-filter", action="append", default=[])
+    args = p.parse_args(argv)
+
+    class PileupWalker(LocusWalker):
+        tool_name = "Pileup"
+
+        def on_traversal_start(self):
+            self.out = open(args.output, "w")
+
+        def apply(self, contig, pos, bases, quals, mapqs):
+            ref_base = "N"
+            if self.reference is not None:
+                ref_base = self.reference.fetch_bytes(contig, pos, pos + 1).decode().upper()
+            base_str = "".join(chr(b) for b in bases)
+            qual_str = "".join(chr(min(q, 93) + 33) for q in quals)
+            self.out.write(f"{contig} {pos + 1} {ref_base} {len(bases)} {base_str} {qual_str}\n")
+
+        def close_tool(self):
+            self.out.close()
+
+    PileupWalker(reads_path=args.input, reference_path=args.reference,
+                 intervals=args.intervals, read_filters=args.read_filter,
+                 disable_read_filters=args.disable_read_filter).run()
+    return 0
