@@ -685,3 +685,92 @@ def mt_low_heteroplasmy_filter_tool(argv):
     w.close()
     print(f"{low_het_sites} low-het sites, {n_filtered} filtered -> {args.output}")
     return 0
+
+
+@register_tool("GetNormalArtifactData")
+def get_normal_artifact_data(argv):
+    """Collect normal-artifact training data per locus
+    (mutect/GetNormalArtifactData.java: at each pileup locus, the best normal
+    non-ref allele's counts in normal and tumor, p-value-based downsampling,
+    NormalArtifactRecord table columns normal_alt/normal_dp/tumor_alt/
+    tumor_dp/downsampling/type)."""
+    import numpy as np
+
+    from ..engine import pileup as pileup_mod
+    from ..engine.intervals import Interval, parse_interval
+    from ..mutect.engine import m2_read_filter
+    from ..mutect.filtering import binomial_prob
+    from ..utils.javarandom import get_random_generator
+
+    p = argparse.ArgumentParser(description="GetNormalArtifactData")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--normal-sample", action="append", required=True)
+    p.add_argument("--error-prob", type=float, default=0.001)
+    args = p.parse_args(argv)
+
+    ref = fasta.FastaReference(args.reference)
+    from ..io.cram import open_reads
+    readers = [open_reads(path, reference=ref) for path in args.input]
+    normal_samples = set(args.normal_sample)
+
+    def sample_of(reader):
+        for rg in reader.header.read_groups:
+            if rg.get("SM"):
+                return rg["SM"]
+        return "SAMPLE"
+
+    lengths = {s.name: s.length for s in readers[0].header.sequences}
+    targets = ([parse_interval(s, lengths) for s in args.intervals]
+               if args.intervals else
+               [Interval(n, 0, l) for n, l in lengths.items()])
+
+    rng = get_random_generator()
+    base_order = b"ACGT"
+    rows = []
+    for t in targets:
+        # per-position base counts for normal and tumor pools
+        span = t.end - t.start
+        counts = {True: np.zeros((span, 5), np.int64),
+                  False: np.zeros((span, 5), np.int64)}
+        for reader in readers:
+            is_normal = sample_of(reader) in normal_samples
+            for r in reader.query(t.contig, t.start, t.end):
+                if not m2_read_filter(r):
+                    continue
+                pos, base, qual, _flags = pileup_mod.expand_read(r)
+                sel = (pos >= t.start) & (pos < t.end)
+                for pp, bb in zip(pos[sel], base[sel]):
+                    bi = base_order.find(bb)
+                    counts[is_normal][pp - t.start, bi if bi >= 0 else 4] += 1
+        ref_bases = ref.fetch_bytes(t.contig, t.start, t.end).upper()
+        normal, tumor = counts[True], counts[False]
+        for i in range(span):
+            n_depth = int(normal[i].sum())
+            if n_depth == 0:
+                continue
+            ref_i = base_order.find(ref_bases[i:i + 1])
+            non_ref = [b for b in range(4) if b != ref_i]
+            best = max(non_ref, key=lambda b: normal[i, b])
+            n_alt = int(normal[i, best])
+            if n_alt == 0 or n_alt > 0.2 * n_depth:
+                continue
+            t_depth = int(tumor[i].sum())
+            t_alt = int(tumor[i, best])
+            p_val = 1.0 - sum(binomial_prob(t_depth, k, args.error_prob)
+                              for k in range(t_alt))
+            downsample = max(1.0 - p_val, 0.05)
+            if rng.next_double() > downsample:
+                continue
+            if t_alt > 0.5 * max(t_depth, 1):
+                continue
+            rows.append((n_alt, n_depth, t_alt, t_depth, downsample, "SNV"))
+
+    with open(args.output, "w") as fh:
+        fh.write("normal_alt\tnormal_dp\ttumor_alt\ttumor_dp\tdownsampling\ttype\n")
+        for row in rows:
+            fh.write(f"{row[0]}\t{row[1]}\t{row[2]}\t{row[3]}\t{row[4]:.3f}\t{row[5]}\n")
+    print(f"{len(rows)} normal artifact records -> {args.output}")
+    return 0

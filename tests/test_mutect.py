@@ -265,3 +265,29 @@ def test_mito_filter_tools(tmp_path):
     mt_low_heteroplasmy_filter_tool(["-V", str(src3), "-O", str(out3)])
     assert all(r.split("\t")[6] == "." for r in out3.read_text().splitlines()
                if not r.startswith("#"))
+
+
+def test_get_normal_artifact_data(tmp_path):
+    """GetNormalArtifactData on the mito BAM as both 'tumor' and 'normal'
+    (table structure + normal-alt gating semantics)."""
+    import os
+
+    from gatk_tpu.cli import TOOL_REGISTRY
+    from gatk_tpu.utils.testdata import reference_path
+
+    M = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/mutect/mito")
+    if not os.path.isdir(M):
+        pytest.skip("reference data missing")
+    out = tmp_path / "artifact.table"
+    TOOL_REGISTRY["GetNormalArtifactData"]([
+        "-I", f"{M}/NA12878.bam", "-R", f"{M}/Homo_sapiens_assembly38.mt_only.fasta",
+        "-L", "chrM:100-400", "-O", str(out), "--normal-sample", "NA12878"])
+    lines = out.read_text().splitlines()
+    assert lines[0] == "normal_alt\tnormal_dp\ttumor_alt\ttumor_dp\tdownsampling\ttype"
+    rows = [l.split("\t") for l in lines[1:]]
+    assert rows, "deep mito data must yield records"
+    for r in rows:
+        n_alt, n_dp = int(r[0]), int(r[1])
+        assert 0 < n_alt <= 0.2 * n_dp  # gating rule
+        assert int(r[3]) == 0           # no tumor reads (all reads are 'normal')
+        assert r[5] == "SNV"
