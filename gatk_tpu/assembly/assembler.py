@@ -46,6 +46,7 @@ def assemble(
     recover_dangling: bool = True,
     adaptive_pruning: bool = False,
     use_seq_graph: bool = True,
+    use_junction_trees: bool = False,
 ) -> AssemblyResult:
     """Assemble region reads against the padded reference sequence.
 
@@ -67,7 +68,8 @@ def assemble(
     seen = {ref_hap.bases}
     for base_k in kmer_sizes:
         graph = _try_kmer_sizes(reads, ref_hap.bases, base_k, min_base_qual,
-                                allow_non_unique_kmers_in_ref)
+                                allow_non_unique_kmers_in_ref,
+                                allow_cycles=use_junction_trees)
         if graph is None:
             continue
         result.graphs[graph.kmer_size] = graph
@@ -90,7 +92,17 @@ def assemble(
             graph._remove_orphans()
         if graph.ref_source() is None or graph.ref_sink() is None:
             continue
-        if use_seq_graph:
+        if use_junction_trees:
+            # --linked-de-bruijn-graph mode: k-best over the kmer graph guided
+            # by junction trees (JunctionTreeLinkedDeBruijnGraph +
+            # JunctionTreeKBestHaplotypeFinder); no SeqGraph zipping, matching
+            # findBestPaths's generateSeqGraph=false branch
+            from . import junction_trees as jt
+
+            trees = jt.generate_junction_trees(graph, graph.retained_sequences)
+            paths = [((None, bases), score, weakness) for bases, score, weakness
+                     in jt.find_k_best_jt(graph, trees, num_best)]
+        elif use_seq_graph:
             # default GATK path: zip to a SeqGraph, run the simplification
             # transforms, then k-best over the simplified graph
             # (ReadThreadingAssembler.findBestPaths :229-324 via
@@ -139,14 +151,15 @@ def _too_clipped(aln) -> bool:
 
 
 def _try_kmer_sizes(reads, ref_bases: bytes, base_k: int, min_base_qual: int,
-                    allow_non_unique_ref: bool):
+                    allow_non_unique_ref: bool, allow_cycles: bool = False):
     """Build a graph at base_k, increasing kmer size on ref-non-uniqueness/cycles
     (ReadThreadingAssembler.createGraph retry loop)."""
     k = base_k
     for attempt in range(MAX_KMER_ITERATIONS):
         if k > MAX_ALLOWED_KMER or k >= len(ref_bases):
             return None
-        g = _build_graph(reads, ref_bases, k, min_base_qual, allow_non_unique_ref)
+        g = _build_graph(reads, ref_bases, k, min_base_qual, allow_non_unique_ref,
+                         allow_cycles=allow_cycles)
         if g is not None:
             g.kmer_size = k
             return g
@@ -154,7 +167,8 @@ def _try_kmer_sizes(reads, ref_bases: bytes, base_k: int, min_base_qual: int,
     return None
 
 
-def _build_graph(reads, ref_bases: bytes, k: int, min_base_qual: int, allow_non_unique_ref: bool):
+def _build_graph(reads, ref_bases: bytes, k: int, min_base_qual: int,
+                 allow_non_unique_ref: bool, allow_cycles: bool = False):
     g = ReadThreadingGraph(k, min_base_qual)
     # reference kmers must be unique
     if not allow_non_unique_ref:
@@ -168,7 +182,7 @@ def _build_graph(reads, ref_bases: bytes, k: int, min_base_qual: int, allow_non_
     for r in reads:
         g.add_read(r.name, r.bases, r.quals)
     g.build()
-    if g.has_cycles():
+    if g.has_cycles() and not allow_cycles:
         return None
     if g.is_low_quality():
         return None

@@ -107,6 +107,9 @@ class ReadThreadingGraph:
         for s in self.pending:
             self._thread_sequence(s)
         self.already_built = True
+        # retained for junction-tree generation (JunctionTreeLinkedDeBruijnGraph
+        # threads the same pending sequences a second time)
+        self.retained_sequences = self.pending
         self.pending = []
         return self
 

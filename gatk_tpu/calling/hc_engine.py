@@ -39,6 +39,8 @@ class HCArgs:
     # (ReadThreadingAssemblerArgumentCollection --adaptive-pruning; HC default off,
     # M2 default on). Essential on deep data.
     adaptive_pruning: bool = False
+    # JunctionTreeLinkedDeBruijnGraph mode (--linked-de-bruijn-graph)
+    linked_de_bruijn_graph: bool = False
     # pre-genotyping weak-allele removal (haplotypecaller/AlleleFiltering.java,
     # --filter-alleles; default off as in AssemblyBasedCallerArgumentCollection:377)
     filter_alleles: bool = False
@@ -297,7 +299,8 @@ class HaplotypeCallerEngine:
         ref_bases = self.ref.fetch(span.contig, padded.start, padded.end)
         result = assembler.assemble(final_reads, ref_bases, padded.start,
                                     min_base_qual=args.min_base_quality_score,
-                                    adaptive_pruning=args.adaptive_pruning)
+                                    adaptive_pruning=args.adaptive_pruning,
+                                    use_junction_trees=args.linked_de_bruijn_graph)
         haplotypes = result.haplotypes
         if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
             return None
@@ -347,7 +350,8 @@ class HaplotypeCallerEngine:
         ref_bases = self.ref.fetch(span.contig, padded.start, padded.end)
         result = assembler.assemble(final_reads, ref_bases, padded.start,
                                     min_base_qual=args.min_base_quality_score,
-                                    adaptive_pruning=args.adaptive_pruning)
+                                    adaptive_pruning=args.adaptive_pruning,
+                                    use_junction_trees=args.linked_de_bruijn_graph)
         haplotypes = result.haplotypes
         summary.n_haplotypes = len(haplotypes)
         if len(haplotypes) <= 1:
@@ -412,7 +416,8 @@ def call_interval_gvcf(engine: "HaplotypeCallerEngine", reads, interval: Interva
         ref_bases = engine.ref.fetch(interval.contig, padded.start, padded.end)
         result = assembler.assemble(final_reads, ref_bases, padded.start,
                                     min_base_qual=args.min_base_quality_score,
-                                    adaptive_pruning=args.adaptive_pruning)
+                                    adaptive_pruning=args.adaptive_pruning,
+                                    use_junction_trees=args.linked_de_bruijn_graph)
         haplotypes = result.haplotypes
         if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
             continue

@@ -33,6 +33,8 @@ def haplotype_caller(argv):
     p.add_argument("--dont-use-soft-clipped-bases", action="store_true")
     p.add_argument("--adaptive-pruning", action="store_true",
                    help="use the adaptive chain pruner (recommended for deep data)")
+    p.add_argument("--linked-de-bruijn-graph", action="store_true",
+                   help="experimental junction-tree assembly (long-range phasing)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="per-interval-shard checkpoint dir; reruns skip completed shards")
     p.add_argument("--shard-size", type=int, default=None,
@@ -74,6 +76,7 @@ def haplotype_caller(argv):
         ploidy=args.sample_ploidy,
         dont_use_soft_clipped_bases=args.dont_use_soft_clipped_bases,
         adaptive_pruning=args.adaptive_pruning,
+        linked_de_bruijn_graph=args.linked_de_bruijn_graph,
         max_reads_per_alignment_start=args.max_reads_per_alignment_start,
         filter_alleles=args.filter_alleles,
         prefilter_qual_threshold=args.prefilter_qual_threshold,
