@@ -60,30 +60,51 @@ class ShardedCaller:
     batches onto (defaults to all local devices).
     """
 
-    def __init__(self, engine, devices=None):
+    def __init__(self, engine, devices=None, host_threads: int = 4):
         self.engine = engine
         self.devices = list(devices) if devices is not None else jax.local_devices()
+        # host assembly threads: regions assemble concurrently on CPU while
+        # earlier regions' PairHMM batches run on device (SURVEY §7 hard part d
+        # — host assembly must hide behind device compute). finish_region stays
+        # serialized in region order so the shared seeded RNG (QD jitter) and
+        # output ordering are identical to the sequential path.
+        self.host_threads = max(1, host_threads)
 
     def call_interval(self, reads, interval):
         """Full pipeline on one interval with per-region device round-robin.
         Returns (variants, summaries) identical to engine.call_interval."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..calling.hc_engine import AssemblyRegionCall
 
         usable, spans = self.engine.plan_interval(reads, interval)
-        pending = []
-        summaries = []
-        for i, span in enumerate(spans):
-            dev = self.devices[i % len(self.devices)]
-            prep = self.engine.prepare_region(usable, span, device=dev)
-            if prep is not None:
-                pending.append(prep)
-            else:
-                summaries.append(AssemblyRegionCall(span, span, 0, 0))
         variants = []
-        for prep in pending:
-            v, summary = self.engine.finish_region(prep)
-            variants.extend(v)
-            summaries.append(summary)
+        summaries = []
+        window = 2 * len(self.devices) + self.host_threads  # bound in-flight HBM
+        with ThreadPoolExecutor(max_workers=self.host_threads) as pool:
+            futures = []
+            next_span = 0
+
+            def submit_more():
+                nonlocal next_span
+                while next_span < len(spans) and len(futures) < window:
+                    span = spans[next_span]
+                    dev = self.devices[next_span % len(self.devices)]
+                    futures.append((span, pool.submit(
+                        self.engine.prepare_region, usable, span, device=dev)))
+                    next_span += 1
+
+            submit_more()
+            while futures:
+                span, fut = futures.pop(0)
+                prep = fut.result()
+                submit_more()
+                if prep is None:
+                    summaries.append(AssemblyRegionCall(span, span, 0, 0))
+                    continue
+                v, summary = self.engine.finish_region(prep)
+                variants.extend(v)
+                summaries.append(summary)
         variants = [v for v in variants if interval.start <= v.pos < interval.end]
         return variants, summaries
 
