@@ -53,6 +53,11 @@ class HCArgs:
     # default stack (GATKReadFilterPluginDescriptor equivalent)
     extra_read_filters: tuple = ()
     disabled_read_filters: tuple = ()
+    # --likelihood-calculation-engine {PairHMM, FlowBasedHMM}
+    # (AssemblyBasedCallerArgumentCollection; FlowBasedHMMEngine for Ultima
+    # flow-space reads, utils/pairhmm/FlowBasedPairHMM.java)
+    likelihood_engine: str = "PairHMM"
+    flow_order: str = "TGCA"
 
 
 def maybe_filter_alleles(lik, args, span_start):
@@ -304,6 +309,12 @@ class HaplotypeCallerEngine:
         haplotypes = result.haplotypes
         if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
             return None
+        if args.likelihood_engine == "FlowBasedHMM":
+            # flow-space likelihoods are computed synchronously in finish_region
+            # (FlowBasedHMMEngine path, utils/pairhmm/FlowBasedPairHMM.java)
+            return dict(span=span, padded=padded, final_reads=final_reads,
+                        prepped=None, haplotypes=haplotypes, ref_bases=ref_bases,
+                        handle=None)
         prepped = [read_prep.prepare_read_for_pairhmm(r) for r in final_reads]
         handle = pairhmm_tpu.start_likelihood_matrix(prepped, [h.bases for h in haplotypes],
                                                      device=device)
@@ -317,8 +328,17 @@ class HaplotypeCallerEngine:
         haplotypes = prep["haplotypes"]
         final_reads = prep["final_reads"]
         summary = AssemblyRegionCall(span, padded, len(final_reads), len(haplotypes))
-        mat = pairhmm_tpu.finish_likelihood_matrix(
-            prep["handle"], prep["prepped"], [h.bases for h in haplotypes])
+        if prep["handle"] is None and args.likelihood_engine == "FlowBasedHMM":
+            from ..ops import flow, flow_pairhmm
+
+            fhaps = [flow.FlowBasedHaplotype(h.bases, args.flow_order)
+                     for h in haplotypes]
+            freads = [flow.flow_read_from_sam(r, args.flow_order)
+                      for r in final_reads]
+            mat = flow_pairhmm.compute_flow_likelihood_matrix(fhaps, freads)
+        else:
+            mat = pairhmm_tpu.finish_likelihood_matrix(
+                prep["handle"], prep["prepped"], [h.bases for h in haplotypes])
         values = mat.T
         lik = AlleleLikelihoods(list(haplotypes), list(final_reads), values)
         lik.normalize_likelihoods(GLOBAL_READ_MISMAPPING_RATE_CAP)

@@ -53,6 +53,12 @@ def haplotype_caller(argv):
     p.add_argument("--prefilter-sor-threshold", type=float, default=3.0)
     p.add_argument("--max-reads-per-alignment-start", type=int, default=50)
     p.add_argument("-ERC", "--emit-ref-confidence", choices=["NONE", "GVCF"], default="NONE")
+    p.add_argument("--likelihood-calculation-engine", dest="likelihood_engine",
+                   choices=["PairHMM", "FlowBasedHMM"], default="PairHMM",
+                   help="read likelihood engine (FlowBasedHMM = Ultima flow-space, "
+                        "utils/pairhmm/FlowBasedPairHMM.java)")
+    p.add_argument("--flow-order", default="TGCA",
+                   help="flow-cycle order for FlowBasedHMM reads")
     args = p.parse_args(argv)
 
     ref = fasta.FastaReference(args.reference)
@@ -84,6 +90,8 @@ def haplotype_caller(argv):
         as_annotations="AS_StandardAnnotation" in args.annotation_group,
         extra_read_filters=tuple(args.read_filter),
         disabled_read_filters=tuple(args.disable_read_filter),
+        likelihood_engine=args.likelihood_engine,
+        flow_order=args.flow_order,
     )
     engine = hc_engine.HaplotypeCallerEngine(ref, sample, hc_args)
     if args.bamout:
