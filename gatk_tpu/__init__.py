@@ -16,6 +16,24 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def _apply_platform_override():
+    """GATK_TPU_PLATFORM=cpu forces the CPU backend even where the environment
+    pre-imports jax with a TPU plugin (the axon harness's sitecustomize ignores
+    launch-time JAX_PLATFORMS; jax.config still wins before backend init).
+    Used by multi-process CPU tests and CLI subprocesses."""
+    plat = _os.environ.get("GATK_TPU_PLATFORM")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # pragma: no cover
+            pass
+
+
+_apply_platform_override()
+
+
 def _enable_compilation_cache():
     """Persist XLA compiles across processes (~tens of seconds each through the
     remote-compile path; the whole HaplotypeCaller shape ladder is reused run to

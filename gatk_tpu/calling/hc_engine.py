@@ -16,6 +16,7 @@ from ..engine import activity, clipping, filters
 from ..engine.intervals import Interval
 from ..io import fasta
 from ..ops import pairhmm_tpu
+from ..utils.stopwatch import STAGES
 from . import genotyping_engine, read_prep
 from .likelihoods import AlleleLikelihoods
 
@@ -200,7 +201,7 @@ def _well_defined_fragment(r):
 def compute_pairhmm_likelihoods(haplotypes, reads, args: HCArgs) -> AlleleLikelihoods:
     """reads x haplotypes log10 likelihood matrix via the cartesian Pallas kernel
     (interpret mode on CPU backends)."""
-    prepped = [read_prep.prepare_read_for_pairhmm(r) for r in reads]
+    prepped = read_prep.prepare_reads_for_pairhmm(reads)
     hap_bases = [h.bases for h in haplotypes]
     mat = pairhmm_tpu.compute_likelihood_matrix(prepped, hap_bases)  # (n_reads, n_haps)
     values = mat.T  # (n_haps, n_reads)
@@ -229,30 +230,32 @@ class HaplotypeCallerEngine:
         region boundaries."""
         args = self.args
         contig_len = self.ref.contig_length(interval.contig)
-        if args.extra_read_filters or args.disabled_read_filters:
-            stack = filters.build_filter_stack(
-                filters.HC_DEFAULT_FILTER_NAMES, enable=args.extra_read_filters,
-                disable=args.disabled_read_filters,
-                min_mapping_quality=args.min_mapping_quality)
-            usable = [r for r in reads if stack(r)]
-        else:
-            usable = [
-                r
-                for r in reads
-                if filters.hc_read_filter(r, args.min_mapping_quality, contig_len)
-            ]
-        usable = positional_downsample(usable, args.max_reads_per_alignment_start)
+        with STAGES.stage("read_filter"):
+            if args.extra_read_filters or args.disabled_read_filters:
+                stack = filters.build_filter_stack(
+                    filters.HC_DEFAULT_FILTER_NAMES, enable=args.extra_read_filters,
+                    disable=args.disabled_read_filters,
+                    min_mapping_quality=args.min_mapping_quality)
+                usable = [r for r in reads if stack(r)]
+            else:
+                usable = [
+                    r
+                    for r in reads
+                    if filters.hc_read_filter(r, args.min_mapping_quality, contig_len)
+                ]
+            usable = positional_downsample(usable, args.max_reads_per_alignment_start)
 
         span_start = max(0, interval.start - REGION_PADDING)
         span_end = min(contig_len, interval.end + REGION_PADDING)
         ref_span = self.ref.fetch(interval.contig, span_start, span_end)
 
-        probs, sc_mean = activity.compute_raw_activity(
-            usable, span_start, span_end, ref_span,
-            ploidy=args.ploidy, min_base_qual=args.min_base_quality_score,
-        )
-        smoothed = activity.band_pass(probs, sc_mean, (span_start, contig_len))
-        raw_regions = activity.pop_regions(smoothed)
+        with STAGES.stage("activity_profile"):
+            probs, sc_mean = activity.compute_raw_activity(
+                usable, span_start, span_end, ref_span,
+                ploidy=args.ploidy, min_base_qual=args.min_base_quality_score,
+            )
+            smoothed = activity.band_pass(probs, sc_mean, (span_start, contig_len))
+            raw_regions = activity.pop_regions(smoothed)
 
         spans = []
         for rr in raw_regions:
@@ -297,15 +300,17 @@ class HaplotypeCallerEngine:
         args = self.args
         contig_len = self.ref.contig_length(span.contig)
         padded = span.expand(REGION_PADDING, contig_len)
-        region_reads = [r for r in reads if r.pos < padded.end and r.end > padded.start]
-        final_reads = finalize_region_reads(region_reads, padded, args)
+        with STAGES.stage("finalize_reads"):
+            region_reads = [r for r in reads if r.pos < padded.end and r.end > padded.start]
+            final_reads = finalize_region_reads(region_reads, padded, args)
         if not final_reads:
             return None
         ref_bases = self.ref.fetch(span.contig, padded.start, padded.end)
-        result = assembler.assemble(final_reads, ref_bases, padded.start,
-                                    min_base_qual=args.min_base_quality_score,
-                                    adaptive_pruning=args.adaptive_pruning,
-                                    use_junction_trees=args.linked_de_bruijn_graph)
+        with STAGES.stage("assembly"):
+            result = assembler.assemble(final_reads, ref_bases, padded.start,
+                                        min_base_qual=args.min_base_quality_score,
+                                        adaptive_pruning=args.adaptive_pruning,
+                                        use_junction_trees=args.linked_de_bruijn_graph)
         haplotypes = result.haplotypes
         if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
             return None
@@ -315,9 +320,11 @@ class HaplotypeCallerEngine:
             return dict(span=span, padded=padded, final_reads=final_reads,
                         prepped=None, haplotypes=haplotypes, ref_bases=ref_bases,
                         handle=None)
-        prepped = [read_prep.prepare_read_for_pairhmm(r) for r in final_reads]
-        handle = pairhmm_tpu.start_likelihood_matrix(prepped, [h.bases for h in haplotypes],
-                                                     device=device)
+        with STAGES.stage("read_prep"):
+            prepped = read_prep.prepare_reads_for_pairhmm(final_reads)
+        with STAGES.stage("pack_dispatch"):
+            handle = pairhmm_tpu.start_likelihood_matrix(
+                prepped, [h.bases for h in haplotypes], device=device)
         return dict(span=span, padded=padded, final_reads=final_reads, prepped=prepped,
                     haplotypes=haplotypes, ref_bases=ref_bases, handle=handle)
 
@@ -337,21 +344,23 @@ class HaplotypeCallerEngine:
                       for r in final_reads]
             mat = flow_pairhmm.compute_flow_likelihood_matrix(fhaps, freads)
         else:
-            mat = pairhmm_tpu.finish_likelihood_matrix(
-                prep["handle"], prep["prepped"], [h.bases for h in haplotypes])
-        values = mat.T
-        lik = AlleleLikelihoods(list(haplotypes), list(final_reads), values)
-        lik.normalize_likelihoods(GLOBAL_READ_MISMAPPING_RATE_CAP)
-        lik.filter_poorly_modeled_reads(
-            lambda r: min(2.0, np.ceil(len(r.bases) * EXPECTED_ERROR_RATE_PER_BASE)) * -4.0
-        )
-        lik, haplotypes = maybe_filter_alleles(lik, args, span.start)
-        variants = genotyping_engine.assign_genotype_likelihoods(
-            haplotypes, lik, prep["ref_bases"], padded.start, span.start, span.end,
-            span.contig, self.sample,
-            standard_confidence=args.standard_confidence, ploidy=args.ploidy,
-            as_annotations=args.as_annotations,
-        )
+            with STAGES.stage("device_wait"):
+                mat = pairhmm_tpu.finish_likelihood_matrix(
+                    prep["handle"], prep["prepped"], [h.bases for h in haplotypes])
+        with STAGES.stage("genotype"):
+            values = mat.T
+            lik = AlleleLikelihoods(list(haplotypes), list(final_reads), values)
+            lik.normalize_likelihoods(GLOBAL_READ_MISMAPPING_RATE_CAP)
+            lik.filter_poorly_modeled_reads(
+                lambda r: min(2.0, np.ceil(len(r.bases) * EXPECTED_ERROR_RATE_PER_BASE)) * -4.0
+            )
+            lik, haplotypes = maybe_filter_alleles(lik, args, span.start)
+            variants = genotyping_engine.assign_genotype_likelihoods(
+                haplotypes, lik, prep["ref_bases"], padded.start, span.start, span.end,
+                span.contig, self.sample,
+                standard_confidence=args.standard_confidence, ploidy=args.ploidy,
+                as_annotations=args.as_annotations,
+            )
         if self.bamout is not None:
             self.bamout.add_region(span.contig, haplotypes, lik)
         summary.variants = variants

@@ -87,48 +87,215 @@ def find_tandem_repeat_length(bases: bytes, offset: int) -> int:
     return min(max_rl, MAX_REPEAT_LENGTH)
 
 
+def _block_match(B: np.ndarray, ul: int) -> np.ndarray:
+    """bm[i, j] = True iff the ul-block ending at j equals the ul-block ending at
+    j-ul (both fully inside the row). B is (N, L) uint8, 0-padded."""
+    N, L = B.shape
+    bm = np.zeros((N, L), bool)
+    if L < 2 * ul:
+        return bm
+    eq = B[:, ul:] == B[:, :-ul]  # eq[:, j-ul] = (B[j] == B[j-ul]), j in [ul, L)
+    # windowed AND of width ul over eq, ending at j (j >= 2*ul-1)
+    c = np.cumsum(eq, axis=1, dtype=np.int32)
+    win = c[:, ul - 1 :].copy()
+    win[:, 1:] -= c[:, : L - 2 * ul]
+    bm[:, 2 * ul - 1 :] = win == ul
+    return bm
+
+
+def _run_counts(bm: np.ndarray, ul: int, cap: int = MAX_REPEAT_LENGTH):
+    """bw[i, j] = 1 + length of the consecutive True-run bm[j], bm[j-ul],
+    bm[j-2ul], ... (the backward repetition count of the block ending at j).
+    fw[i, j] = 1 + run of fm[j], fm[j+ul], ... where fm[j] = bm[j+2ul-1]
+    (the forward repetition count of the block starting at j). Runs capped at
+    `cap` additions."""
+    N, L = bm.shape
+    bw = np.ones((N, L), np.int32)
+    alive = bm.copy()
+    for k in range(cap - 1):
+        if not alive.any():
+            break
+        bw += alive
+        sh = (k + 1) * ul
+        if sh >= L:
+            break
+        nxt = np.zeros_like(alive)
+        nxt[:, sh:] = alive[:, sh:] & bm[:, : L - sh]
+        alive = nxt
+    # forward: block starting at j matches block starting at j+ul iff
+    # bm[j + 2*ul - 1]; run along increasing j with stride ul.
+    fm = np.zeros((N, L), bool)
+    if 2 * ul - 1 < L:
+        fm[:, : L - (2 * ul - 1)] = bm[:, 2 * ul - 1 :]
+    fw = np.ones((N, L), np.int32)
+    alive = fm.copy()
+    for k in range(cap - 1):
+        if not alive.any():
+            break
+        fw += alive
+        sh = (k + 1) * ul
+        if sh >= L:
+            break
+        nxt = np.zeros_like(alive)
+        nxt[:, : L - sh] = alive[:, : L - sh] & fm[:, sh:]
+        alive = nxt
+    return bw, fw
+
+
+def tandem_repeat_lengths_batch(B: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized findTandemRepeatUnits maxRL for every offset of every read.
+
+    B: (N, L) uint8 base matrix, rows 0-padded past their length. Returns
+    (N, L) int32 repeat lengths (capped at MAX_REPEAT_LENGTH), matching
+    find_tandem_repeat_length(bases_i, j) for j < lengths[i].
+
+    Identity used: in ReadLikelihoodCalculationEngine.findTandemRepeatUnits the
+    final maxRL always equals max_fw + (#backward occurrences of the forward
+    unit ending at the offset) for offsets before the last base, and max_bw at
+    the last base — because when the backward and forward best units coincide
+    the cross count equals max_bw.
+    """
+    N, L = B.shape
+    lengths = np.asarray(lengths)
+    cols = np.arange(L)
+    in_read = cols[None, :] < lengths[:, None]
+    # per-unit-length block matches and run counts
+    bms, bws, fws = [], [], []
+    for ul in range(1, MAX_STR_UNIT_LENGTH + 1):
+        # block matches must not cross the row's true end: positions j with
+        # j >= lengths are padding; a block ending at j is valid iff j < len.
+        bm = _block_match(B, ul) & in_read
+        bw, fw = _run_counts(bm, ul)
+        bms.append(bm)
+        bws.append(bw)
+        fws.append(fw)
+    # clip runs that extend past the read end: fw run starting at j counts
+    # blocks at j, j+ul, ...; a block is valid only if its last base < len.
+    # _block_match already zeroes bm at padded j (via in_read), and fw uses
+    # fm[j] = bm[j+2ul-1], so padded positions break runs naturally.
+
+    # backward best: the repetition count is > 1 iff bm[ul][o]; the scalar takes
+    # the SMALLEST such ul (count bw[ul][o]) and falls back to 1 when none
+    # repeats. Iterating ul 8..1 and overwriting makes the smallest ul win.
+    max_bw = np.ones((N, L), np.int32)
+    for ul in range(MAX_STR_UNIT_LENGTH, 0, -1):
+        sel = bms[ul - 1]
+        max_bw = np.where(sel, bws[ul - 1], max_bw)
+    # forward unit at offset o is the block starting at o+1; effective length =
+    # smallest ul whose forward count fw[ul][o+1] > 1, else 1 (single base).
+    max_fw = np.zeros((N, L), np.int32)
+    ulf_eff = np.ones((N, L), np.int32)
+    found_fw = np.zeros((N, L), bool)
+    for ul in range(MAX_STR_UNIT_LENGTH, 0, -1):
+        # fw count for unit starting at o+1: fw[ul][o+1]
+        cnt = np.ones((N, L), np.int32)
+        cnt[:, :-1] = fws[ul - 1][:, 1:]
+        # unit must fit: o+1+ul <= len
+        fits = cols[None, :] + 1 + ul <= lengths[:, None]
+        sel = fits & (cnt > 1)
+        max_fw = np.where(sel, cnt, max_fw)
+        ulf_eff = np.where(sel, ul, ulf_eff)
+        found_fw |= sel
+    # not-found forward: unit is single base at o+1, count fw[1][o+1] (==1 since
+    # not found means no ul had cnt>1, incl. ul=1)
+    has_next = cols[None, :] + 1 < lengths[:, None]
+    max_fw = np.where(found_fw, max_fw, np.where(has_next, 1, 0))
+
+    # cross count: occurrences of the forward unit (length ulf_eff) ending at o
+    # = bw[ulf][o] if bm[ulf][o + ulf] else 0  (block ending o+ulf IS the fw unit
+    # and bm there says it equals the block ending at o)
+    cross = np.zeros((N, L), np.int32)
+    for ul in range(1, MAX_STR_UNIT_LENGTH + 1):
+        use = ulf_eff == ul
+        link = np.zeros((N, L), bool)
+        if ul < L:
+            link[:, :-ul] = bms[ul - 1][:, ul:]
+        c = np.where(link, bws[ul - 1], 0)
+        cross = np.where(use, c, cross)
+
+    rl = max_fw + cross
+    # last base of each read: rl = max_bw
+    last = cols[None, :] == (lengths[:, None] - 1)
+    rl = np.where(last, max_bw, rl)
+    return np.minimum(rl, MAX_REPEAT_LENGTH).astype(np.int32)
+
+
+def pcr_caps_batch(B: np.ndarray, lengths: np.ndarray,
+                   rate_factor: float = CONSERVATIVE_RATE_FACTOR) -> np.ndarray:
+    """(N, L) uint8 qual caps for positions 0..len-2 of each read (the PCR model
+    caps ins/del quals at i-1 using the repeat length at offset i-1; the last
+    base is never capped). Positions >= len-1 return 255 (no cap)."""
+    rl = tandem_repeat_lengths_batch(B, lengths)
+    cache = pcr_error_cache(rate_factor)
+    caps = cache[rl]
+    cols = np.arange(B.shape[1])
+    no_cap = cols[None, :] >= (np.asarray(lengths)[:, None] - 1)
+    return np.where(no_cap, np.uint8(255), caps)
+
+
 def apply_pcr_error_model(bases: bytes, ins_quals: np.ndarray, del_quals: np.ndarray,
                           rate_factor: float = CONSERVATIVE_RATE_FACTOR):
-    cache = pcr_error_cache(rate_factor)
-    for i in range(1, len(bases)):
-        rl = find_tandem_repeat_length(bases, i - 1)
-        cap = cache[rl]
-        if ins_quals[i - 1] > cap:
-            ins_quals[i - 1] = cap
-        if del_quals[i - 1] > cap:
-            del_quals[i - 1] = cap
+    n = len(bases)
+    if n < 2:
+        return
+    B = np.frombuffer(bases, np.uint8)[None, :]
+    caps = pcr_caps_batch(B, np.array([n]), rate_factor)[0]
+    np.minimum(ins_quals, caps, out=ins_quals, casting="unsafe")
+    np.minimum(del_quals, caps, out=del_quals, casting="unsafe")
 
 
 def prepare_read_for_pairhmm(read, pcr_error_model: str = "CONSERVATIVE"):
     """Return dict(bases, rq, iq, dq, gcp) ready for the PairHMM kernel."""
-    bases = bytes(read.bases)
-    rq = read.quals.astype(np.int32).copy()
-    bi = read.tags.get("BI")
-    bd = read.tags.get("BD")
-    n = len(bases)
-    iq = (
-        np.frombuffer(bi.encode(), np.uint8).astype(np.int32) - 33
-        if isinstance(bi, str)
-        else np.full(n, DEFAULT_INS_GOP, np.int32)
-    )
-    dq = (
-        np.frombuffer(bd.encode(), np.uint8).astype(np.int32) - 33
-        if isinstance(bd, str)
-        else np.full(n, DEFAULT_DEL_GOP, np.int32)
-    )
-    if pcr_error_model == "CONSERVATIVE":
-        apply_pcr_error_model(bases, iq, dq)
-    elif pcr_error_model == "AGGRESSIVE":
-        apply_pcr_error_model(bases, iq, dq, 2.0)
-    # cap base qual by mapping quality, then threshold
-    rq = np.minimum(rq, read.mapq)
-    rq = np.where(rq < BASE_QUALITY_SCORE_THRESHOLD, MIN_USABLE_Q, rq)
-    iq = np.where(iq < MIN_USABLE_Q, MIN_USABLE_Q, iq)
-    dq = np.where(dq < MIN_USABLE_Q, MIN_USABLE_Q, dq)
-    return dict(
-        bases=bases,
-        rq=rq.astype(np.uint8),
-        iq=iq.astype(np.uint8),
-        dq=dq.astype(np.uint8),
-        gcp=np.full(n, DEFAULT_GCP, np.uint8),
-    )
+    return prepare_reads_for_pairhmm([read], pcr_error_model)[0]
+
+
+def prepare_reads_for_pairhmm(reads, pcr_error_model: str = "CONSERVATIVE"):
+    """Batch variant of prepare_read_for_pairhmm: one vectorized PCR-error-model
+    pass over all reads (the per-position tandem-repeat scan is the hot loop of
+    PairHMMLikelihoodCalculationEngine.applyPCRErrorModel)."""
+    n_reads = len(reads)
+    if n_reads == 0:
+        return []
+    lengths = np.fromiter((len(r.bases) for r in reads), np.int64, n_reads)
+    L = int(lengths.max())
+    caps = None
+    if pcr_error_model in ("CONSERVATIVE", "AGGRESSIVE"):
+        B = np.zeros((n_reads, L), np.uint8)
+        for i, r in enumerate(reads):
+            B[i, : lengths[i]] = np.frombuffer(bytes(r.bases), np.uint8)
+        rate = CONSERVATIVE_RATE_FACTOR if pcr_error_model == "CONSERVATIVE" else 2.0
+        caps = pcr_caps_batch(B, lengths, rate)
+    out = []
+    for i, read in enumerate(reads):
+        bases = bytes(read.bases)
+        n = len(bases)
+        rq = read.quals.astype(np.int32, copy=True)
+        bi = read.tags.get("BI")
+        bd = read.tags.get("BD")
+        iq = (
+            np.frombuffer(bi.encode(), np.uint8).astype(np.int32) - 33
+            if isinstance(bi, str)
+            else np.full(n, DEFAULT_INS_GOP, np.int32)
+        )
+        dq = (
+            np.frombuffer(bd.encode(), np.uint8).astype(np.int32) - 33
+            if isinstance(bd, str)
+            else np.full(n, DEFAULT_DEL_GOP, np.int32)
+        )
+        if caps is not None:
+            c = caps[i, :n].astype(np.int32)
+            np.minimum(iq, c, out=iq)
+            np.minimum(dq, c, out=dq)
+        # cap base qual by mapping quality, then threshold
+        rq = np.minimum(rq, read.mapq)
+        rq = np.where(rq < BASE_QUALITY_SCORE_THRESHOLD, MIN_USABLE_Q, rq)
+        iq = np.where(iq < MIN_USABLE_Q, MIN_USABLE_Q, iq)
+        dq = np.where(dq < MIN_USABLE_Q, MIN_USABLE_Q, dq)
+        out.append(dict(
+            bases=bases,
+            rq=rq.astype(np.uint8),
+            iq=iq.astype(np.uint8),
+            dq=dq.astype(np.uint8),
+            gcp=np.full(n, DEFAULT_GCP, np.uint8),
+        ))
+    return out

@@ -174,7 +174,7 @@ class Mutect2Engine:
             return []
 
         # read x haplotype log10 likelihoods -> natural log
-        prepped = [read_prep.prepare_read_for_pairhmm(r) for r in final_reads]
+        prepped = read_prep.prepare_reads_for_pairhmm(final_reads)
         mat10 = pairhmm_tpu.compute_likelihood_matrix(prepped, [h.bases for h in haplotypes])
         lik = AlleleLikelihoods(list(haplotypes), list(final_reads), mat10.T * LN10)
         lik.normalize_likelihoods(-(GLOBAL_MISMAPPING_RATE / 10.0) * LN10, True)

@@ -1114,13 +1114,16 @@ def pack_batch(reads, haps, pair_read_idx, pair_hap_idx, rp=None, hmax=None):
     return out, rp, hmax, n_pairs
 
 
-def pack_reads(reads, rp=None):
+def pack_reads(reads, rp=None, nr=None):
     """Pack read data into (rp, NR_padded) arrays (NR padded to LANES)."""
     max_r = max(len(r["bases"]) for r in reads)
     rp = rp or _bucket(max_r + 2, RP_BUCKETS)
     if max_r > rp - 2:
         raise ValueError(f"read bucket too small: {max_r} -> rp={rp}")
-    nr = LANES * _bucket(-(-max(len(reads), 1) // LANES), NR_BLOCK_BUCKETS)
+    if nr is None:
+        nr = LANES * _bucket(-(-max(len(reads), 1) // LANES), NR_BLOCK_BUCKETS)
+    elif len(reads) > nr:
+        raise ValueError(f"nr target too small: {len(reads)} > {nr}")
 
     def as_u8(x):
         return np.frombuffer(bytes(x), dtype=np.uint8) if isinstance(x, (bytes, bytearray)) else np.asarray(x, dtype=np.uint8)
@@ -1143,14 +1146,17 @@ def pack_reads(reads, rp=None):
     return dict(rbase=rbase, rq=rq, iq=iq, dq=dq, gcp=gcp, rlen=rlen), rp
 
 
-def pack_haps(haps, rp, hmax=None):
+def pack_haps(haps, rp, hmax=None, nh=None):
     """Pack haplotypes into the reversed-extended (He, NH) array + lengths."""
     max_h = max(len(h) for h in haps)
     hmax = hmax or _bucket(max_h, HMAX_BUCKETS)
     if max_h > hmax:
         raise ValueError(f"hap bucket too small: {max_h} -> hmax={hmax}")
     # pad columns carry hlen=0: the kernel skips their DP sweep entirely
-    nh = _bucket(len(haps), NH_BUCKETS)
+    if nh is None:
+        nh = _bucket(len(haps), NH_BUCKETS)
+    elif len(haps) > nh:
+        raise ValueError(f"nh target too small: {len(haps)} > {nh}")
     he = hmax + 2 * rp + E_OFF
     e = np.zeros((he, nh), np.int32)
     hlen = np.zeros((1, nh), np.int32)
@@ -1206,6 +1212,45 @@ def _scan_chunked(packed, e, hlen, rp, hmax, device=None):
     return _ScanChunks(parts, nh, nr)
 
 
+# Canonical cartesian program shapes (n_reads, n_haps). Each distinct
+# (rp, hmax, nr, nh) is one compiled device program; compiles through the
+# remote-TPU path cost 10-200s (wildly variable), so the whole HC/M2 run is
+# held to this 2-program ladder: small regions pad up (pad haps skip their DP
+# sweep, pad reads only waste lanes), oversize regions are CHUNKED into
+# (CART_MAX_NR x CART_MAX_NH) tiles of the big shape. prewarm() dispatches
+# dummy calls at startup so these compiles overlap host-side BAM/assembly work.
+CARTESIAN_SHAPES = ((256, 32), (768, 128))
+CART_MAX_NR, CART_MAX_NH = CARTESIAN_SHAPES[-1]
+
+
+class _CartParts:
+    """Lazy handle over one or more cartesian-tile dispatches (duck-types a
+    device array enough for finish_likelihood_matrix). parts: list of
+    (h0, r0, n_h, n_r, device_out) tiles of the (nh_total, nr_total) matrix."""
+
+    def __init__(self, parts, nh, nr):
+        self.parts = parts
+        self.nh = nh
+        self.nr = nr
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.full((self.nh, self.nr), NEG_INF, np.float32)
+        for h0, r0, n_h, n_r, arr in self.parts:
+            a = np.asarray(arr)
+            out[h0 : h0 + n_h, r0 : r0 + n_r] = a[:n_h, :n_r]
+        return out.astype(dtype) if dtype is not None else out
+
+
+def _dispatch_tile(reads, haps, nr_t, nh_t, rp, hmax, device, interpret):
+    packed, rp = pack_reads(reads, rp=rp, nr=nr_t)
+    e, hlen, hmax = pack_haps(haps, rp, hmax=hmax, nh=nh_t)
+    args = (packed["rbase"], packed["rq"], packed["iq"], packed["dq"], packed["gcp"],
+            e, packed["rlen"], hlen)
+    if device is not None:
+        args = tuple(jax.device_put(a, device) for a in args)
+    return _pairhmm_cartesian_v6(*args, rp=rp, hmax=hmax, interpret=bool(interpret))
+
+
 def start_likelihood_matrix(reads, haps, interpret=None, device=None):
     """Pack and LAUNCH the cartesian kernel without blocking; returns an opaque
     handle for finish_likelihood_matrix. Dispatching many regions before
@@ -1216,15 +1261,32 @@ def start_likelihood_matrix(reads, haps, interpret=None, device=None):
     (interpret mode is orders of magnitude slower); pass interpret=True to force
     the Pallas interpreter (kernel unit tests). device pins the computation to
     one mesh device (interval-shard data parallelism)."""
-    packed, rp = pack_reads(reads)
-    e, hlen, hmax = pack_haps(haps, rp)
     if interpret is None and jax.default_backend() == "cpu":
+        packed, rp = pack_reads(reads)
+        e, hlen, hmax = pack_haps(haps, rp)
         return _scan_chunked(packed, e, hlen, rp, hmax, device=device)
-    args = (packed["rbase"], packed["rq"], packed["iq"], packed["dq"], packed["gcp"],
-            e, packed["rlen"], hlen)
-    if device is not None:
-        args = tuple(jax.device_put(a, device) for a in args)
-    return _pairhmm_cartesian_v6(*args, rp=rp, hmax=hmax, interpret=bool(interpret))
+    max_r = max(len(r["bases"]) for r in reads)
+    max_h = max(len(h) for h in haps)
+    # floor rp/hmax at the canonical (160, 512): the v6 kernel's diagonal sweep
+    # stops at the block's dynamic max hlen, so hmax padding costs only e-array
+    # bytes — holding one (rp, hmax) for all typical regions avoids extra
+    # programs (each is a 10-200s remote compile).
+    rp = max(160, _bucket(max_r + 2, RP_BUCKETS))
+    hmax = max(512, _bucket(max_h, HMAX_BUCKETS))
+    for nr_t, nh_t in CARTESIAN_SHAPES:
+        if len(reads) <= nr_t and len(haps) <= nh_t:
+            out = _dispatch_tile(reads, haps, nr_t, nh_t, rp, hmax, device, interpret)
+            return _CartParts([(0, 0, len(haps), len(reads), out)], len(haps), len(reads))
+    # oversize region: tile the (haps x reads) grid with big-shape programs
+    parts = []
+    for h0 in range(0, len(haps), CART_MAX_NH):
+        hs = haps[h0 : h0 + CART_MAX_NH]
+        for r0 in range(0, len(reads), CART_MAX_NR):
+            rs = reads[r0 : r0 + CART_MAX_NR]
+            out = _dispatch_tile(rs, hs, CART_MAX_NR, CART_MAX_NH, rp, hmax,
+                                 device, interpret)
+            parts.append((h0, r0, len(hs), len(rs), out))
+    return _CartParts(parts, len(haps), len(reads))
 
 
 def finish_likelihood_matrix(handle, reads, haps, floor="clamp"):
@@ -1243,6 +1305,36 @@ def finish_likelihood_matrix(handle, reads, haps, floor="clamp"):
         else:
             mat[bad] = MIN_ACCEPTED_LOG10
     return mat
+
+
+_PREWARM_HANDLES = []
+
+
+def prewarm(shapes=CARTESIAN_SHAPES, rp=160, hmax=512, device=None):
+    """Asynchronously compile/load the canonical HC cartesian program ladder.
+
+    Dispatches one dummy call per shape WITHOUT fetching: jit dispatch is
+    non-blocking on the TPU path, so the (potentially 10-200s) backend compile
+    proceeds while the caller reads BAM / profiles activity / assembles. No-op
+    on CPU backends (the scan fallback compiles in milliseconds). Mirrors the
+    reference's native-PairHMM eager initialization (VectorLoglessPairHMM.java:60
+    loads+initializes the native library before traversal starts)."""
+    if jax.default_backend() == "cpu":
+        return
+    import threading
+
+    def _go():
+        try:
+            for nr_t, nh_t in shapes:
+                read = dict(bases=b"ACGT" * 16, rq=np.full(64, 30, np.uint8),
+                            iq=np.full(64, 45, np.uint8), dq=np.full(64, 45, np.uint8),
+                            gcp=np.full(64, 10, np.uint8))
+                _PREWARM_HANDLES.append(_dispatch_tile(
+                    [read], [b"ACGT" * 24], nr_t, nh_t, rp, hmax, device, False))
+        except Exception:  # pragma: no cover - prewarm is best-effort
+            pass
+
+    threading.Thread(target=_go, daemon=True, name="pairhmm-prewarm").start()
 
 
 def compute_likelihood_matrix(reads, haps, interpret=None, floor="clamp"):

@@ -1,0 +1,114 @@
+"""Multi-process (multi-host) data-parallel calling via jax.distributed.
+
+TPU-native replacement for the reference's cluster runtime
+(engine/spark/GATKSparkTool.java:76,535,720-724 builds a JavaSparkContext and
+distributes reads as RDDs; engine/spark/SparkSharder.java:39-56 shards
+coordinate-sorted data by interval). Here distribution is the WDL
+scatter-gather collapsed into one SPMD program launch:
+
+  * every process calls `initialize()` (jax.distributed.initialize) and gets
+    the same global device mesh;
+  * the target intervals are split into `num_processes` contiguous bp-balanced
+    shards (split_interval_shards — SplitIntervals.java:77 semantics), and each
+    process calls ONLY its own shard with its LOCAL devices (no cross-host
+    traffic during calling: interval padding is the halo exchange, SURVEY §5.7);
+  * each process writes `<out>.shard-<pid>.vcf`; a barrier, then process 0
+    concatenates the shards in shard order (contiguous interval ranges keep the
+    result coordinate-sorted) — the GatherVcfsCloud pattern
+    (tools/GatherVcfsCloud.java).
+
+Determinism: the shard plan depends only on (targets, num_processes), and each
+region's results depend only on its padded-interval reads, so N-process output
+== 1-process output byte-for-byte (proved by tests/test_multihost.py).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+from .scheduler import split_interval_shards
+
+
+def initialize(coordinator_address: str, num_processes: int, process_id: int,
+               local_device_ids=None):
+    """jax.distributed.initialize wrapper. On CPU backends (tests / multi-host
+    CPU scale-out) pass local_device_ids to slice the forced host platform
+    device count per process."""
+    kwargs = {}
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = list(local_device_ids)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+
+
+def barrier(name: str = "gatk_tpu"):
+    """Global cross-process barrier (all hosts reach this point)."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def shard_targets(targets, num_processes: int | None = None,
+                  process_id: int | None = None):
+    """This process's contiguous bp-balanced target shard.
+
+    When the target list is already fine-grained (>= num_processes targets,
+    e.g. via --shard-size), WHOLE targets are assigned in contiguous
+    bp-balanced runs so every process plans regions over exactly the same
+    interval boundaries a 1-process run would (exact output equality).
+    Otherwise targets are bp-split (split_interval_shards)."""
+    n = jax.process_count() if num_processes is None else num_processes
+    pid = jax.process_index() if process_id is None else process_id
+    targets = list(targets)
+    if len(targets) >= n:
+        total = sum(t.end - t.start for t in targets)
+        shards, cur, acc = [], [], 0
+        remaining = total
+        for i, t in enumerate(targets):
+            cur.append(t)
+            acc += t.end - t.start
+            remaining -= t.end - t.start
+            slots_left = n - len(shards)
+            # close the shard once it reaches its fair share, keeping at least
+            # one target per remaining slot
+            if len(shards) < n - 1 and acc * slots_left >= remaining + acc and \
+                    len(targets) - i - 1 >= slots_left - 1:
+                shards.append(cur)
+                cur, acc = [], 0
+        shards.append(cur)
+        while len(shards) < n:
+            shards.append([])
+        return shards[pid]
+    shards = split_interval_shards(targets, n)
+    return shards[pid] if pid < len(shards) else []
+
+
+def shard_vcf_path(output: str, process_id: int) -> str:
+    return f"{output}.shard-{process_id:05d}"
+
+
+def gather_vcf_shards(output: str, num_processes: int, keep_shards: bool = False):
+    """Concatenate per-process shard VCFs (in shard order) into `output`.
+    Shards cover contiguous, ordered interval ranges, so concatenation
+    preserves coordinate order; later shards' headers are dropped."""
+    with open(output, "w") as out:
+        wrote_header = False
+        for pid in range(num_processes):
+            path = shard_vcf_path(output, pid)
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                for line in f:
+                    if line.startswith("#"):
+                        if not wrote_header:
+                            out.write(line)
+                        continue
+                    out.write(line)
+            wrote_header = True
+            if not keep_shards:
+                os.remove(path)

@@ -63,6 +63,11 @@ class ShardedCaller:
     def __init__(self, engine, devices=None, host_threads: int = 4):
         self.engine = engine
         self.devices = list(devices) if devices is not None else jax.local_devices()
+        # compile/load the canonical PairHMM program ladder in the background
+        # while the host reads BAM / plans regions (compiles through the remote
+        # TPU path cost 10-200s; see ops/pairhmm_tpu.py CARTESIAN_SHAPES)
+        from ..ops.pairhmm_tpu import prewarm
+        prewarm(device=self.devices[0] if devices is not None else None)
         # host assembly threads: regions assemble concurrently on CPU while
         # earlier regions' PairHMM batches run on device (SURVEY §7 hard part d
         # — host assembly must hide behind device compute). finish_region stays

@@ -4,10 +4,13 @@ from __future__ import annotations
 
 import numpy as np
 
+import os
+
 from ..calling import hc_engine
 from ..cli import UserError, register_tool, standard_io_parser
 from ..engine import intervals as iv
 from ..io import bam, fasta, vcf
+from ..utils.stopwatch import STAGES
 
 VCF_HEADER_LINES = [
     '##FILTER=<ID=LowQual,Description="Low quality">',
@@ -59,7 +62,20 @@ def haplotype_caller(argv):
                         "utils/pairhmm/FlowBasedPairHMM.java)")
     p.add_argument("--flow-order", default="TGCA",
                    help="flow-cycle order for FlowBasedHMM reads")
+    # multi-process data parallelism (jax.distributed; the Spark/WDL cluster
+    # path re-architected as SPMD interval sharding — parallel/multihost.py)
+    p.add_argument("--distributed-coordinator", default=None,
+                   help="host:port of process 0 (enables multi-process mode)")
+    p.add_argument("--distributed-num-processes", type=int, default=1)
+    p.add_argument("--distributed-process-id", type=int, default=0)
     args = p.parse_args(argv)
+
+    distributed = args.distributed_coordinator and args.distributed_num_processes > 1
+    if distributed:
+        from ..parallel import multihost
+        multihost.initialize(args.distributed_coordinator,
+                             args.distributed_num_processes,
+                             args.distributed_process_id)
 
     ref = fasta.FastaReference(args.reference)
     from ..io.cram import open_reads
@@ -75,6 +91,12 @@ def haplotype_caller(argv):
     if args.shard_size:
         targets = [iv.Interval(t.contig, s, min(s + args.shard_size, t.end))
                    for t in targets for s in range(t.start, t.end, args.shard_size)]
+    out_path = args.output
+    if distributed:
+        from ..parallel import multihost
+        targets = multihost.shard_targets(
+            targets, args.distributed_num_processes, args.distributed_process_id)
+        out_path = multihost.shard_vcf_path(args.output, args.distributed_process_id)
 
     hc_args = hc_engine.HCArgs(
         min_base_quality_score=args.min_base_quality_score,
@@ -111,7 +133,7 @@ def haplotype_caller(argv):
             '##INFO=<ID=END,Number=1,Type=Integer,Description="Stop position of the interval">',
         ]
     writer = vcf.VcfWriter(
-        args.output,
+        out_path,
         [sample],
         contigs=[(s.name, s.length) for s in header.sequences],
         extra_header_lines=header_lines,
@@ -121,19 +143,26 @@ def haplotype_caller(argv):
         from ..engine.checkpoint import ShardCheckpointer
         ckpt = ShardCheckpointer(args.checkpoint_dir)
     from ..engine.progress import ProgressMeter
+    from ..utils.javarandom import reset_random_generator
     pm = ProgressMeter("HaplotypeCaller", unit="variants").start()
     n = 0
     for target in targets:
+        # per-target RNG reset: makes each target's output independent of which
+        # process/shard computed it (exact N-process == 1-process == resume
+        # equality; the reference instead accepts cross-run jitter and gates
+        # Spark-vs-walker tests on concordance, HaplotypeCallerSparkIntegrationTest)
+        reset_random_generator()
         if ckpt is not None and ckpt.is_done(target):
             for line in ckpt.load_lines(target):
                 writer.write_line(line)
                 n += 1
             pm.update(f"{target.contig}:{target.end}", n=0)
             continue
-        reads = []
-        for r in readers:
-            reads.extend(r.query(target.contig, max(0, target.start - 1000), target.end + 1000))
-        reads.sort(key=lambda x: (x.pos, x.name))
+        with STAGES.stage("bam_read"):
+            reads = []
+            for r in readers:
+                reads.extend(r.query(target.contig, max(0, target.start - 1000), target.end + 1000))
+            reads.sort(key=lambda x: (x.pos, x.name))
         if gvcf_mode:
             records = hc_engine.call_interval_gvcf(engine, reads, target)
         else:
@@ -151,5 +180,13 @@ def haplotype_caller(argv):
     if engine.bamout is not None:
         engine.bamout.write(args.bamout, header)
         print(f"wrote bamout with {len(engine.bamout.records)} records to {args.bamout}")
-    print(f"wrote {n} variants to {args.output}")
+    if distributed:
+        from ..parallel import multihost
+        multihost.barrier("hc-gather")
+        if args.distributed_process_id == 0:
+            multihost.gather_vcf_shards(args.output, args.distributed_num_processes)
+            print(f"gathered {args.distributed_num_processes} shards into {args.output}")
+    print(f"wrote {n} variants to {out_path}")
+    if os.environ.get("GATK_TPU_STAGE_TIMES"):
+        print(f"stage times: {STAGES.report()}")
     return 0
