@@ -92,6 +92,37 @@ class VcfReader:
         return parse_vcf_line(line)
 
 
+def iter_vcf_features(path: str, intervals=None, pad: int = 0):
+    """Yield Variants from a VCF resource, using the .tbi index when both an
+    index and target intervals are available (the FeatureDataSource pattern,
+    engine/FeatureDataSource.java:68: only BGZF blocks overlapping the
+    intervals are decompressed — required for gnomAD-scale resources). Falls
+    back to streaming the whole file otherwise.
+
+    intervals: iterable of objects with .contig/.start/.end (0-based
+    half-open), or (contig, start, end) tuples. pad expands each interval."""
+    import os as _os
+
+    if intervals is not None and _os.path.exists(path + ".tbi"):
+        from .tabix import TabixReader
+
+        rd = TabixReader(path)
+        seen = set()
+        for t in intervals:
+            contig, start, end = (
+                (t.contig, t.start, t.end) if hasattr(t, "contig") else t
+            )
+            for fields in rd.query(contig, max(0, start - pad), end + pad):
+                v = parse_vcf_line("\t".join(fields))
+                key = (v.contig, v.pos, v.ref, tuple(v.alts))
+                if key in seen:
+                    continue
+                seen.add(key)
+                yield v
+        return
+    yield from VcfReader(path)
+
+
 def parse_vcf_line(line: str) -> Variant:
         # tolerate trailing tabs (empty trailing sample columns in hand-made VCFs)
         f = line.rstrip("\t").split("\t")

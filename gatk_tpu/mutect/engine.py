@@ -105,6 +105,22 @@ class Mutect2Engine:
         self.args = args or M2Args()
         self.tumor_sample = tumor_sample
         self.normal_samples = set(normal_samples)
+        # optional --germline-resource AF lookup:
+        # fn(contig, pos0, ref, [alts]) -> [af per alt]
+        # (SomaticGenotypingEngine.getGermlineAltAlleleFrequencies :439-463)
+        self.germline_af = None
+
+    def _popaf(self, contig, pos, ref_allele, alts):
+        """POPAF INFO value: -log10 population AF per alt allele. Without a
+        germline resource every allele gets the default
+        (-log10(DEFAULT_AF_FOR_TUMOR_ONLY_CALLING 5e-8) = 7.30,
+        M2ArgumentCollection.java:56)."""
+        if self.germline_af is None:
+            return ",".join("7.30" for _ in alts)
+        import math as _math
+
+        afs = self.germline_af(contig, pos, ref_allele, alts)
+        return ",".join(f"{-_math.log10(min(max(af, 1e-10), 1.0)):.2f}" for af in afs)
 
     # ---------------- interval driver ----------------
 
@@ -362,7 +378,8 @@ class Mutect2Engine:
                     "MFRL": ",".join(str(x) for x in mfrl),
                     "MMQ": ",".join(str(x) for x in mmq),
                     "MPOS": ",".join(str(x) for x in mpos),
-                    "POPAF": ",".join("7.30" for _ in emitted),
+                    "POPAF": self._popaf(span.contig, loc, longest_ref,
+                                         [a.alt for a in emit_alleles[1:]]),
                     "TLOD": ",".join(f"{t:.2f}" for t in tlods),
                 },
                 fmt_keys=("GT", "AD", "AF", "DP", "F1R2", "F2R1", "SB"),
@@ -377,3 +394,77 @@ class Mutect2Engine:
                 }],
             ))
         return variants
+
+
+def _match_allele(ref_a: str, alt_a: str, ref_b: str, alt_b: str) -> bool:
+    """Allele equality across parsimony representations: extend the shorter
+    ref with the longer ref's tail and compare alts (e.g. ref A, alt C equals
+    germline ref AT, alt CT; GATKVariantContextUtils.alleleIndices)."""
+    if ref_a == ref_b:
+        return alt_a == alt_b
+    if len(ref_a) < len(ref_b):
+        if not ref_b.startswith(ref_a):
+            return False
+        return alt_a + ref_b[len(ref_a):] == alt_b
+    if not ref_a.startswith(ref_b):
+        return False
+    return alt_a == alt_b + ref_a[len(ref_b):]
+
+
+def make_germline_af_lookup(path: str, default_af: float):
+    """AF lookup over a germline resource VCF (gnomAD-class). Uses the .tbi
+    index when present (engine/FeatureDataSource.java:68 lookahead caching via
+    io/tabix.FeatureDataSource) so whole-genome resources are never fully
+    decompressed; falls back to one in-memory pass otherwise.
+
+    Returns fn(contig, pos0, ref, [alts]) -> [af per alt], with alleles not in
+    the resource getting default_af (getGermlineAltAlleleFrequencies :439-463).
+    """
+    import os
+
+    from ..io import vcf as vcfio
+
+    if os.path.exists(path + ".tbi"):
+        from ..io.tabix import FeatureDataSource
+
+        src = FeatureDataSource(path)
+
+        def overlapping(contig, pos):
+            return src.query(contig, pos, pos + 1)
+    else:
+        by_contig: dict = {}
+        for v in vcfio.VcfReader(path):
+            by_contig.setdefault(v.contig, []).append(v)
+
+        def overlapping(contig, pos):
+            import bisect
+
+            vs = by_contig.get(contig, [])
+            # resource variants whose span [pos, pos+len(ref)) covers pos
+            out = []
+            i = bisect.bisect_right([x.pos for x in vs], pos)
+            for v in vs[max(0, i - 100):i]:
+                if v.pos <= pos < v.pos + len(v.ref):
+                    out.append(v)
+            return out
+
+    def lookup(contig, pos, ref_allele, alts):
+        afs = [default_af] * len(alts)
+        for gv in overlapping(contig, pos):
+            raw = gv.info.get("AF")
+            if raw is None:
+                continue
+            g_afs = [x for x in str(raw).split(",")]
+            if len(g_afs) != len(gv.alts):
+                continue
+            for i, alt in enumerate(alts):
+                for j, galt in enumerate(gv.alts):
+                    if _match_allele(ref_allele, alt, gv.ref, galt):
+                        try:
+                            afs[i] = float(g_afs[j])
+                        except ValueError:
+                            pass
+                        break
+        return afs
+
+    return lookup

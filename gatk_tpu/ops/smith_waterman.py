@@ -69,6 +69,10 @@ def align(ref, alt, params: SWParameters, overhang: str = SOFTCLIP) -> SWAlignme
         return SWAlignment(np.array([sam.OP_M], np.uint8), np.array([m], np.int32), 0,
                            m * params.match)
 
+    lib = _load_native()
+    if lib is not None:
+        return _align_batch_native(lib, ref, [(0, alt)], params, overhang, [None])[0]
+
     w_open, w_ext = params.gap_open, params.gap_extend
     H = np.zeros((n + 1, m + 1), np.int64)
     btrack = np.zeros((n + 1, m + 1), np.int32)
@@ -206,6 +210,76 @@ def _calculate_cigar(H, btrack, overhang) -> SWAlignment:
     )
 
 
+_NATIVE = None
+_NATIVE_TRIED = False
+_OVERHANG_CODE = {SOFTCLIP: 0, INDEL: 1, LEADING_INDEL: 2, IGNORE: 3}
+
+
+def _load_native():
+    """ctypes binding to native/sw/libsw_native.so (OpenMP batch SW — the GKL
+    SmithWatermanIntelAligner equivalent). Returns None if unavailable."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+
+    so = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "..", "..", "native", "sw", "libsw_native.so")
+    if not os.path.exists(so) or os.environ.get("GATK_TPU_NO_NATIVE_SW"):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.sw_align_batch.restype = ctypes.c_int32
+        lib.sw_align_batch.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8), ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint8), np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint8), np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int32, ctypes.c_int32,
+        ]
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = None
+    return _NATIVE
+
+
+def _align_batch_native(lib, ref_arr, todo, params, overhang, results):
+    alts = [a for _, a in todo]
+    off = np.zeros(len(alts), np.int64)
+    lens = np.fromiter((len(a) for a in alts), np.int32, len(alts))
+    np.cumsum(lens[:-1], out=off[1:])
+    cat = np.concatenate(alts) if alts else np.zeros(0, np.uint8)
+    cat = np.ascontiguousarray(cat, np.uint8)
+    ref_c = np.ascontiguousarray(ref_arr, np.uint8)
+    max_cigar = 64
+    while True:
+        ops = np.zeros((len(alts), max_cigar), np.uint8)
+        clens = np.zeros((len(alts), max_cigar), np.int32)
+        ncig = np.zeros(len(alts), np.int32)
+        offs = np.zeros(len(alts), np.int32)
+        scores = np.zeros(len(alts), np.int64)
+        rc = lib.sw_align_batch(
+            ref_c, np.int32(len(ref_c)), cat, off, lens, np.int32(len(alts)),
+            params.match, params.mismatch, params.gap_open, params.gap_extend,
+            _OVERHANG_CODE[overhang], ops, clens, ncig, offs, scores,
+            np.int32(max_cigar), np.int32(0))
+        if rc == 0:
+            break
+        max_cigar *= 4
+        if max_cigar > 1 << 20:  # pragma: no cover - pathological
+            raise RuntimeError("SW cigar overflow")
+    for b, (idx, _) in enumerate(todo):
+        k = int(ncig[b])
+        results[idx] = SWAlignment(ops[b, :k].copy(), clens[b, :k].copy(),
+                                   int(offs[b]), int(scores[b]))
+    return results
+
+
 def align_batch(ref, alts, params: SWParameters, overhang: str = SOFTCLIP):
     """Batched SW: align many alts against one ref in a single vectorized DP.
 
@@ -236,6 +310,10 @@ def align_batch(ref, alts, params: SWParameters, overhang: str = SOFTCLIP):
             todo.append((idx, alt_arr))
     if not todo:
         return results
+
+    lib = _load_native()
+    if lib is not None:
+        return _align_batch_native(lib, ref_arr, todo, params, overhang, results)
 
     # bound DP-matrix memory: (chunk, n, m) int32 x2 stays < ~100MB
     max_chunk = max(1, int(100e6 / max(1, 8 * (n + 1) * (max(len(a) for _, a in todo) + 1))))

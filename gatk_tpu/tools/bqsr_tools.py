@@ -30,12 +30,17 @@ def _read_group_identifiers(header):
 
 
 class _KnownSites:
-    """In-memory per-contig sorted known-site spans with sweep queries."""
+    """In-memory per-contig sorted known-site spans with sweep queries.
 
-    def __init__(self, paths):
+    When target intervals are given and the resource is tabix-indexed, only
+    the overlapping BGZF blocks are decompressed (iter_vcf_features /
+    FeatureDataSource.java:68) — whole-genome known-sites resources load in
+    O(targets), not O(file)."""
+
+    def __init__(self, paths, intervals=None):
         self.by_contig = {}
         for path in paths:
-            for v in vcf.VcfReader(path):
+            for v in vcf.iter_vcf_features(path, intervals, pad=1000):
                 # 1-based [start, end]; end covers the ref allele span
                 self.by_contig.setdefault(v.contig, []).append((v.pos + 1, v.pos + len(v.ref)))
         for c in self.by_contig:
@@ -82,7 +87,12 @@ def base_recalibrator(argv):
                         "skip over known variant sites; please provide --known-sites")
 
     ref = fasta.FastaReference(args.reference)
-    known = _KnownSites(args.known_sites)
+    known_intervals = None
+    if args.intervals:
+        hdr = bam.BamReader(args.input[0]).header
+        lengths0 = {s.name: s.length for s in hdr.sequences}
+        known_intervals = [iv.parse_interval(s, lengths0) for s in args.intervals]
+    known = _KnownSites(args.known_sites, known_intervals)
     rargs = RecalArgs(
         mismatches_context_size=args.mismatches_context_size,
         indels_context_size=args.indels_context_size,

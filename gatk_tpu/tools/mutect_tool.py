@@ -26,6 +26,12 @@ def mutect2(argv):
     p.add_argument("--max-reads-per-alignment-start", type=int, default=50)
     p.add_argument("--f1r2-tar-gz", default=None,
                    help="collect F1R2 counts while calling (for LearnReadOrientationModel)")
+    p.add_argument("--germline-resource", default=None,
+                   help="population VCF with AF (e.g. gnomAD); drives POPAF. "
+                        "Indexed (.tbi) resources are queried per site, never "
+                        "fully decompressed")
+    p.add_argument("--af-of-alleles-not-in-resource", "--default-af",
+                   dest="default_af", type=float, default=-1.0)
     args = p.parse_args(argv)
 
     m2args = M2Args(
@@ -51,6 +57,13 @@ def mutect2(argv):
         sample = sample or "SAMPLE"
 
     eng = Mutect2Engine(ref, tumor_sample=sample, normal_samples=args.normal_sample, args=m2args)
+    if args.germline_resource:
+        from ..mutect.engine import make_germline_af_lookup
+        # M2ArgumentCollection.getDefaultAlleleFrequency :164-166
+        default_af = args.default_af if args.default_af >= 0 else (
+            4e-3 if args.mitochondria_mode else
+            (1e-6 if args.normal_sample else 5e-8))
+        eng.germline_af = make_germline_af_lookup(args.germline_resource, default_af)
 
     if args.intervals:
         targets = [iv.parse_interval(s, lengths) for s in args.intervals]
@@ -290,8 +303,11 @@ def get_pileup_summaries(argv):
 
     reader = bamio.BamReader(args.input)
     sample = reader.header.read_groups[0].get("SM", "SAMPLE") if reader.header.read_groups else "SAMPLE"
+    lengths = {s.name: s.length for s in reader.header.sequences}
+    intervals = ([iv.parse_interval(s, lengths) for s in args.intervals]
+                 if args.intervals else None)
     sites = []
-    for v in vcfio.VcfReader(args.variant):
+    for v in vcfio.iter_vcf_features(args.variant, intervals):
         if len(v.alts) != 1 or not v.is_snp():
             continue
         af = v.info.get("AF")

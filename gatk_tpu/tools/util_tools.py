@@ -425,3 +425,29 @@ def split_vcfs(argv):
     wi.close()
     print(f"{ns} SNPs, {ni} indels")
     return 0
+
+
+@register_tool("IndexFeatureFile")
+def index_feature_file(argv):
+    """Create a tabix (.tbi) index for a BGZF-compressed feature file
+    (tools/IndexFeatureFile.java; htslib tbx_index_build semantics in
+    io/tabix.write_tbi)."""
+    import argparse
+
+    from ..io import tabix
+
+    p = argparse.ArgumentParser(description="IndexFeatureFile")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", default=None,
+                   help="index path (default <input>.tbi)")
+    p.add_argument("--preset", choices=["vcf", "bed", "gff"], default=None,
+                   help="format preset (default: by file extension)")
+    args = p.parse_args(argv)
+
+    name = args.input.lower()
+    preset = args.preset or ("bed" if ".bed" in name else
+                             "gff" if (".gff" in name or ".gtf" in name) else "vcf")
+    conf = {"vcf": tabix.CONF_VCF, "bed": tabix.CONF_BED, "gff": tabix.CONF_GFF}[preset]
+    dest = tabix.write_tbi(args.input, conf, args.output)
+    print(f"wrote index {dest}")
+    return 0

@@ -1,11 +1,14 @@
 """NVScoreVariants (1D CNN) tests: trained scores separate planted good/bad
 clusters and chain into FilterVariantTranches."""
 import subprocess
+import pytest
 import sys
 
 import numpy as np
 
 from conftest import reference_path
+
+pytestmark = pytest.mark.slow  # heavy integration tier (pytest.ini; testsettings.gradle:13-34)
 
 MITO_REF = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/mutect/mito/Homo_sapiens_assembly38.mt_only.fasta")
 

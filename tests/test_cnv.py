@@ -9,6 +9,8 @@ import pytest
 
 from gatk_tpu.utils.testdata import reference_path
 
+pytestmark = pytest.mark.slow  # heavy integration tier (pytest.ini; testsettings.gradle:13-34)
+
 SIM_DIR = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/copynumber/gcnv-sim-data")
 POST_DIR = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/copynumber/gcnv-postprocess")
 needs_ref = pytest.mark.skipif(not os.path.isdir(SIM_DIR), reason="reference data missing")

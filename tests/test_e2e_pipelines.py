@@ -17,6 +17,8 @@ import pytest
 
 from gatk_tpu.cli import TOOL_REGISTRY
 
+pytestmark = pytest.mark.slow  # heavy integration tier (pytest.ini; testsettings.gradle:13-34)
+
 MITO = "/root/reference/src/test/resources/org/broadinstitute/hellbender/tools/mutect/mito"
 BAM = f"{MITO}/NA12878.bam"
 REF = f"{MITO}/Homo_sapiens_assembly38.mt_only.fasta"
@@ -171,6 +173,74 @@ def test_hc_checkpoint_resume(tmp_path):
     body = lambda p: [l for l in open(p) if not l.startswith("#")]
     assert body(out1) == body(out2)
     assert len(body(out1)) > 0
+
+
+def test_haplotypecaller_true_defaults(tmp_path):
+    """HC at TRUE GATK defaults (downsample-50, fixed pruning) — the reference's
+    integration gate runs tool defaults (HaplotypeCallerIntegrationTest.java:80-101);
+    a default-path regression must not escape the suite."""
+    out = str(tmp_path / "hc_default.vcf")
+    rc = TOOL_REGISTRY["HaplotypeCaller"](
+        ["-I", BAM, "-R", REF, "-L", "chrM:1-400", "-O", out]
+    )
+    assert rc == 0
+    by_pos = {int(r[1]): r for r in _records(out)}
+    for pos, (ref, alt) in {152: ("T", "C"), 263: ("A", "G"), 310: ("T", "TC")}.items():
+        assert pos in by_pos, f"default-args HC missing chrM:{pos}"
+        r = by_pos[pos]
+        assert r[3] == ref and alt in r[4].split(","), (pos, r[3], r[4])
+        gt = r[9].split(":")[0]
+        assert gt in ("1/1", "1|1"), (pos, gt)
+    # default downsampling keeps ~50 reads/start: depth must be far above the
+    # FAST(-5) path's
+    info = dict(kv.split("=", 1) for kv in by_pos[152][7].split(";") if "=" in kv)
+    assert int(info["DP"]) > 400, info["DP"]
+
+
+def test_mutect2_record_level_vs_golden(tmp_path):
+    """Record-level comparison against the committed golden mutect/mito/unfiltered.vcf
+    (Mutect2IntegrationTest testMitochondria): alleles exact, AF/AD/TLOD/DP within
+    tolerance at every strongly-supported golden site — not just site membership.
+    Runs TRUE M2 defaults (downsample-50, adaptive pruning via mito mode)."""
+    out = str(tmp_path / "m2_default.vcf")
+    rc = TOOL_REGISTRY["Mutect2"](
+        ["-I", BAM, "-R", REF, "-L", "chrM:1-400", "-O", out, "--mitochondria-mode"]
+    )
+    assert rc == 0
+    mine = {int(r[1]): r for r in _records(out)}
+    golden = {int(r[1]): r for r in _records(f"{MITO}/unfiltered.vcf")
+              # 301 is a TLOD=3.3 borderline emit; 400 is a hand-planted copy of
+              # 302 used by FilterMutectCalls tests (not present in the reads)
+              if int(r[1]) in (152, 263, 302, 310)}
+    for pos, g in golden.items():
+        assert pos in mine, f"missing golden site chrM:{pos}"
+        m = mine[pos]
+        g_alts, m_alts = g[4].split(","), m[4].split(",")
+        g_info = dict(kv.split("=", 1) for kv in g[7].split(";") if "=" in kv)
+        m_info = dict(kv.split("=", 1) for kv in m[7].split(";") if "=" in kv)
+        g_fmt = dict(zip(g[8].split(":"), g[9].split(":")))
+        m_fmt = dict(zip(m[8].split(":"), m[9].split(":")))
+        g_tlod = dict(zip(g_alts, (float(x) for x in g_info["TLOD"].split(","))))
+        m_tlod = dict(zip(m_alts, (float(x) for x in m_info["TLOD"].split(","))))
+        g_af = dict(zip(g_alts, (float(x) for x in g_fmt["AF"].split(","))))
+        m_af = dict(zip(m_alts, (float(x) for x in m_fmt["AF"].split(","))))
+        g_ad = [int(x) for x in g_fmt["AD"].split(",")]
+        m_ad = [int(x) for x in m_fmt["AD"].split(",")]
+        g_ad_frac = dict(zip(g_alts, (a / max(1, sum(g_ad)) for a in g_ad[1:])))
+        m_ad_frac = dict(zip(m_alts, (a / max(1, sum(m_ad)) for a in m_ad[1:])))
+        assert m[3] == g[3], (pos, m[3], g[3])
+        for alt, gt in g_tlod.items():
+            if gt < 50.0:  # weak golden alleles (302's C at 10.7) may drop
+                continue
+            assert alt in m_alts, f"chrM:{pos} missing golden alt {alt}: {m_alts}"
+            # TLOD scales with retained depth; require same order of magnitude
+            # and strong support
+            assert m_tlod[alt] > max(50.0, 0.3 * gt), (pos, alt, m_tlod[alt], gt)
+            assert abs(m_af[alt] - g_af[alt]) < 0.15, (pos, alt, m_af[alt], g_af[alt])
+            assert abs(m_ad_frac[alt] - g_ad_frac[alt]) < 0.15, (pos, alt)
+        # depth: default downsampling must land in the golden's regime (the FAST
+        # path's DP≈30 would fail this)
+        assert int(m_info["DP"]) > 0.3 * int(g_info["DP"]), (pos, m_info["DP"], g_info["DP"])
 
 
 def test_progress_meter_output():

@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy integration tier (pytest.ini; testsettings.gradle:13-34)
+
 MITO = ("/root/reference/src/test/resources/org/broadinstitute/hellbender/"
         "tools/mutect/mito")
 

@@ -11,6 +11,8 @@ import pytest
 from gatk_tpu.ops import pairhmm_host, pairhmm_tpu
 from tests.test_pairhmm_host import GOLDEN, load_golden_cases
 
+pytestmark = pytest.mark.slow  # heavy integration tier (pytest.ini; testsettings.gradle:13-34)
+
 
 def _mk_reads_haps(cases):
     reads, haps, ri, hi = [], [], [], []

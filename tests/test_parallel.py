@@ -4,6 +4,8 @@ import numpy as np
 
 import __graft_entry__ as graft
 
+pytestmark = pytest.mark.slow  # heavy integration tier (pytest.ini; testsettings.gradle:13-34)
+
 
 def test_entry_compiles_and_runs():
     fn, args = graft.entry()

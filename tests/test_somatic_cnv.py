@@ -13,6 +13,8 @@ import pytest
 from conftest import reference_path
 from gatk_tpu.cnv import somatic
 
+pytestmark = pytest.mark.slow  # heavy integration tier (pytest.ini; testsettings.gradle:13-34)
+
 CNV_DIR = reference_path("src/test/resources/org/broadinstitute/hellbender/tools/copynumber")
 
 
