@@ -97,6 +97,11 @@ def assign_genotype_likelihoods(
         # allele -> supporting haplotypes (haplotypes with no event at loc support ref)
         allele_map = {a: [] for a in alleles}
         for h in haplotypes:
+            # PD haplotypes are genotyped only at their determined position
+            # (AssemblyBasedCallerUtils.createAlleleMapper :662-665)
+            det_pos = getattr(h, "determined_position", None)
+            if det_pos is not None and det_pos != loc:
+                continue
             ev = next((e for e in h.events if e.start == loc), None)
             if ev is None:
                 # spanning deletion from an upstream event makes the haplotype

@@ -59,6 +59,10 @@ class HCArgs:
     # flow-space reads, utils/pairhmm/FlowBasedPairHMM.java)
     likelihood_engine: str = "PairHMM"
     flow_order: str = "TGCA"
+    # DRAGEN pileup detection / PDHMM (--pileup-detection, --use-pdhmm,
+    # --dragen-mode; PileupDetectionArgumentCollection + HaplotypeCallerEngine
+    # :798-853). None = off.
+    pileup_args: object = None
 
 
 def maybe_filter_alleles(lik, args, span_start):
@@ -314,6 +318,26 @@ class HaplotypeCallerEngine:
         haplotypes = result.haplotypes
         if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
             return None
+        if args.pileup_args is not None and args.pileup_args.generate_pd_haplotypes:
+            # DRAGEN PDHMM pre-work (HaplotypeCallerEngine.java:798-853): merge
+            # pileup-detected events with assembly events and rebuild the
+            # haplotype set as PD haplotypes; on any heuristic abort fall back
+            # to the assembled haplotypes.
+            from . import pd_haplotypes, pileup_alleles
+
+            good, bad = pileup_alleles.good_and_bad_pileup_events(
+                region_reads, ref_bases, padded.start, args.pileup_args,
+                min_base_quality=args.min_base_quality_score)
+            pd_haps = pd_haplotypes.generate_pd_haplotypes(
+                haplotypes, ref_bases, padded.start, (span.start, span.end),
+                bad_pileup_events=bad, good_pileup_events=good,
+                snp_adjacent_to_indel_range=args.pileup_args.snp_adjacent_to_assembly_indel)
+            if pd_haps:
+                with STAGES.stage("read_prep"):
+                    prepped = read_prep.prepare_reads_for_pairhmm(final_reads)
+                return dict(span=span, padded=padded, final_reads=final_reads,
+                            prepped=prepped, haplotypes=pd_haps,
+                            ref_bases=ref_bases, handle=None, pd_mode=True)
         if args.likelihood_engine == "FlowBasedHMM":
             # flow-space likelihoods are computed synchronously in finish_region
             # (FlowBasedHMMEngine path, utils/pairhmm/FlowBasedPairHMM.java)
@@ -335,7 +359,16 @@ class HaplotypeCallerEngine:
         haplotypes = prep["haplotypes"]
         final_reads = prep["final_reads"]
         summary = AssemblyRegionCall(span, padded, len(final_reads), len(haplotypes))
-        if prep["handle"] is None and args.likelihood_engine == "FlowBasedHMM":
+        if prep.get("pd_mode"):
+            # PDHMM path (PDPairHMMLikelihoodCalculationEngine.java:173-195):
+            # batched host/native kernel, then the same normalize/filter flow
+            from ..ops import pdhmm
+
+            with STAGES.stage("device_wait"):
+                mat = pdhmm.compute_pd_likelihood_matrix(
+                    [h.bases for h in haplotypes],
+                    [h.pd_bytes for h in haplotypes], prep["prepped"])
+        elif prep["handle"] is None and args.likelihood_engine == "FlowBasedHMM":
             from ..ops import flow, flow_pairhmm
 
             fhaps = [flow.FlowBasedHaplotype(h.bases, args.flow_order)

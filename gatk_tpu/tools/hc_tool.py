@@ -64,6 +64,23 @@ def haplotype_caller(argv):
                    help="flow-cycle order for FlowBasedHMM reads")
     # multi-process data parallelism (jax.distributed; the Spark/WDL cluster
     # path re-architected as SPMD interval sharding — parallel/multihost.py)
+    p.add_argument("--pileup-detection", action="store_true",
+                   help="create pileup-based haplotypes in addition to assembly "
+                        "(DRAGEN ColumnwiseDetection; PileupBasedAlleles.java)")
+    p.add_argument("--pileup-detection-enable-indel-pileup-calling",
+                   dest="pileup_indels", action="store_true")
+    p.add_argument("--use-pdhmm", action="store_true",
+                   help="partially-determined HMM: artificial haplotypes from the "
+                        "union of assembly+pileup alleles scored by the PDHMM "
+                        "(PartiallyDeterminedHaplotypeComputationEngine.java)")
+    p.add_argument("--pileup-detection-snp-alt-threshold", type=float, default=0.1)
+    p.add_argument("--pileup-detection-indel-alt-threshold", type=float, default=0.1)
+    p.add_argument("--pileup-detection-absolute-alt-depth", type=float, default=0.0)
+    p.add_argument("--pileup-detection-bad-read-tolerance", type=float, default=0.0)
+    p.add_argument("--dragen-378-concordance-mode", "--dragen-mode",
+                   dest="dragen_mode", action="store_true",
+                   help="enable the DRAGEN-GATK feature bundle incl. pileup "
+                        "detection + PDHMM (getDragenVersion378NameValuePairs)")
     p.add_argument("--distributed-coordinator", default=None,
                    help="host:port of process 0 (enables multi-process mode)")
     p.add_argument("--distributed-num-processes", type=int, default=1)
@@ -115,6 +132,19 @@ def haplotype_caller(argv):
         likelihood_engine=args.likelihood_engine,
         flow_order=args.flow_order,
     )
+    if args.dragen_mode or args.pileup_detection or args.use_pdhmm:
+        from ..calling.pileup_alleles import PileupDetectionArgs
+
+        pa = (PileupDetectionArgs.dragen_378() if args.dragen_mode
+              else PileupDetectionArgs(use_pileup_detection=True))
+        pa.detect_indels = pa.detect_indels or args.pileup_indels
+        pa.generate_pd_haplotypes = pa.generate_pd_haplotypes or args.use_pdhmm
+        pa.snp_threshold = args.pileup_detection_snp_alt_threshold
+        pa.indel_threshold = args.pileup_detection_indel_alt_threshold
+        pa.absolute_depth = args.pileup_detection_absolute_alt_depth
+        if args.pileup_detection_bad_read_tolerance > 0:
+            pa.bad_read_threshold = args.pileup_detection_bad_read_tolerance
+        hc_args.pileup_args = pa
     engine = hc_engine.HaplotypeCallerEngine(ref, sample, hc_args)
     if args.bamout:
         from ..calling.bamout import BamoutCollector
