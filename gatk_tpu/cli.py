@@ -94,6 +94,9 @@ def _register_builtin_tools():
     from .tools import analysis_tools  # noqa: F401
     from .tools import vets_tools  # noqa: F401
     from .tools import pathseq_tools  # noqa: F401
+    from .tools import sam_tools  # noqa: F401
+    from .tools import fasta_tools  # noqa: F401
+    from .tools import plotting_tools  # noqa: F401
 
 
 _register_builtin_tools()

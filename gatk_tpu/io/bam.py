@@ -68,6 +68,8 @@ class BaiIndex:
         off = 8
         self.bins = []  # per ref: dict bin -> [(beg, end) voffset chunks]
         self.linear = []  # per ref: array of voffsets per 16kb window
+        self.meta = {}  # ref index -> pseudo-bin chunks [(span), (mapped, unmapped)]
+        meta = self.meta
         for _ in range(n_ref):
             (n_bin,) = struct.unpack_from("<i", data, off)
             off += 4
@@ -81,6 +83,10 @@ class BaiIndex:
                 off += 16 * n_chunk
                 if bin_no != self.MAX_BIN:
                     bins[bin_no] = chunks
+                else:
+                    # pseudo-bin metadata: chunk0 = ref span voffsets,
+                    # chunk1 = (n_mapped, n_unmapped) (SAM spec 5.2)
+                    meta[len(self.bins)] = chunks
             (n_intv,) = struct.unpack_from("<i", data, off)
             off += 4
             self.linear.append(np.frombuffer(data, "<u8", n_intv, off))

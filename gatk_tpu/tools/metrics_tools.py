@@ -276,3 +276,167 @@ def quality_score_distribution(argv):
                        None, ("QUALITY", labels, values), hist_bin_type="java.lang.Byte")
     print(f"wrote quality distribution over {len(values)} quality bins")
     return 0
+
+
+# ---------------------------------------------------------------------------
+# CollectAlignmentSummaryMetrics (picard analysis/AlignmentSummaryMetrics)
+# ---------------------------------------------------------------------------
+
+_ASM_COLUMNS = [
+    "CATEGORY", "TOTAL_READS", "PF_READS", "PCT_PF_READS", "PF_NOISE_READS",
+    "PF_READS_ALIGNED", "PCT_PF_READS_ALIGNED", "PF_ALIGNED_BASES",
+    "PF_HQ_ALIGNED_READS", "PF_HQ_ALIGNED_BASES", "PF_HQ_ALIGNED_Q20_BASES",
+    "PF_HQ_MEDIAN_MISMATCHES", "PF_MISMATCH_RATE", "PF_HQ_ERROR_RATE",
+    "PF_INDEL_RATE", "MEAN_READ_LENGTH", "READS_ALIGNED_IN_PAIRS",
+    "PCT_READS_ALIGNED_IN_PAIRS", "PF_READS_IMPROPER_PAIRS",
+    "PCT_PF_READS_IMPROPER_PAIRS", "BAD_CYCLES", "STRAND_BALANCE",
+    "PCT_CHIMERAS", "PCT_ADAPTER",
+]
+
+
+class _AsmAccumulator:
+    """One CATEGORY row (FIRST_OF_PAIR / SECOND_OF_PAIR / PAIR / UNPAIRED)."""
+
+    HQ_MAPQ = 20
+
+    def __init__(self, category):
+        self.category = category
+        self.total = self.pf = self.noise = self.aligned = 0
+        self.aligned_bases = self.hq_reads = self.hq_bases = self.hq_q20 = 0
+        self.hq_mismatches = []
+        self.mismatches = self.indels = self.indel_events = 0
+        self.read_len_sum = 0
+        self.in_pairs = self.improper = self.plus_strand = 0
+        self.chimeras = 0
+
+    def add(self, r, nm):
+        from ..io import sam as _sam
+
+        self.total += 1
+        if r.flag & 0x200:  # vendor-failed
+            return
+        self.pf += 1
+        self.read_len_sum += len(r.bases)
+        if r.is_unmapped:
+            return
+        self.aligned += 1
+        aligned_len = int(sum(int(l) for o, l in zip(r.cigar_ops, r.cigar_lens)
+                              if int(o) in (_sam.OP_M, _sam.OP_EQ, _sam.OP_X)))
+        ins = sum(int(l) for o, l in zip(r.cigar_ops, r.cigar_lens) if int(o) == _sam.OP_I)
+        dels = sum(1 for o in r.cigar_ops if int(o) == _sam.OP_D)
+        inss = sum(1 for o in r.cigar_ops if int(o) == _sam.OP_I)
+        self.aligned_bases += aligned_len + ins
+        self.indel_events += dels + inss
+        mism = max(0, (nm or 0) - ins - sum(
+            int(l) for o, l in zip(r.cigar_ops, r.cigar_lens) if int(o) == _sam.OP_D))
+        self.mismatches += mism
+        if not r.is_reverse:
+            self.plus_strand += 1
+        if r.mapq >= self.HQ_MAPQ:
+            self.hq_reads += 1
+            self.hq_bases += aligned_len
+            self.hq_q20 += int((r.quals >= 20).sum())
+            self.hq_mismatches.append(mism)
+        if r.is_paired:
+            if not r.mate_is_unmapped:
+                self.in_pairs += 1
+                if r.ref_id != r.mate_ref_id:
+                    self.chimeras += 1
+            if not r.flag & 0x2:
+                self.improper += 1
+
+    def row(self):
+        import numpy as _np
+
+        def ratio(a, b):
+            return a / b if b else 0.0
+
+        return [
+            self.category, self.total, self.pf, round(ratio(self.pf, self.total), 6),
+            self.noise, self.aligned, round(ratio(self.aligned, self.pf), 6),
+            self.aligned_bases, self.hq_reads, self.hq_bases, self.hq_q20,
+            float(_np.median(self.hq_mismatches)) if self.hq_mismatches else 0.0,
+            round(ratio(self.mismatches, self.aligned_bases), 6),
+            round(ratio(sum(self.hq_mismatches), self.hq_bases), 6),
+            round(ratio(self.indel_events, self.aligned_bases), 6),
+            round(ratio(self.read_len_sum, self.pf), 6),
+            self.in_pairs, round(ratio(self.in_pairs, self.aligned), 6),
+            self.improper, round(ratio(self.improper, self.aligned), 6),
+            0, round(ratio(self.plus_strand, self.aligned), 6),
+            round(ratio(self.chimeras, self.in_pairs), 6), 0.0,
+        ]
+
+
+@register_tool("CollectAlignmentSummaryMetrics")
+def collect_alignment_summary_metrics(argv):
+    """Alignment summary metrics per read category (picard
+    CollectAlignmentSummaryMetrics; AlignmentSummaryMetrics column set)."""
+    import argparse
+
+    from ..io import bam as bamio
+
+    p = argparse.ArgumentParser(description="CollectAlignmentSummaryMetrics")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    args = p.parse_args(argv)
+    cats = {"FIRST_OF_PAIR": _AsmAccumulator("FIRST_OF_PAIR"),
+            "SECOND_OF_PAIR": _AsmAccumulator("SECOND_OF_PAIR"),
+            "PAIR": _AsmAccumulator("PAIR"),
+            "UNPAIRED": _AsmAccumulator("UNPAIRED")}
+    for r in bamio.BamReader(args.input):
+        if r.is_secondary or r.is_supplementary:
+            continue
+        nm = r.tags.get("NM") if r.tags else None
+        if r.is_paired:
+            cats["FIRST_OF_PAIR" if r.flag & 0x40 else "SECOND_OF_PAIR"].add(r, nm)
+            cats["PAIR"].add(r, nm)
+        else:
+            cats["UNPAIRED"].add(r, nm)
+    rows = [c.row() for c in cats.values() if c.total > 0]
+    write_metrics_file(args.output, "CollectAlignmentSummaryMetrics",
+                       "picard.analysis.AlignmentSummaryMetrics", _ASM_COLUMNS, rows)
+    print(f"wrote {args.output}")
+    return 0
+
+
+@register_tool("CollectQualityYieldMetrics")
+def collect_quality_yield_metrics(argv):
+    """Base-yield metrics (picard CollectQualityYieldMetrics: total/PF reads and
+    bases, Q20/Q30 base counts)."""
+    import argparse
+
+    from ..io import bam as bamio
+
+    p = argparse.ArgumentParser(description="CollectQualityYieldMetrics")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    total_reads = pf_reads = total_bases = pf_bases = 0
+    q20 = q30 = pf_q20 = pf_q30 = 0
+    for r in bamio.BamReader(args.input):
+        if r.is_secondary or r.is_supplementary:
+            continue
+        total_reads += 1
+        n = len(r.bases)
+        total_bases += n
+        nq20 = int((r.quals >= 20).sum())
+        nq30 = int((r.quals >= 30).sum())
+        q20 += nq20
+        q30 += nq30
+        if not r.flag & 0x200:
+            pf_reads += 1
+            pf_bases += n
+            pf_q20 += nq20
+            pf_q30 += nq30
+    cols = ["TOTAL_READS", "PF_READS", "READ_LENGTH", "TOTAL_BASES", "PF_BASES",
+            "Q20_BASES", "PF_Q20_BASES", "Q30_BASES", "PF_Q30_BASES",
+            "Q20_EQUIVALENT_YIELD", "PF_Q20_EQUIVALENT_YIELD"]
+    read_len = round(total_bases / total_reads) if total_reads else 0
+    rows = [[total_reads, pf_reads, read_len, total_bases, pf_bases,
+             q20, pf_q20, q30, pf_q30, 0, 0]]
+    write_metrics_file(args.output, "CollectQualityYieldMetrics",
+                       "picard.analysis.CollectQualityYieldMetrics$QualityYieldMetrics",
+                       cols, rows)
+    print(f"wrote {args.output}")
+    return 0

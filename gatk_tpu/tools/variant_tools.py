@@ -320,3 +320,155 @@ def sort_sam(argv):
     w.close()
     print(f"sorted {len(reads)} reads ({args.SORT_ORDER})")
     return 0
+
+
+@register_tool("GatherVcfs")
+def gather_vcfs(argv):
+    """Concatenate block-ordered VCF shards without re-sorting (picard
+    GatherVcfs / GatherVcfsCloud: inputs must be non-overlapping and in
+    genomic order; the scatter-gather fast path)."""
+    p = argparse.ArgumentParser(description="GatherVcfs")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    readers = [vcf.VcfReader(path) for path in args.input]
+    samples = readers[0].samples
+    w = vcf.VcfWriter(args.output, samples, extra_header_lines=readers[0].header_lines)
+    last = None
+    n = 0
+    for r in readers:
+        if r.samples != samples:
+            raise UserError("inputs have different sample columns")
+        for v in r:
+            key = (v.contig, v.pos)
+            if last is not None and v.contig == last[0] and key < last:
+                raise UserError(
+                    f"input shards overlap/are out of order at {v.contig}:{v.pos + 1}")
+            last = key
+            w.write(v)
+            n += 1
+    w.close()
+    print(f"gathered {n} records from {len(readers)} shards")
+    return 0
+
+
+@register_tool("SortVcf")
+def sort_vcf(argv):
+    """Sort a VCF in sequence-dictionary order (picard SortVcf)."""
+    p = argparse.ArgumentParser(description="SortVcf")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-SD", "--sequence-dictionary", default=None,
+                   help=".dict file fixing the contig order (default: order of "
+                        "first appearance)")
+    args = p.parse_args(argv)
+    readers = [vcf.VcfReader(path) for path in args.input]
+    order: dict[str, int] = {}
+    if args.sequence_dictionary:
+        for line in open(args.sequence_dictionary):
+            if line.startswith("@SQ"):
+                for f in line.split("\t"):
+                    if f.startswith("SN:"):
+                        order[f[3:].strip()] = len(order)
+    variants = [v for r in readers for v in r]
+    for v in variants:
+        if v.contig not in order:
+            order[v.contig] = len(order)
+    variants.sort(key=lambda v: (order[v.contig], v.pos))
+    w = vcf.VcfWriter(args.output, readers[0].samples,
+                      extra_header_lines=readers[0].header_lines)
+    for v in variants:
+        w.write(v)
+    w.close()
+    print(f"sorted {len(variants)} records")
+    return 0
+
+
+def _read_chain_file(path):
+    """Parse a UCSC liftover chain file into per-source-contig block lists:
+    (src_start, src_end, dst_contig, dst_start, flip, dst_size)."""
+    blocks: dict[str, list] = {}
+    with open(path) as fh:
+        header = None
+        src_off = dst_off = 0
+        for line in fh:
+            line = line.strip()
+            if not line:
+                header = None
+                continue
+            if line.startswith("chain"):
+                f = line.split()
+                # chain score tName tSize tStrand tStart tEnd qName qSize qStrand qStart qEnd id
+                header = dict(src=f[2], src_size=int(f[3]), src_start=int(f[5]),
+                              dst=f[7], dst_size=int(f[8]), dst_strand=f[9],
+                              dst_start=int(f[10]))
+                src_off = header["src_start"]
+                dst_off = header["dst_start"]
+                continue
+            if header is None:
+                continue
+            f = line.split()
+            size = int(f[0])
+            blocks.setdefault(header["src"], []).append(
+                (src_off, src_off + size, header["dst"], dst_off,
+                 header["dst_strand"] == "-", header["dst_size"]))
+            if len(f) == 3:
+                src_off += size + int(f[1])
+                dst_off += size + int(f[2])
+            else:
+                header = None
+    for c in blocks:
+        blocks[c].sort()
+    return blocks
+
+
+@register_tool("LiftoverVcf")
+def liftover_vcf(argv):
+    """Lift VCF records between assemblies via a chain file (picard LiftoverVcf:
+    per-record coordinate mapping, REJECT file for unmapped/ref-mismatch sites)."""
+    import bisect
+
+    p = argparse.ArgumentParser(description="LiftoverVcf")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-C", "--chain", required=True)
+    p.add_argument("-R", "--reference", required=True, help="TARGET reference")
+    p.add_argument("--reject", required=True)
+    args = p.parse_args(argv)
+    chain = _read_chain_file(args.chain)
+    ref = fasta.FastaReference(args.reference)
+    reader = vcf.VcfReader(args.input)
+    lifted, rejects = [], []
+    for v in reader:
+        blocks = chain.get(v.contig, [])
+        i = bisect.bisect_right([b[0] for b in blocks], v.pos) - 1
+        if i < 0 or v.pos + len(v.ref) > blocks[i][1]:
+            rejects.append((v, "NoTarget"))
+            continue
+        src_start, _src_end, dst, dst_start, flip, dst_size = blocks[i]
+        if flip:
+            rejects.append((v, "ReverseStrand"))  # strand flips not lifted
+            continue
+        new_pos = dst_start + (v.pos - src_start)
+        tgt = ref.fetch(dst, new_pos, new_pos + len(v.ref)).tobytes().decode()
+        if tgt.upper() != v.ref.upper():
+            rejects.append((v, "MismatchedRefAllele"))
+            continue
+        lifted.append(vcf.Variant(contig=dst, pos=new_pos, ref=v.ref, alts=v.alts,
+                                  qual=v.qual, filters=v.filters, info=v.info,
+                                  fmt_keys=v.fmt_keys, samples=v.samples,
+                                  id=v.id))
+    lifted.sort(key=lambda v: (v.contig, v.pos))
+    w = vcf.VcfWriter(args.output, reader.samples,
+                      extra_header_lines=reader.header_lines)
+    for v in lifted:
+        w.write(v)
+    w.close()
+    rw = vcf.VcfWriter(args.reject, reader.samples,
+                       extra_header_lines=reader.header_lines)
+    for v, why in rejects:
+        v.filters = (why,)
+        rw.write(v)
+    rw.close()
+    print(f"lifted {len(lifted)} records, rejected {len(rejects)}")
+    return 0
