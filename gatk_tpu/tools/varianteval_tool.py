@@ -1,88 +1,34 @@
 """VariantEval: callset evaluation report (stratifiers x evaluators).
 
-Reference behavior: tools/walkers/varianteval/ — VariantEval.java drives
-evaluation modules (CountVariants.java, TiTvVariantEvaluator.java,
-CompOverlap.java) over stratification states (Novelty via dbSNP comp track);
-output is a GATKReport of one table per evaluation module
-(utils/report/GATKReport format, reused from the BQSR writer).
+Reference behavior: tools/walkers/varianteval/VariantEval.java +
+VariantEvalEngine.java — evaluation modules (-EV) over the cartesian product of
+stratification states (-ST), with Novelty standard; output is a GATKReport of
+one table per evaluation module (VariantEvalReportWriter.java).
 """
 from __future__ import annotations
 
 import argparse
 
-from ..cli import register_tool
+from ..cli import UserError, register_tool
+from ..vareval import evaluators as ev_mod
+from ..vareval import stratifiers as st_mod
+from ..vareval.framework import EvalContext, StratificationManager, classify, sample_genotypes
 
-TRANSITIONS = {("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")}
 
+def _load_track(paths):
+    """(contig, pos) -> list of Variants for comp/dbsnp resources."""
+    from ..io import vcf as vcfio
 
-class _Counts:
-    def __init__(self):
-        self.n_processed = 0
-        self.n_called = 0
-        self.n_snps = 0
-        self.n_mnps = 0
-        self.n_insertions = 0
-        self.n_deletions = 0
-        self.n_complex = 0
-        self.n_symbolic = 0
-        self.n_mixed = 0
-        self.n_no_calls = 0
-        self.n_filtered = 0
-        self.n_ti = 0
-        self.n_tv = 0
-        self.n_comp_overlap = 0
-        self.n_concordant = 0
-
-    def add(self, v, in_comp, alleles_match):
-        self.n_processed += 1
-        if v.filters and v.filters != ("PASS",):
-            self.n_filtered += 1
-            return
-        self.n_called += 1
-        if v.is_snp():
-            self.n_snps += 1
-            for a in v.alts:
-                if len(a) == 1 and a != "*" and not a.startswith("<"):
-                    if (v.ref, a) in TRANSITIONS:
-                        self.n_ti += 1
-                    else:
-                        self.n_tv += 1
-        elif all(a.startswith("<") for a in v.alts if a):
-            self.n_symbolic += 1
-        else:
-            ins = del_ = other = 0
-            for a in v.alts:
-                if a.startswith("<") or a == "*":
-                    continue
-                if len(a) > len(v.ref) and a[: len(v.ref)] == v.ref:
-                    ins += 1
-                elif len(a) < len(v.ref) and v.ref[: len(a)] == a:
-                    del_ += 1
-                elif len(a) == len(v.ref):
-                    other += 1  # MNP
-                else:
-                    other += 1
-            if ins and not del_ and not other:
-                self.n_insertions += 1
-            elif del_ and not ins and not other:
-                self.n_deletions += 1
-            elif other and len(v.ref) == len(v.alts[0]):
-                self.n_mnps += 1
-            else:
-                self.n_mixed += 1
-        if in_comp:
-            self.n_comp_overlap += 1
-            if alleles_match:
-                self.n_concordant += 1
-
-    @property
-    def titv(self):
-        return self.n_ti / self.n_tv if self.n_tv else 0.0
+    track: dict = {}
+    for path in paths:
+        for rv in vcfio.iter_vcf_features(path):
+            track.setdefault((rv.contig, rv.pos), []).append(rv)
+    return track
 
 
 @register_tool("VariantEval")
 def variant_eval(argv):
-    """Evaluate a callset: variant counts, Ti/Tv, comp overlap, stratified by novelty."""
+    """Evaluate callsets with composable stratifiers x evaluators."""
     from ..io import vcf as vcfio
     from ..recal.report import ReportTable
 
@@ -91,82 +37,121 @@ def variant_eval(argv):
     p.add_argument("--comp", action="append", default=[])
     p.add_argument("-D", "--dbsnp", default=None)
     p.add_argument("-O", "--output", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-ST", "--stratification-module", action="append", default=[],
+                   help=f"additional stratifiers: {sorted(st_mod.STRATIFIER_REGISTRY)}")
+    p.add_argument("-no-st", "--do-not-use-all-standard-stratifications",
+                   dest="no_st", action="store_true")
+    p.add_argument("-EV", "--eval-module", action="append", default=[],
+                   help=f"evaluators: {sorted(ev_mod.EVALUATOR_REGISTRY)}")
+    p.add_argument("-no-ev", "--do-not-use-all-standard-modules",
+                   dest="no_ev", action="store_true")
     args = p.parse_args(argv)
 
-    # known sites from dbsnp + comps: (contig, pos) -> set of (ref, alt)
-    known = {}
-    comp_tracks = {}
-    for name, paths in (("dbsnp", [args.dbsnp] if args.dbsnp else []),
-                        ("comp", args.comp)):
-        for path in paths:
-            track = comp_tracks.setdefault(name if name != "dbsnp" else "dbsnp", {})
-            for rv in vcfio.VcfReader(path):
-                s = track.setdefault((rv.contig, rv.pos), set())
-                for a in rv.alts:
-                    s.add((rv.ref, a))
-    if args.dbsnp:
-        known = comp_tracks.get("dbsnp", {})
+    st_names = list(dict.fromkeys(
+        ([] if args.no_st else list(st_mod.STANDARD_STRATIFICATIONS))
+        + args.stratification_module))
+    ev_names = list(dict.fromkeys(
+        ([] if args.no_ev else list(ev_mod.STANDARD_EVALUATORS)) + args.eval_module))
+    for n in st_names:
+        if n not in st_mod.STRATIFIER_REGISTRY:
+            raise UserError(f"unknown stratification module {n}")
+    for n in ev_names:
+        if n not in ev_mod.EVALUATOR_REGISTRY:
+            raise UserError(f"unknown eval module {n}")
 
-    strata = ("all", "known", "novel")
-    results = {}  # (eval_name, comp_name, novelty) -> _Counts
-    eval_names = []
-    for path in args.eval:
-        eval_name = f"eval{len(eval_names) + 1}" if len(args.eval) > 1 else "eval"
-        eval_names.append(eval_name)
-        comp_names = list(comp_tracks) or ["none"]
-        for comp_name in comp_names:
-            for s in strata:
-                results[(eval_name, comp_name, s)] = _Counts()
-        for v in vcfio.VcfReader(path):
-            key = (v.contig, v.pos)
-            is_known = key in known and any((v.ref, a) in known[key] for a in v.alts)
-            novelty = "known" if is_known else "novel"
-            for comp_name in comp_names:
-                track = comp_tracks.get(comp_name, {})
-                in_comp = key in track
-                match = in_comp and any((v.ref, a) in track[key] for a in v.alts)
-                for s in ("all", novelty):
-                    results[(eval_name, comp_name, s)].add(v, in_comp, match)
+    ref = None
+    if args.reference:
+        from ..io import fasta
 
-    # ---- report ----
-    count_cols = [("CountVariants", "%s"), ("CompFeatureInput", "%s"),
-                  ("EvalFeatureInput", "%s"), ("Novelty", "%s"),
-                  ("nProcessedLoci", "%d"), ("nCalledLoci", "%d"), ("nFilteredLoci", "%d"),
-                  ("nSNPs", "%d"), ("nMNPs", "%d"), ("nInsertions", "%d"),
-                  ("nDeletions", "%d"), ("nComplex", "%d"), ("nSymbolic", "%d"),
-                  ("nMixed", "%d"), ("insertionDeletionRatio", "%.2f")]
-    titv_cols = [("TiTvVariantEvaluator", "%s"), ("CompFeatureInput", "%s"),
-                 ("EvalFeatureInput", "%s"), ("Novelty", "%s"),
-                 ("nTi", "%d"), ("nTv", "%d"), ("tiTvRatio", "%.2f")]
-    comp_cols = [("CompOverlap", "%s"), ("CompFeatureInput", "%s"),
-                 ("EvalFeatureInput", "%s"), ("Novelty", "%s"),
-                 ("nEvalVariants", "%d"), ("novelSites", "%d"),
-                 ("nVariantsAtComp", "%d"), ("compRate", "%.2f"),
-                 ("nConcordant", "%d"), ("concordantRate", "%.2f")]
+        ref = fasta.FastaReference(args.reference)
 
-    t_count = ReportTable("CountVariants", "Counts different classes of variants", count_cols)
-    t_titv = ReportTable("TiTvVariantEvaluator", "Ti/Tv Variant Evaluator", titv_cols)
-    t_comp = ReportTable("CompOverlap", "The overlap between eval and comp sites", comp_cols)
+    dbsnp = _load_track([args.dbsnp]) if args.dbsnp else {}
+    comp_tracks = {"dbsnp": dbsnp} if args.dbsnp else {}
+    for i, path in enumerate(args.comp):
+        comp_tracks[f"comp{i + 1}" if len(args.comp) > 1 else "comp"] = _load_track([path])
+    if not comp_tracks:
+        comp_tracks = {"none": {}}
 
-    for (eval_name, comp_name, s), c in sorted(results.items()):
-        idr = (c.n_insertions / c.n_deletions) if c.n_deletions else 0.0
-        t_count.add_row("CountVariants", comp_name, eval_name, s,
-                        c.n_processed, c.n_called, c.n_filtered, c.n_snps, c.n_mnps,
-                        c.n_insertions, c.n_deletions, c.n_complex, c.n_symbolic,
-                        c.n_mixed, idr)
-        t_titv.add_row("TiTvVariantEvaluator", comp_name, eval_name, s,
-                       c.n_ti, c.n_tv, c.titv)
-        comp_rate = 100.0 * c.n_comp_overlap / c.n_called if c.n_called else 0.0
-        conc_rate = 100.0 * c.n_concordant / c.n_comp_overlap if c.n_comp_overlap else 0.0
-        t_comp.add_row("CompOverlap", comp_name, eval_name, s,
-                       c.n_called, c.n_called - c.n_comp_overlap, c.n_comp_overlap,
-                       comp_rate, c.n_concordant, conc_rate)
+    def make_stratifier(name, first_eval_samples):
+        cls = st_mod.STRATIFIER_REGISTRY[name]
+        if name == "Sample":
+            return cls(first_eval_samples)
+        if name == "CpG":
+            return cls(ref)
+        return cls()
 
-    tables = [t_comp, t_count, t_titv]
+    tables: dict[str, ReportTable] = {}
+    hist_rows = []
+    for ei, path in enumerate(args.eval):
+        eval_name = f"eval{ei + 1}" if len(args.eval) > 1 else "eval"
+        reader = vcfio.VcfReader(path)
+        variants = list(reader)
+        for comp_name, track in comp_tracks.items():
+            stratifiers = [make_stratifier(n, reader.samples) for n in st_names]
+            manager = StratificationManager(
+                stratifiers,
+                [ev_mod.EVALUATOR_REGISTRY[n] for n in ev_names])
+            include_filtered = "Filter" in st_names or "FilterType" in st_names
+            for v in variants:
+                is_filtered = bool(v.filters and v.filters != ("PASS",))
+                if is_filtered and not include_filtered:
+                    continue  # default: evaluate unfiltered sites only
+                key = (v.contig, v.pos)
+                comps = track.get(key, [])
+                comp = next((c for c in comps if c.ref == v.ref), comps[0] if comps else None)
+                comp_match = comp is not None and any(
+                    a in comp.alts for a in v.alts)
+                known = key in dbsnp and any(
+                    v.ref == kv.ref and a in kv.alts
+                    for kv in dbsnp[key] for a in v.alts)
+                ctx = EvalContext(
+                    v, classify(v), known, comp, comp_match, is_filtered,
+                    sample_genotypes(v))
+                manager.update(ctx)
+            for tname, cols, rows in manager.tables(comp_name, eval_name):
+                if tname == "IndelLengthHistogram":
+                    # expanded per-length rows (the reference emits a molten table)
+                    for key in sorted(manager.contexts):
+                        evi = ev_names.index("IndelLengthHistogram")
+                        h = manager.contexts[key][evi]
+                        for length, freq in h.histogram_rows():
+                            hist_rows.append([comp_name, eval_name, *key, length, freq])
+                    continue
+                t = tables.get(tname)
+                if t is None:
+                    t = ReportTable(tname, _TABLE_DESCRIPTIONS.get(tname, tname), cols)
+                    tables[tname] = t
+                for r in rows:
+                    t.add_row(*r)
+
+    if "IndelLengthHistogram" in ev_names and hist_rows:
+        cols = ([("IndelLengthHistogram", "%s"), ("CompFeatureInput", "%s"),
+                 ("EvalFeatureInput", "%s")] + [(n, "%s") for n in st_names]
+                + [("Length", "%d"), ("Freq", "%.8f")])
+        t = ReportTable("IndelLengthHistogram",
+                        _TABLE_DESCRIPTIONS["IndelLengthHistogram"], cols)
+        for r in hist_rows:
+            t.add_row("IndelLengthHistogram", *r)
+        tables["IndelLengthHistogram"] = t
+
+    ordered = [tables[n] for n in sorted(tables)]
     with open(args.output, "w") as fh:
-        fh.write(f"#:GATKReport.v1.1:{len(tables)}\n")
-        for t in tables:
+        fh.write(f"#:GATKReport.v1.1:{len(ordered)}\n")
+        for t in ordered:
             fh.write(t.render())
             fh.write("\n")
-    print(f"evaluated {len(args.eval)} callset(s) -> {args.output}")
+    print(f"evaluated {len(args.eval)} callset(s) x {len(st_names)} stratifier(s) "
+          f"x {len(ev_names)} module(s) -> {args.output}")
     return 0
+
+
+_TABLE_DESCRIPTIONS = {
+    "CompOverlap": "The overlap between eval and comp sites",
+    "CountVariants": "Counts different classes of variants in the sample",
+    "TiTvVariantEvaluator": "Ti/Tv Variant Evaluator",
+    "IndelSummary": "Evaluation summary for indels",
+    "IndelLengthHistogram": "Indel length histogram",
+    "MultiallelicSummary": "Evaluation summary for multi-allelic variants",
+    "ValidationReport": "Assess site accuracy and sensitivity of callset against follow-up validation assay",
+}

@@ -1,0 +1,351 @@
+"""VariantEval evaluation modules.
+
+Reference behavior: tools/walkers/varianteval/evaluators/*.java — the standard
+set (StandardEval marker): CountVariants, CompOverlap, TiTvVariantEvaluator,
+IndelSummary, IndelLengthHistogram, MultiallelicSummary, ValidationReport.
+Column names/formats follow the @DataPoint declarations so reports diff cleanly
+against the reference's.
+"""
+from __future__ import annotations
+
+from .framework import EvalContext, VariantEvaluator, is_transition
+
+
+def _ratio(a, b, pct=False):
+    if not b:
+        return 0.0
+    return (100.0 * a / b) if pct else a / b
+
+
+class CountVariants(VariantEvaluator):
+    """evaluators/CountVariants.java (@DataPoint fields :20-76)."""
+
+    name = "CountVariants"
+    columns = (
+        ("nProcessedLoci", "%d"), ("nCalledLoci", "%d"), ("nRefLoci", "%d"),
+        ("nVariantLoci", "%d"), ("variantRate", "%.8f"), ("variantRatePerBp", "%.8f"),
+        ("nSNPs", "%d"), ("nMNPs", "%d"), ("nInsertions", "%d"), ("nDeletions", "%d"),
+        ("nComplex", "%d"), ("nSymbolic", "%d"), ("nMixed", "%d"), ("nNoCalls", "%d"),
+        ("nHets", "%d"), ("nHomRef", "%d"), ("nHomVar", "%d"), ("nSingletons", "%d"),
+        ("nHomDerived", "%d"), ("heterozygosity", "%.2e"), ("heterozygosityPerBp", "%.2f"),
+        ("hetHomRatio", "%.2f"), ("indelRate", "%.2e"), ("indelRatePerBp", "%.2f"),
+        ("insertionDeletionRatio", "%.2f"),
+    )
+
+    def __init__(self):
+        self.c = dict.fromkeys(
+            ("nProcessedLoci", "nCalledLoci", "nRefLoci", "nVariantLoci", "nSNPs",
+             "nMNPs", "nInsertions", "nDeletions", "nComplex", "nSymbolic", "nMixed",
+             "nNoCalls", "nHets", "nHomRef", "nHomVar", "nSingletons", "nHomDerived"), 0)
+
+    def update(self, ctx: EvalContext):
+        c = self.c
+        v = ctx.variant
+        c["nProcessedLoci"] += 1
+        c["nCalledLoci"] += 1
+        t = ctx.vtype
+        if t == "NO_VARIATION":
+            c["nRefLoci"] += 1
+        else:
+            c["nVariantLoci"] += 1
+        if t == "SNP":
+            c["nSNPs"] += 1
+        elif t == "MNP":
+            c["nMNPs"] += 1
+        elif t == "INDEL":
+            ins = del_ = 0
+            for a in v.alts:
+                if not a or a.startswith("<") or a == "*":
+                    continue
+                if len(a) > len(v.ref):
+                    ins += 1
+                elif len(a) < len(v.ref):
+                    del_ += 1
+            if ins and del_:
+                c["nComplex"] += 1
+            elif ins:
+                c["nInsertions"] += 1
+            elif del_:
+                c["nDeletions"] += 1
+            else:
+                c["nComplex"] += 1
+        elif t == "SYMBOLIC":
+            c["nSymbolic"] += 1
+        elif t == "MIXED":
+            c["nMixed"] += 1
+        ac_one = 0
+        for _i, alleles in ctx.genotypes:
+            alt = [a for a in alleles if a > 0]
+            if not alt:
+                c["nHomRef"] += 1
+            elif len(set(alleles)) > 1:
+                c["nHets"] += 1
+            else:
+                c["nHomVar"] += 1
+            ac_one += len(alt)
+        if ac_one == 1:
+            c["nSingletons"] += 1
+
+    def row(self):
+        c = self.c
+        het = c["nHets"]
+        loci = c["nProcessedLoci"]
+        indels = c["nInsertions"] + c["nDeletions"] + c["nComplex"]
+        return [
+            loci, c["nCalledLoci"], c["nRefLoci"], c["nVariantLoci"],
+            _ratio(c["nVariantLoci"], loci), 0.0,
+            c["nSNPs"], c["nMNPs"], c["nInsertions"], c["nDeletions"], c["nComplex"],
+            c["nSymbolic"], c["nMixed"], c["nNoCalls"], het, c["nHomRef"],
+            c["nHomVar"], c["nSingletons"], c["nHomDerived"],
+            _ratio(het, loci), 0.0, _ratio(het, c["nHomVar"]),
+            _ratio(indels, loci), 0.0, _ratio(c["nInsertions"], c["nDeletions"]),
+        ]
+
+
+class TiTvVariantEvaluator(VariantEvaluator):
+    """evaluators/TiTvVariantEvaluator.java."""
+
+    name = "TiTvVariantEvaluator"
+    columns = (("nTi", "%d"), ("nTv", "%d"), ("tiTvRatio", "%.2f"),
+               ("nTiInComp", "%d"), ("nTvInComp", "%d"), ("TiTvRatioStandard", "%.2f"))
+
+    def __init__(self):
+        self.nti = self.ntv = self.nti_comp = self.ntv_comp = 0
+
+    def update(self, ctx: EvalContext):
+        v = ctx.variant
+        if ctx.vtype == "SNP":
+            for a in v.alts:
+                if len(a) == 1 and a != "*" and not a.startswith("<"):
+                    if is_transition(v.ref, a):
+                        self.nti += 1
+                    else:
+                        self.ntv += 1
+        if ctx.comp is not None:
+            cv = ctx.comp
+            if len(cv.ref) == 1:
+                for a in cv.alts:
+                    if len(a) == 1 and a != "*" and not a.startswith("<"):
+                        if is_transition(cv.ref, a):
+                            self.nti_comp += 1
+                        else:
+                            self.ntv_comp += 1
+
+    def row(self):
+        return [self.nti, self.ntv, _ratio(self.nti, self.ntv),
+                self.nti_comp, self.ntv_comp, _ratio(self.nti_comp, self.ntv_comp)]
+
+
+class CompOverlap(VariantEvaluator):
+    """evaluators/CompOverlap.java."""
+
+    name = "CompOverlap"
+    columns = (("nEvalVariants", "%d"), ("novelSites", "%d"), ("nVariantsAtComp", "%d"),
+               ("compRate", "%.2f"), ("nConcordant", "%d"), ("concordantRate", "%.2f"))
+
+    def __init__(self):
+        self.n_eval = self.n_at_comp = self.n_concordant = 0
+
+    def update(self, ctx: EvalContext):
+        self.n_eval += 1
+        if ctx.comp is not None:
+            self.n_at_comp += 1
+            if ctx.comp_match:
+                self.n_concordant += 1
+
+    def row(self):
+        return [self.n_eval, self.n_eval - self.n_at_comp, self.n_at_comp,
+                _ratio(self.n_at_comp, self.n_eval, pct=True),
+                self.n_concordant, _ratio(self.n_concordant, self.n_at_comp, pct=True)]
+
+
+class IndelSummary(VariantEvaluator):
+    """evaluators/IndelSummary.java (core columns)."""
+
+    name = "IndelSummary"
+    columns = (("n_SNPs", "%d"), ("n_singleton_SNPs", "%d"), ("n_indels", "%d"),
+               ("n_singleton_indels", "%d"), ("nIndelSites", "%d"),
+               ("n_multiallelic_indel_sites", "%d"),
+               ("percent_of_sites_with_more_than_2_alleles", "%s"),
+               ("SNP_to_indel_ratio", "%s"), ("n_novel_indels", "%d"),
+               ("indel_novelty_rate", "%s"), ("n_insertions", "%d"),
+               ("n_deletions", "%d"), ("insertion_to_deletion_ratio", "%s"),
+               ("n_large_deletions", "%d"), ("n_large_insertions", "%d"),
+               ("SNP_het_to_hom_ratio", "%s"), ("indel_het_to_hom_ratio", "%s"))
+
+    LARGE = 10
+
+    def __init__(self):
+        self.n_snps = self.n_singleton_snps = 0
+        self.n_indels = self.n_singleton_indels = self.n_indel_sites = 0
+        self.n_multi_indel = self.n_novel_indels = 0
+        self.n_ins = self.n_del = self.n_large_del = self.n_large_ins = 0
+        self.snp_het = self.snp_hom = self.indel_het = self.indel_hom = 0
+
+    def update(self, ctx: EvalContext):
+        v = ctx.variant
+        alts = [a for a in v.alts if a and a != "*" and not a.startswith("<")]
+        ac = sum(1 for _i, al in ctx.genotypes for a in al if a > 0)
+        is_het = any(len(set(al)) > 1 for _i, al in ctx.genotypes)
+        is_hom = any(len(set(al)) == 1 and al[0] > 0 for _i, al in ctx.genotypes)
+        if ctx.vtype == "SNP":
+            self.n_snps += len(alts)
+            if ac == 1:
+                self.n_singleton_snps += 1
+            self.snp_het += is_het
+            self.snp_hom += is_hom
+        elif ctx.vtype == "INDEL":
+            self.n_indel_sites += 1
+            if len(alts) > 1:
+                self.n_multi_indel += 1
+            self.n_indels += len(alts)
+            if ac == 1:
+                self.n_singleton_indels += 1
+            if not ctx.is_known:
+                self.n_novel_indels += len(alts)
+            for a in alts:
+                d = len(a) - len(v.ref)
+                if d > 0:
+                    self.n_ins += 1
+                    if d >= self.LARGE:
+                        self.n_large_ins += 1
+                elif d < 0:
+                    self.n_del += 1
+                    if -d >= self.LARGE:
+                        self.n_large_del += 1
+            self.indel_het += is_het
+            self.indel_hom += is_hom
+
+    def row(self):
+        def pct(a, b):
+            return f"{_ratio(a, b, pct=True):.2f}" if b else "NA"
+
+        def rat(a, b):
+            return f"{_ratio(a, b):.2f}" if b else "NA"
+
+        return [self.n_snps, self.n_singleton_snps, self.n_indels,
+                self.n_singleton_indels, self.n_indel_sites, self.n_multi_indel,
+                pct(self.n_multi_indel, self.n_indel_sites),
+                rat(self.n_snps, self.n_indels), self.n_novel_indels,
+                pct(self.n_novel_indels, self.n_indels), self.n_ins, self.n_del,
+                rat(self.n_ins, self.n_del), self.n_large_del, self.n_large_ins,
+                rat(self.snp_het, self.snp_hom), rat(self.indel_het, self.indel_hom)]
+
+
+class IndelLengthHistogram(VariantEvaluator):
+    """evaluators/IndelLengthHistogram.java: fraction of indels per length in
+    [-10, 10] (excluding 0), emitted as one row per length."""
+
+    name = "IndelLengthHistogram"
+    columns = (("Length", "%d"), ("Freq", "%.8f"))
+    MAX = 10
+
+    def __init__(self):
+        self.counts = {i: 0 for i in range(-self.MAX, self.MAX + 1) if i != 0}
+        self.total = 0
+
+    def update(self, ctx: EvalContext):
+        v = ctx.variant
+        if ctx.vtype != "INDEL" or len(v.alts) != 1:
+            return  # biallelic only, as the reference does
+        a = v.alts[0]
+        if not a or a.startswith("<") or a == "*":
+            return
+        d = len(a) - len(v.ref)
+        if d != 0 and -self.MAX <= d <= self.MAX:
+            self.counts[d] += 1
+            self.total += 1
+
+    def row(self):
+        # flattened histogram: the tool writer expands this into per-length rows
+        return [0, 0.0]
+
+    def histogram_rows(self):
+        return [[l, _ratio(self.counts[l], self.total)] for l in sorted(self.counts)]
+
+
+class MultiallelicSummary(VariantEvaluator):
+    """evaluators/MultiallelicSummary.java (core columns)."""
+
+    name = "MultiallelicSummary"
+    columns = (("nProcessedLoci", "%d"), ("nSNPs", "%d"), ("nMultiSNPs", "%d"),
+               ("processedMultiSnpRatio", "%.5f"), ("nIndels", "%d"),
+               ("nMultiIndels", "%d"), ("processedMultiIndelRatio", "%.5f"),
+               ("nTi", "%d"), ("nTv", "%d"), ("TiTvRatio", "%.2f"))
+
+    def __init__(self):
+        self.loci = self.n_snp = self.n_multi_snp = 0
+        self.n_indel = self.n_multi_indel = 0
+        self.nti = self.ntv = 0
+
+    def update(self, ctx: EvalContext):
+        self.loci += 1
+        v = ctx.variant
+        alts = [a for a in v.alts if a and a != "*" and not a.startswith("<")]
+        if ctx.vtype == "SNP":
+            self.n_snp += 1
+            if len(alts) > 1:
+                self.n_multi_snp += 1
+                for a in alts:  # multiallelic Ti/Tv only, as the reference
+                    if is_transition(v.ref, a):
+                        self.nti += 1
+                    else:
+                        self.ntv += 1
+        elif ctx.vtype == "INDEL":
+            self.n_indel += 1
+            if len(alts) > 1:
+                self.n_multi_indel += 1
+
+    def row(self):
+        return [self.loci, self.n_snp, self.n_multi_snp,
+                _ratio(self.n_multi_snp, self.loci), self.n_indel,
+                self.n_multi_indel, _ratio(self.n_multi_indel, self.loci),
+                self.nti, self.ntv, _ratio(self.nti, self.ntv)]
+
+
+class ValidationReport(VariantEvaluator):
+    """evaluators/ValidationReport.java: TP/FP/FN sensitivity/PPV vs the comp
+    track treated as truth."""
+
+    name = "ValidationReport"
+    columns = (("nComp", "%d"), ("TP", "%d"), ("FP", "%d"), ("FN", "%d"),
+               ("TN", "%d"), ("sensitivity", "%.2f"), ("specificity", "%.2f"),
+               ("PPV", "%.2f"), ("FDR", "%.2f"))
+
+    def __init__(self):
+        self.tp = self.fp = self.fn = self.tn = 0
+
+    def update(self, ctx: EvalContext):
+        has_eval = ctx.vtype != "NO_VARIATION" and not ctx.is_filtered
+        has_comp = ctx.comp is not None
+        if has_eval and has_comp:
+            self.tp += 1
+        elif has_eval:
+            self.fp += 1
+        elif has_comp:
+            self.fn += 1
+        else:
+            self.tn += 1
+
+    def mark_missed(self, n: int):
+        self.fn += n
+
+    def row(self):
+        ncomp = self.tp + self.fn
+        return [ncomp, self.tp, self.fp, self.fn, self.tn,
+                _ratio(self.tp, self.tp + self.fn, pct=True),
+                _ratio(self.tn, self.tn + self.fp, pct=True) if (self.tn + self.fp) else 100.0,
+                _ratio(self.tp, self.tp + self.fp, pct=True),
+                _ratio(self.fp, self.tp + self.fp, pct=True)]
+
+
+EVALUATOR_REGISTRY = {
+    cls.name: cls for cls in (
+        CountVariants, TiTvVariantEvaluator, CompOverlap, IndelSummary,
+        IndelLengthHistogram, MultiallelicSummary, ValidationReport)
+}
+
+# the StandardEval set
+STANDARD_EVALUATORS = ("CompOverlap", "CountVariants", "TiTvVariantEvaluator",
+                       "IndelSummary", "IndelLengthHistogram",
+                       "MultiallelicSummary", "ValidationReport")

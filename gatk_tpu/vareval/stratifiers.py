@@ -1,0 +1,197 @@
+"""VariantEval stratification modules.
+
+Reference behavior: tools/walkers/varianteval/stratifications/*.java — each
+module declares a state vocabulary and maps a variant to the states it belongs
+to ("all" plus specifics). Multi-state membership is how e.g. Novelty rolls a
+variant into both the "all" and "known"/"novel" rows.
+"""
+from __future__ import annotations
+
+from .framework import EvalContext, VariantStratifier, classify
+
+
+class Novelty(VariantStratifier):
+    """known (in dbSNP/comp) vs novel (stratifications/Novelty.java)."""
+
+    name = "Novelty"
+    all_states = ("all", "known", "novel")
+
+    def relevant_states(self, ctx: EvalContext):
+        return ("all", "known" if ctx.is_known else "novel")
+
+
+class Filter(VariantStratifier):
+    """called vs filtered vs raw (stratifications/Filter.java)."""
+
+    name = "Filter"
+    all_states = ("called", "filtered", "raw")
+
+    def relevant_states(self, ctx: EvalContext):
+        return ("filtered" if ctx.is_filtered else "called", "raw")
+
+
+class FilterType(VariantStratifier):
+    """one state per FILTER value seen (stratifications/FilterType.java)."""
+
+    name = "FilterType"
+
+    def relevant_states(self, ctx: EvalContext):
+        f = ctx.variant.filters
+        if not f or f == ("PASS",):
+            return ("PASS",)
+        return tuple(f)
+
+
+class Contig(VariantStratifier):
+    """per-contig stratification (stratifications/Contig.java)."""
+
+    name = "Contig"
+
+    def relevant_states(self, ctx: EvalContext):
+        return ("all", ctx.variant.contig)
+
+
+class VariantType(VariantStratifier):
+    """SNP/MNP/INDEL/... (stratifications/VariantType.java)."""
+
+    name = "VariantType"
+    all_states = ("SNP", "MNP", "INDEL", "SYMBOLIC", "MIXED", "NO_VARIATION")
+
+    def relevant_states(self, ctx: EvalContext):
+        return (ctx.vtype,)
+
+
+class Sample(VariantStratifier):
+    """per-sample, by sample column name (stratifications/Sample.java)."""
+
+    name = "Sample"
+
+    def __init__(self, sample_names):
+        self.sample_names = sample_names
+
+    def relevant_states(self, ctx: EvalContext):
+        out = ["all"]
+        for i, alleles in ctx.genotypes:
+            if any(a > 0 for a in alleles) and i < len(self.sample_names):
+                out.append(self.sample_names[i])
+        return tuple(out)
+
+
+class AlleleCount(VariantStratifier):
+    """stratify by alt-allele count over called genotypes
+    (stratifications/AlleleCount.java: AC from genotypes or the AC INFO field)."""
+
+    name = "AlleleCount"
+
+    def relevant_states(self, ctx: EvalContext):
+        v = ctx.variant
+        ac = None
+        if ctx.genotypes:
+            ac = sum(1 for _i, alleles in ctx.genotypes for a in alleles if a > 0)
+        elif "AC" in v.info:
+            try:
+                ac = sum(int(x) for x in str(v.info["AC"]).split(","))
+            except ValueError:
+                ac = None
+        return (str(ac),) if ac is not None else ("0",)
+
+
+class IndelSize(VariantStratifier):
+    """net indel length in [-maxSize, maxSize] (stratifications/IndelSize.java)."""
+
+    name = "IndelSize"
+
+    def __init__(self, max_size: int = 10):
+        self.max_size = max_size
+
+    def relevant_states(self, ctx: EvalContext):
+        if ctx.vtype != "INDEL":
+            return ()
+        v = ctx.variant
+        out = []
+        for a in v.alts:
+            if a and not a.startswith("<") and a != "*" and len(a) != len(v.ref):
+                size = len(a) - len(v.ref)
+                out.append(str(max(-self.max_size, min(self.max_size, size))))
+        return tuple(dict.fromkeys(out))
+
+
+class OneBPIndel(VariantStratifier):
+    """1-bp vs longer indels (stratifications/OneBPIndel.java)."""
+
+    name = "OneBPIndel"
+    all_states = ("all", "one.bp", "two.plus.bp")
+
+    def relevant_states(self, ctx: EvalContext):
+        if ctx.vtype != "INDEL":
+            return ("all",)
+        v = ctx.variant
+        sizes = {abs(len(a) - len(v.ref)) for a in v.alts
+                 if a and not a.startswith("<") and a != "*"}
+        return ("all",) + tuple(
+            dict.fromkeys("one.bp" if s == 1 else "two.plus.bp"
+                          for s in sizes if s))
+
+
+class AlleleFrequency(VariantStratifier):
+    """binned AF from the INFO field (stratifications/AlleleFrequency.java:
+    5% bins)."""
+
+    name = "AlleleFrequency"
+
+    def relevant_states(self, ctx: EvalContext):
+        v = ctx.variant
+        raw = v.info.get("AF")
+        if raw is None:
+            return ("unknown",)
+        out = []
+        for x in str(raw).split(","):
+            try:
+                af = float(x)
+            except ValueError:
+                continue
+            out.append(f"{round(af / 0.05) * 0.05:.2f}")
+        return tuple(dict.fromkeys(out)) or ("unknown",)
+
+
+class CpG(VariantStratifier):
+    """CpG-context SNP sites via the reference (stratifications/CpG.java:
+    the base pair (ref, next) or (prev, ref) forms CG)."""
+
+    name = "CpG"
+    all_states = ("all", "CpG", "non_CpG")
+
+    def __init__(self, ref=None):
+        self.ref = ref
+
+    def relevant_states(self, ctx: EvalContext):
+        if self.ref is None:
+            return ("all",)
+        v = ctx.variant
+        try:
+            lo = max(0, v.pos - 1)
+            window = self.ref.fetch(v.contig, lo, v.pos + 2).tobytes().decode()
+        except (KeyError, ValueError):
+            return ("all",)
+        mid = v.pos - lo
+        is_cpg = ("CG" in window[mid : mid + 2]) or ("CG" in window[max(0, mid - 1) : mid + 1])
+        return ("all", "CpG" if is_cpg else "non_CpG")
+
+
+STRATIFIER_REGISTRY = {
+    "Novelty": Novelty,
+    "Filter": Filter,
+    "FilterType": FilterType,
+    "Contig": Contig,
+    "VariantType": VariantType,
+    "Sample": Sample,
+    "AlleleCount": AlleleCount,
+    "IndelSize": IndelSize,
+    "OneBPIndel": OneBPIndel,
+    "AlleleFrequency": AlleleFrequency,
+    "CpG": CpG,
+}
+
+# enabled by default (StandardStratification marker: Novelty; Filter is the
+# most-used optional and the prior tool's behavior — kept standard here)
+STANDARD_STRATIFICATIONS = ("Novelty",)

@@ -40,12 +40,17 @@ def test_variant_eval_counts(tmp_path):
     out = str(tmp_path / "report.txt")
     _run("VariantEval", ["--eval", ev, "-D", db, "-O", out])
     text = open(out).read()
+    # CountVariants row layout: name comp eval Novelty nProcessedLoci
+    # nCalledLoci nRefLoci nVariantLoci variantRate variantRatePerBp nSNPs
+    # nMNPs nInsertions nDeletions ... (CountVariants.java:20-76)
     lines = {ln.split()[3]: ln.split() for ln in text.splitlines()
              if ln.startswith("CountVariants ")}
-    # all: 6 processed, 5 called, 1 filtered, 3 snps, 1 ins, 1 del
-    assert lines["all"][4:11] == ["6", "5", "1", "3", "0", "1", "1"]
+    # filtered records are excluded by default: 5 processed, 3 snps, 1 ins, 1 del
+    assert lines["all"][4:6] == ["5", "5"]
+    assert lines["all"][10:14] == ["3", "0", "1", "1"]
     # known = allele-matching dbsnp sites only (pos 100)
-    assert lines["known"][4:8] == ["1", "1", "0", "1"]
+    assert lines["known"][4] == "1" and lines["known"][10] == "1"
+    assert lines["novel"][4] == "4"
     titv = {ln.split()[3]: ln.split() for ln in text.splitlines()
             if ln.startswith("TiTvVariantEvaluator ")}
     assert titv["all"][4:6] == ["2", "1"]
@@ -53,6 +58,67 @@ def test_variant_eval_counts(tmp_path):
             if ln.startswith("CompOverlap ")}
     # pos 100 and 300 overlap comp positions; only 100 concordant
     assert comp["all"][6] == "2" and comp["all"][8] == "1"
+    # the standard module set emits one table each
+    for tbl in ("IndelSummary", "MultiallelicSummary", "ValidationReport",
+                "IndelLengthHistogram"):
+        assert f"#:GATKTable:" in text and tbl in text
+
+
+def test_variant_eval_stratifier_matrix(tmp_path):
+    """-ST composition: Filter x Novelty states multiply; filtered records flow
+    into the 'filtered' rows (stratifications/Filter.java)."""
+    ev = str(tmp_path / "eval.vcf")
+    db = str(tmp_path / "dbsnp.vcf")
+    _write_vcf(ev, [
+        ("20", 100, ".", "A", "G", 50, "PASS", "."),
+        ("20", 200, ".", "C", "T", 50, "lowqual", "."),
+        ("20", 300, ".", "A", "AT", 50, "PASS", "."),
+        ("21", 100, ".", "G", "C", 50, "PASS", "."),
+    ])
+    _write_vcf(db, [("20", 100, ".", "A", "G", 50, "PASS", ".")])
+    out = str(tmp_path / "report.txt")
+    _run("VariantEval", ["--eval", ev, "-D", db, "-O", out,
+                         "-ST", "Filter", "-ST", "Contig",
+                         "-EV", "CountVariants", "-no-ev"])
+    rows = [ln.split() for ln in open(out) if ln.startswith("CountVariants ")]
+    # columns: name comp eval Novelty Filter Contig nProcessedLoci...
+    by_key = {(r[3], r[4], r[5]): r for r in rows}
+    assert by_key[("all", "called", "all")][6] == "3"
+    assert by_key[("all", "filtered", "all")][6] == "1"
+    assert by_key[("all", "raw", "all")][6] == "4"
+    assert by_key[("all", "called", "20")][6] == "2"
+    assert by_key[("all", "called", "21")][6] == "1"
+    assert by_key[("known", "called", "20")][6] == "1"
+
+
+def test_variant_eval_indel_modules(tmp_path):
+    """IndelSummary + IndelLengthHistogram on a mixed indel callset."""
+    ev = str(tmp_path / "eval.vcf")
+    _write_vcf(ev, [
+        ("20", 100, ".", "A", "AT", 50, "PASS", "."),        # +1
+        ("20", 200, ".", "A", "ATTT", 50, "PASS", "."),      # +3
+        ("20", 300, ".", "ATT", "A", 50, "PASS", "."),       # -2
+        ("20", 400, ".", "AT", "A,ATT", 50, "PASS", "."),    # multiallelic -1/+1
+        ("20", 500, ".", "C", "G", 50, "PASS", "."),         # SNP
+    ])
+    out = str(tmp_path / "report.txt")
+    _run("VariantEval", ["--eval", ev, "-O", out])
+    text = open(out).read()
+    isum = [ln.split() for ln in text.splitlines()
+            if ln.startswith("IndelSummary ") and ln.split()[3] == "all"][0]
+    # name comp eval Novelty n_SNPs n_singleton_SNPs n_indels n_singleton_indels
+    # nIndelSites n_multiallelic_indel_sites ...
+    assert isum[4] == "1"       # one SNP allele
+    assert isum[6] == "5"       # five indel alt alleles
+    assert isum[8] == "4"       # four indel sites
+    assert isum[9] == "1"       # one multiallelic indel site
+    hist = {int(ln.split()[4]): float(ln.split()[5]) for ln in text.splitlines()
+            if ln.startswith("IndelLengthHistogram ") and ln.split()[3] == "all"}
+    # biallelic indels only: +1, +3, -2 -> freq 1/3 each
+    assert abs(hist[1] - 1 / 3) < 1e-6
+    assert abs(hist[3] - 1 / 3) < 1e-6
+    assert abs(hist[-2] - 1 / 3) < 1e-6
+    assert hist[2] == 0.0
 
 
 def test_filter_variant_tranches(tmp_path):
