@@ -50,11 +50,17 @@ def funcotator(argv):
     p.add_argument("--transcript-selection-mode", default="CANONICAL")
     args = p.parse_args(argv)
 
-    sources = []
-    for path in args.data_sources_path:
-        sources.append(gc.GencodeDataSource.load(path, args.ref_version))
+    from ..funcotator import datasources as dsrc
+
+    sources, factories = dsrc.load_data_sources(args.data_sources_path,
+                                                args.ref_version)
     if not sources:
-        raise UserError("no gencode datasource found")
+        # tolerate datasource dirs given as the gencode dir itself (old layout)
+        try:
+            sources = [gc.GencodeDataSource.load(p, args.ref_version)
+                       for p in args.data_sources_path]
+        except FileNotFoundError:
+            raise UserError("no gencode datasource found")
 
     reader = vcfio.VcfReader(args.variant)
     records = list(reader)
@@ -72,14 +78,22 @@ def funcotator(argv):
                                 args.transcript_selection_mode)
                 if best is None or gc._severity(f.classification) > gc._severity(best.classification):
                     best = f
+            # secondary data sources keyed by the gencode gene/transcript
+            extra = {}
+            for fac in factories:
+                extra.update(fac.annotate(v, alt, best.hugo_symbol or None,
+                                          best.transcript_id or None))
+            best.extra_fields = extra
             per_alt.append(best)
         annotated.append((v, per_alt))
+    factory_fields = [f for fac in factories for f in fac.field_names]
 
     build = sources[0].build
     if args.output_file_format == "VCF":
+        all_fields = FIELDS + factory_fields
         header = reader.header_lines + [
             '##INFO=<ID=FUNCOTATION,Number=A,Type=String,Description="Functional annotation from the Funcotator tool.  Funcotation fields are: '
-            + "|".join(FIELDS) + '">']
+            + "|".join(all_fields) + '">']
         w = vcfio.VcfWriter(args.output, reader.samples, extra_header_lines=header,
                             write_format=bool(reader.samples))
         for v, per_alt in annotated:
@@ -90,6 +104,8 @@ def funcotator(argv):
                         f.classification, f.secondary, f.variant_type, v.ref, alt,
                         f.transcript_id, f.strand, f.exon, f.cdna_change,
                         f.codon_change, f.protein_change]
+                extra = getattr(f, "extra_fields", {})
+                vals += [extra.get(k, "") for k in factory_fields]
                 values.append("[" + "|".join(x.replace("|", "_").replace(",", "_")
                                              for x in vals) + "]")
             v.info = dict(v.info)

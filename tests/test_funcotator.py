@@ -106,3 +106,114 @@ def test_funcotator_cli_vcf_and_maf(tmp_path, pik3ca):
     maf_lines = open(out_maf).read().splitlines()
     assert maf_lines[1].startswith("Hugo_Symbol")
     assert any("PIK3CA" in ln and "Missense_Mutation" in ln for ln in maf_lines[2:])
+
+
+# ---------------------------------------------------------------------------
+# Data-source factory framework (tools/funcotator/dataSources/)
+# ---------------------------------------------------------------------------
+
+
+def _variant(contig, pos1, ref, alts):
+    from gatk_tpu.io.vcf import Variant
+
+    return Variant(contig=contig, pos=pos1 - 1, ref=ref, alts=tuple(alts))
+
+
+def test_locatable_xsv_factory():
+    from gatk_tpu.funcotator import datasources as dsrc
+
+    conf = dsrc.parse_config(f"{FD}/xsv_locatable_test.config")
+    fac = dsrc.LocatableXsvFuncotationFactory(conf)
+    assert fac.field_names == [
+        "XSV_LOCATABLE_TEST_NAME_TEST_Villain",
+        "XSV_LOCATABLE_TEST_NAME_TEST_test_val",
+        "XSV_LOCATABLE_TEST_NAME_TEST_Bond",
+    ]
+    # inside the chr3 row span (178866310-178957882)
+    out = fac.annotate(_variant("chr3", 178900000, "A", ["G"]), "G", None, None)
+    assert out["XSV_LOCATABLE_TEST_NAME_TEST_Villain"] == "Largo"
+    assert out["XSV_LOCATABLE_TEST_NAME_TEST_Bond"] == "Dalton"
+    # outside any row
+    out = fac.annotate(_variant("chr3", 1000, "A", ["G"]), "G", None, None)
+    assert all(v == "" for v in out.values())
+
+
+def test_vcf_funcotation_factory_allele_match():
+    from gatk_tpu.funcotator import datasources as dsrc
+
+    conf = dsrc.parse_config(
+        f"{FD}/small_pik3ca_dbsnp_ds/dbsnp/hg19/dbsnp.config")
+    fac = dsrc.VcfFuncotationFactory(conf)
+    v = _variant("3", 178865910, "G", ["A"])
+    out = fac.annotate(v, "A", None, None)
+    assert out["dbSNP_snippetb150_ID"] == "rs565200234"
+    assert out["dbSNP_snippetb150_COMMON"] == "1"
+    # allele mismatch -> no annotation
+    out = fac.annotate(_variant("3", 178865910, "G", ["C"]), "C", None, None)
+    assert out["dbSNP_snippetb150_ID"] == ""
+
+
+def test_simple_key_xsv_factory(tmp_path):
+    import os
+
+    from gatk_tpu.funcotator import datasources as dsrc
+
+    src = tmp_path / "genes.tsv"
+    src.write_text("gene\tscore\tfamily\nPIK3CA\t0.99\tkinase\nTP53\t0.87\ttumor_suppressor\n")
+    conf = {"name": "GeneDB", "version": "v1", "src_file": "genes.tsv",
+            "xsv_key": "GENE_NAME", "xsv_key_column": "0", "xsv_delimiter": "\\t",
+            "xsv_permissive_cols": "false", "_dir": str(tmp_path)}
+    fac = dsrc.SimpleKeyXsvFuncotationFactory(conf)
+    assert fac.field_names == ["GeneDB_v1_score", "GeneDB_v1_family"]
+    out = fac.annotate(_variant("3", 100, "A", ["G"]), "G", "PIK3CA", None)
+    assert out == {"GeneDB_v1_score": "0.99", "GeneDB_v1_family": "kinase"}
+    out = fac.annotate(_variant("3", 100, "A", ["G"]), "G", "NOPE", None)
+    assert all(v == "" for v in out.values())
+
+
+def test_cosmic_factory_sqlite(tmp_path):
+    import sqlite3
+
+    from gatk_tpu.funcotator import datasources as dsrc
+
+    db = tmp_path / "cosmic.db"
+    conn = sqlite3.connect(db)
+    conn.execute('CREATE TABLE Cosmic ("Gene name" TEXT, "Mutation genome position" TEXT)')
+    conn.executemany("INSERT INTO Cosmic VALUES (?, ?)", [
+        ("PIK3CA", "3:178936082-178936082"),
+        ("PIK3CA", "3:178936090-178936095"),
+        ("PIK3CA", "3:178952085-178952085"),
+        ("TP53", "17:7577000-7577000"),
+    ])
+    conn.commit()
+    conn.close()
+    conf = {"name": "Cosmic", "version": "v84", "src_file": "cosmic.db",
+            "_dir": str(tmp_path)}
+    fac = dsrc.CosmicFuncotationFactory(conf)
+    out = fac.annotate(_variant("3", 178936090, "A", ["G"]), "G", "PIK3CA", None)
+    assert out["Cosmic_v84_overlapping_mutations"] == "1"
+    out = fac.annotate(_variant("3", 178936082, "A", ["G"]), "G", "PIK3CA", None)
+    assert out["Cosmic_v84_overlapping_mutations"] == "1"
+    out = fac.annotate(_variant("3", 178900000, "A", ["G"]), "G", "PIK3CA", None)
+    assert out["Cosmic_v84_overlapping_mutations"] == "0"
+
+
+def test_funcotator_cli_with_vcf_datasource(tmp_path):
+    """End-to-end: gencode + dbsnp datasources in one tree; FUNCOTATION carries
+    the dbSNP fields for a known PIK3CA site."""
+    out = str(tmp_path / "annotated.vcf")
+    inp = str(tmp_path / "in.vcf")
+    with open(inp, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        fh.write("3\t178865910\t.\tG\tA\t50\tPASS\t.\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "gatk_tpu", "Funcotator", "-V", inp, "-O", out,
+         "--data-sources-path", f"{FD}/small_pik3ca_dbsnp_ds",
+         "--ref-version", "hg19"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    text = open(out).read()
+    assert "FUNCOTATION=" in text
+    assert "rs565200234" in text  # dbSNP VCF factory contributed its ID field
+    header = [l for l in text.splitlines() if "ID=FUNCOTATION" in l][0]
+    assert "dbSNP_snippetb150_ID" in header
