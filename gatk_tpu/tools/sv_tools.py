@@ -475,3 +475,339 @@ def print_sv_evidence(argv):
                 fh.write(line + "\n")
     print(f"{len(out_lines)} evidence records -> {args.output}")
     return 0
+
+
+# ---------------------------------------------------------------------------
+# SVConcordance (walkers/sv/SVConcordance.java + tools/sv/concordance/)
+# ---------------------------------------------------------------------------
+
+def _sv_record(v, samples):
+    return dict(
+        contig=v.contig, start=v.pos + 1,
+        end=int(v.info.get("END", v.pos + len(v.ref))),
+        type=str(v.info.get("SVTYPE", "BND")),
+        algorithms=str(v.info.get("ALGORITHMS", "pesr")),
+        v=v, sample_gts={s: g for s, g in zip(samples, v.samples)})
+
+
+def _gt_state(g):
+    gt = (g or {}).get("GT", "./.").replace("|", "/")
+    if gt in ("./.", ".", ""):
+        return None
+    alleles = gt.split("/")
+    n_alt = sum(1 for a in alleles if a not in ("0", "."))
+    if n_alt == 0:
+        return "HOM_REF"
+    if n_alt == len(alleles):
+        return "HOM_VAR"
+    return "HET"
+
+
+@register_tool("SVConcordance")
+def sv_concordance(argv):
+    """Annotate an SV callset with its concordance against a truth callset
+    (walkers/sv/SVConcordance.java: ClosestSVFinder matches each eval record to
+    the closest truth record under the clustering linkage criteria;
+    SVConcordanceAnnotator adds TRUTH_* and genotype-concordance INFO fields)."""
+    from ..io import vcf as vcfio
+    from ..io.vcf import Variant
+
+    p = argparse.ArgumentParser(description="SVConcordance")
+    p.add_argument("--eval", required=True)
+    p.add_argument("--truth", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--depth-interval-overlap", type=float, default=0.8)
+    p.add_argument("--depth-breakend-window", type=int, default=10000000)
+    p.add_argument("--pesr-interval-overlap", type=float, default=0.5)
+    p.add_argument("--pesr-breakend-window", type=int, default=500)
+    args = p.parse_args(argv)
+
+    truth_reader = vcfio.VcfReader(args.truth)
+    truth = [_sv_record(v, truth_reader.samples) for v in truth_reader]
+    by_contig = {}
+    for t in truth:
+        by_contig.setdefault(t["contig"], []).append(t)
+    for c in by_contig:
+        by_contig[c].sort(key=lambda r: r["start"])
+
+    eval_reader = vcfio.VcfReader(args.eval)
+    out_records = []
+    for v in eval_reader:
+        e = _sv_record(v, eval_reader.samples)
+        depth_e = e["algorithms"] == "depth"
+        best = None
+        best_dist = None
+        for t in by_contig.get(e["contig"], []):
+            depth = depth_e and t["algorithms"] == "depth"
+            recip = args.depth_interval_overlap if depth else args.pesr_interval_overlap
+            window = args.depth_breakend_window if depth else args.pesr_breakend_window
+            if not _sv_overlap_ok(e, t, recip, window):
+                continue
+            # closest by total breakend distance (ClosestSVFinder.java)
+            dist = abs(e["start"] - t["start"]) + abs(e["end"] - t["end"])
+            if best is None or dist < best_dist:
+                best, best_dist = t, dist
+        info = dict(v.info)
+        fmt_keys = v.fmt_keys
+        sample_fields = [dict(s) for s in v.samples]
+        if best is not None:
+            tv = best["v"]
+            info["TRUTH_VID"] = tv.id if tv.id != "." else f"{tv.contig}_{tv.pos + 1}"
+            lo = max(e["start"], best["start"])
+            hi = min(e["end"], best["end"])
+            inter = max(0, hi - lo + 1)
+            e_len = e["end"] - e["start"] + 1
+            t_len = best["end"] - best["start"] + 1
+            info["TRUTH_RECIPROCAL_OVERLAP"] = f"{min(inter / e_len, inter / t_len):.4f}"
+            info["TRUTH_SIZE_SIMILARITY"] = f"{min(e_len, t_len) / max(e_len, t_len):.4f}"
+            info["TRUTH_DISTANCE_START"] = str(abs(e["start"] - best["start"]))
+            info["TRUTH_DISTANCE_END"] = str(abs(e["end"] - best["end"]))
+            # allele counts over truth genotypes
+            t_ac = t_an = 0
+            for g in best["sample_gts"].values():
+                gt = g.get("GT", "./.").replace("|", "/")
+                for a in gt.split("/"):
+                    if a == ".":
+                        continue
+                    t_an += 1
+                    if a != "0":
+                        t_ac += 1
+            info["TRUTH_AC"] = str(t_ac)
+            info["TRUTH_AN"] = str(t_an)
+            if t_an:
+                info["TRUTH_AF"] = f"{t_ac / t_an:.6f}"
+            # per-sample genotype concordance over shared samples
+            shared = [s for s in eval_reader.samples if s in best["sample_gts"]]
+            n = n_match = nonref = nonref_match = 0
+            states = {"HET": [0, 0, 0], "HOM_VAR": [0, 0, 0]}  # [tp, eval_n, truth_n]
+            cn_total = cn_equal = 0
+            for si, s in enumerate(eval_reader.samples):
+                eg = sample_fields[si]
+                tg = best["sample_gts"].get(s)
+                es, ts = _gt_state(eg), _gt_state(tg)
+                if es is None or ts is None:
+                    continue
+                n += 1
+                if es == ts:
+                    n_match += 1
+                if ts != "HOM_REF":
+                    nonref += 1
+                    if es == ts:
+                        nonref_match += 1
+                for st in states:
+                    if es == st and ts == st:
+                        states[st][0] += 1
+                    if es == st:
+                        states[st][1] += 1
+                    if ts == st:
+                        states[st][2] += 1
+                if "CN" in eg and tg and "CN" in tg:
+                    cn_total += 1
+                    equal = eg["CN"] == tg["CN"]
+                    cn_equal += equal
+                    eg["TRUTH_CN_EQUAL"] = "1" if equal else "0"
+            if n:
+                info["GENOTYPE_CONCORDANCE"] = f"{n_match / n:.6f}"
+            if nonref:
+                info["NON_REF_GENOTYPE_CONCORDANCE"] = f"{nonref_match / nonref:.6f}"
+            for st, key in (("HET", "HET"), ("HOM_VAR", "HOMVAR")):
+                tp, en, tn = states[st]
+                if en:
+                    info[f"{key}_PPV"] = f"{tp / en:.6f}"
+                if tn:
+                    info[f"{key}_SENSITIVITY"] = f"{tp / tn:.6f}"
+            var_tp = sum(states[s][0] for s in states)
+            var_en = sum(states[s][1] for s in states)
+            var_tn = sum(states[s][2] for s in states)
+            if var_en:
+                info["VAR_PPV"] = f"{var_tp / var_en:.6f}"
+            if var_tn:
+                info["VAR_SENSITIVITY"] = f"{var_tp / var_tn:.6f}"
+            if cn_total:
+                info["CNV_CONCORDANCE"] = f"{cn_equal / cn_total:.6f}"
+            if cn_total and "TRUTH_CN_EQUAL" not in fmt_keys and "CN" in fmt_keys:
+                fmt_keys = tuple(fmt_keys) + ("TRUTH_CN_EQUAL",)
+        out_records.append(Variant(
+            contig=v.contig, pos=v.pos, ref=v.ref, alts=v.alts, id=v.id,
+            qual=v.qual, filters=v.filters, info=info, fmt_keys=fmt_keys,
+            samples=sample_fields))
+
+    extra = [
+        f'##INFO=<ID={k},Number=1,Type={t},Description="{d}">'
+        for k, t, d in (
+            ("TRUTH_VID", "String", "Matching truth set variant id"),
+            ("TRUTH_RECIPROCAL_OVERLAP", "Float", "Reciprocal overlap with the truth variant"),
+            ("TRUTH_SIZE_SIMILARITY", "Float", "Size similarity with the truth variant"),
+            ("TRUTH_DISTANCE_START", "Integer", "Start distance to the truth variant"),
+            ("TRUTH_DISTANCE_END", "Integer", "End distance to the truth variant"),
+            ("TRUTH_AC", "Integer", "Truth alt allele count"),
+            ("TRUTH_AN", "Integer", "Truth allele number"),
+            ("TRUTH_AF", "Float", "Truth alt allele frequency"),
+            ("GENOTYPE_CONCORDANCE", "Float", "Genotype concordance with the truth variant"),
+            ("NON_REF_GENOTYPE_CONCORDANCE", "Float", "Non-ref genotype concordance"),
+            ("HET_PPV", "Float", "Het positive predictive value"),
+            ("HET_SENSITIVITY", "Float", "Het sensitivity"),
+            ("HOMVAR_PPV", "Float", "Hom-var positive predictive value"),
+            ("HOMVAR_SENSITIVITY", "Float", "Hom-var sensitivity"),
+            ("VAR_PPV", "Float", "Variant positive predictive value"),
+            ("VAR_SENSITIVITY", "Float", "Variant sensitivity"),
+            ("CNV_CONCORDANCE", "Float", "Copy-number concordance"),
+        )
+    ] + ['##FORMAT=<ID=TRUTH_CN_EQUAL,Number=1,Type=Integer,Description="Truth copy number equals eval">']
+    w = vcfio.VcfWriter(args.output, eval_reader.samples,
+                        extra_header_lines=eval_reader.header_lines + extra)
+    matched = 0
+    for v in out_records:
+        matched += "TRUTH_VID" in v.info
+        w.write(v)
+    w.close()
+    print(f"annotated {len(out_records)} eval records ({matched} matched truth) -> {args.output}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# JointGermlineCNVSegmentation (walkers/sv/JointGermlineCNVSegmentation.java)
+# ---------------------------------------------------------------------------
+
+@register_tool("JointGermlineCNVSegmentation")
+def joint_germline_cnv_segmentation(argv):
+    """Combine per-sample gCNV segment VCFs (PostprocessGermlineCNVCalls output)
+    into a cohort CNV callset: per-sample defragmentation (merge same-CN
+    segments within the padding fraction), cross-sample single-linkage
+    clustering, joint records with per-sample CN genotypes and site AC/AN
+    (JointGermlineCNVSegmentation.java; CNVDefragmenter defaults: padding
+    fraction 0.25, sample overlap 0.8)."""
+    from ..io import vcf as vcfio
+    from ..io.vcf import Variant
+
+    p = argparse.ArgumentParser(description="JointGermlineCNVSegmentation")
+    p.add_argument("-V", "--variant", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--defragmentation-padding-fraction", type=float, default=0.25)
+    p.add_argument("--min-quality", type=int, default=20,
+                   help="minimum per-segment QS to include")
+    p.add_argument("--clustering-interval-overlap", type=float, default=0.8)
+    p.add_argument("--clustering-breakend-window", type=int, default=10000000)
+    args = p.parse_args(argv)
+
+    # 1) load per-sample non-ref segments
+    per_sample: dict[str, list] = {}
+    ref_ploidy: dict[str, int] = {}
+    for path in args.variant:
+        reader = vcfio.VcfReader(path)
+        sample = reader.samples[0] if reader.samples else "SAMPLE"
+        segs = per_sample.setdefault(sample, [])
+        for v in reader:
+            g = v.samples[0] if v.samples else {}
+            cn = g.get("CN")
+            gt = g.get("GT", "./.")
+            qs = int(g.get("QS", 0) or 0)
+            if cn is None:
+                continue
+            cn = int(cn)
+            end = int(v.info.get("END", v.pos + len(v.ref)))
+            alt_types = [a.strip("<>") for a in v.alts if a.startswith("<")]
+            is_var = gt.replace("|", "/") not in ("0", "0/0", "./.", ".") and (
+                "DEL" in alt_types or "DUP" in alt_types)
+            if not is_var:
+                ref_ploidy.setdefault(sample, cn if cn > 0 else 2)
+                continue
+            if qs < args.min_quality:
+                continue
+            svtype = "DEL" if cn < ref_ploidy.get(sample, 2) else "DUP"
+            segs.append(dict(contig=v.contig, start=v.pos + 1, end=end, cn=cn,
+                             qs=qs, type=svtype))
+
+    # 2) per-sample defragmentation
+    pad = args.defragmentation_padding_fraction
+    for sample, segs in per_sample.items():
+        segs.sort(key=lambda s: (s["contig"], s["start"]))
+        merged = []
+        for s in segs:
+            if merged:
+                m = merged[-1]
+                gap_ok = s["start"] - m["end"] - 1 <= pad * (
+                    (m["end"] - m["start"] + 1) + (s["end"] - s["start"] + 1))
+                if (m["contig"] == s["contig"] and m["cn"] == s["cn"] and gap_ok):
+                    m["end"] = max(m["end"], s["end"])
+                    m["qs"] = max(m["qs"], s["qs"])
+                    continue
+            merged.append(dict(s))
+        per_sample[sample] = merged
+
+    samples = sorted(per_sample)
+    # 3) cross-sample single-linkage clustering
+    flat = [dict(s, sample=sample) for sample in samples for s in per_sample[sample]]
+    flat.sort(key=lambda s: (s["contig"], s["start"]))
+    parent = list(range(len(flat)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(flat)):
+        a = flat[i]
+        for j in range(i + 1, len(flat)):
+            b = flat[j]
+            if b["contig"] != a["contig"] or \
+                    b["start"] - a["end"] > args.clustering_breakend_window:
+                break
+            if _sv_overlap_ok(a, b, args.clustering_interval_overlap,
+                              args.clustering_breakend_window):
+                parent[find(i)] = find(j)
+
+    clusters: dict = {}
+    for i in range(len(flat)):
+        clusters.setdefault(find(i), []).append(flat[i])
+
+    out = []
+    for members in sorted(clusters.values(),
+                          key=lambda ms: (ms[0]["contig"], min(m["start"] for m in ms))):
+        starts = sorted(m["start"] for m in members)
+        ends = sorted(m["end"] for m in members)
+        start = starts[len(starts) // 2]
+        end = ends[len(ends) // 2]
+        svtype = members[0]["type"]
+        by_sample = {}
+        for m in members:
+            cur = by_sample.get(m["sample"])
+            if cur is None or m["qs"] > cur["qs"]:
+                by_sample[m["sample"]] = m
+        ac = len(by_sample)
+        an = len(samples)
+        gts = []
+        for s in samples:
+            m = by_sample.get(s)
+            if m is None:
+                gts.append({"GT": "0", "CN": str(ref_ploidy.get(s, 2))})
+            else:
+                gts.append({"GT": "1", "CN": str(m["cn"]), "QS": str(m["qs"])})
+        out.append(Variant(
+            contig=members[0]["contig"], pos=start - 1, ref="N",
+            alts=(f"<{svtype}>",), id=f"CNV_{members[0]['contig']}_{start}_{end}",
+            qual=None, filters=(),
+            info={"END": str(end), "SVLEN": str(end - start + 1),
+                  "SVTYPE": svtype, "AC": str(ac), "AN": str(an)},
+            fmt_keys=("GT", "CN", "QS"), samples=gts))
+
+    extra = [
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="End position">',
+        '##INFO=<ID=SVLEN,Number=1,Type=Integer,Description="SV length">',
+        '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="SV type">',
+        '##INFO=<ID=AC,Number=A,Type=Integer,Description="Allele count">',
+        '##INFO=<ID=AN,Number=1,Type=Integer,Description="Allele number">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=CN,Number=1,Type=Integer,Description="Copy number">',
+        '##FORMAT=<ID=QS,Number=1,Type=Integer,Description="Segment quality">',
+        '##ALT=<ID=DEL,Description="Deletion">',
+        '##ALT=<ID=DUP,Description="Duplication">',
+    ]
+    w = vcfio.VcfWriter(args.output, samples, extra_header_lines=extra)
+    for v in out:
+        w.write(v)
+    w.close()
+    print(f"combined {len(flat)} segments from {len(samples)} samples into "
+          f"{len(out)} CNV records -> {args.output}")
+    return 0

@@ -166,3 +166,115 @@ def test_collect_and_print_sv_evidence(tmp_path):
         "-F", str(sr), "-O", str(out), "-L", "chr1:140-160"])
     assert [l.split("\t") for l in out.read_text().splitlines()] == \
         [["chr1", "150", "right", "2", "S1"]]
+
+
+# ---------------------------------------------------------------------------
+# SVConcordance + JointGermlineCNVSegmentation
+# ---------------------------------------------------------------------------
+
+
+def _write_svc_vcf(path, samples, rows):
+    """rows: (contig, pos1, id, svtype, end, [gt dict per sample])"""
+    with open(path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write('##INFO=<ID=END,Number=1,Type=Integer,Description="x">\n')
+        fh.write('##INFO=<ID=SVTYPE,Number=1,Type=String,Description="x">\n')
+        fh.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="x">\n')
+        fh.write('##FORMAT=<ID=CN,Number=1,Type=Integer,Description="x">\n')
+        cols = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+        if samples:
+            cols += "\tFORMAT\t" + "\t".join(samples)
+        fh.write(cols + "\n")
+        for contig, pos1, vid, svtype, end, gts in rows:
+            line = (f"{contig}\t{pos1}\t{vid}\tN\t<{svtype}>\t.\t.\t"
+                    f"END={end};SVTYPE={svtype}")
+            if samples:
+                keys = sorted({k for g in gts for k in g})
+                keys = [k for k in ("GT", "CN") if k in keys]
+                line += "\t" + ":".join(keys)
+                for g in gts:
+                    line += "\t" + ":".join(str(g.get(k, ".")) for k in keys)
+            fh.write(line + "\n")
+
+
+def test_sv_concordance(tmp_path):
+    from gatk_tpu.cli import TOOL_REGISTRY
+    from gatk_tpu.io import vcf as vcfio
+
+    ev = str(tmp_path / "eval.vcf")
+    tr = str(tmp_path / "truth.vcf")
+    samples = ["S1", "S2"]
+    _write_svc_vcf(ev, samples, [
+        # matches truth T1 (close breakends, high overlap); S1 het matches,
+        # S2 het vs truth hom-var
+        ("chr1", 10000, "E1", "DEL", 20000,
+         [{"GT": "0/1"}, {"GT": "0/1"}]),
+        # no truth match
+        ("chr1", 500000, "E2", "DEL", 501000, [{"GT": "0/1"}, {"GT": "0/0"}]),
+    ])
+    _write_svc_vcf(tr, samples, [
+        ("chr1", 10050, "T1", "DEL", 20100,
+         [{"GT": "0/1"}, {"GT": "1/1"}]),
+        ("chr1", 900000, "T2", "DUP", 910000, [{"GT": "0/1"}, {"GT": "0/1"}]),
+    ])
+    out = str(tmp_path / "conc.vcf")
+    assert TOOL_REGISTRY["SVConcordance"](
+        ["--eval", ev, "--truth", tr, "-O", out]) == 0
+    recs = {v.id: v for v in vcfio.VcfReader(out)}
+    e1 = recs["E1"]
+    assert e1.info["TRUTH_VID"] == "T1"
+    assert float(e1.info["TRUTH_RECIPROCAL_OVERLAP"]) > 0.98
+    assert e1.info["TRUTH_DISTANCE_START"] == "50"
+    assert e1.info["TRUTH_AC"] == "3" and e1.info["TRUTH_AN"] == "4"
+    # S1 matches (HET==HET), S2 doesn't (HET vs HOMVAR) -> 0.5
+    assert e1.info["GENOTYPE_CONCORDANCE"] == "0.500000"
+    assert e1.info["HET_SENSITIVITY"] == "1.000000"  # truth het S1 recovered
+    assert e1.info["HET_PPV"] == "0.500000"          # 2 eval hets, 1 correct
+    assert "TRUTH_VID" not in recs["E2"].info
+
+
+def test_joint_germline_cnv_segmentation(tmp_path):
+    from gatk_tpu.cli import TOOL_REGISTRY
+    from gatk_tpu.io import vcf as vcfio
+
+    paths = []
+    # sample A: two same-CN DEL segments with a small gap (defragmented into
+    # one), plus a ref block
+    a = str(tmp_path / "A.vcf")
+    _write_svc_vcf(a, ["A"], [
+        ("chr1", 1, "ref", "DEL", 9999, [{"GT": "0", "CN": 2}]),
+        ("chr1", 10000, "s1", "DEL", 20000, [{"GT": "1", "CN": 1}]),
+        ("chr1", 21000, "s2", "DEL", 30000, [{"GT": "1", "CN": 1}]),
+    ])
+    # QS defaults to 0 in our writer; patch QS in by rewriting FORMAT
+    text = open(a).read().replace("GT:CN", "GT:CN:QS").replace(
+        "0:2", "0:2:60").replace("1:1", "1:1:60")
+    open(a, "w").write(text)
+    paths += ["-V", a]
+    # sample B: one DEL overlapping A's merged segment
+    b = str(tmp_path / "B.vcf")
+    _write_svc_vcf(b, ["B"], [
+        ("chr1", 1, "ref", "DEL", 9999, [{"GT": "0", "CN": 2}]),
+        ("chr1", 10500, "s1", "DEL", 29000, [{"GT": "1", "CN": 0}]),
+        ("chr2", 5000, "s2", "DUP", 15000, [{"GT": "1", "CN": 4}]),
+    ])
+    text = open(b).read().replace("GT:CN", "GT:CN:QS").replace(
+        "1:0", "1:0:80").replace("1:4", "1:4:99").replace("0:2", "0:2:60")
+    open(b, "w").write(text)
+    paths += ["-V", b]
+
+    out = str(tmp_path / "joint.vcf")
+    assert TOOL_REGISTRY["JointGermlineCNVSegmentation"](paths + ["-O", out]) == 0
+    recs = list(vcfio.VcfReader(out))
+    # one joint DEL (A defragmented 10000-30000 clustered with B 10500-29000),
+    # one B-only DUP on chr2
+    assert len(recs) == 2
+    dele = next(r for r in recs if r.alts == ("<DEL>",))
+    dup = next(r for r in recs if r.alts == ("<DUP>",))
+    assert dele.info["AC"] == "2" and dele.info["AN"] == "2"
+    gts = dict(zip(["A", "B"], dele.samples))
+    assert gts["A"]["CN"] == "1" and gts["B"]["CN"] == "0"
+    assert dup.info["AC"] == "1"
+    gts = dict(zip(["A", "B"], dup.samples))
+    assert gts["A"]["GT"] == "0" and gts["A"]["CN"] == "2"  # ref ploidy backfill
+    assert gts["B"]["CN"] == "4"
