@@ -494,7 +494,9 @@ def nv_score_variants(argv):
     p.add_argument("-V", "--variant", required=True)
     p.add_argument("-R", "--reference", required=True)
     p.add_argument("-O", "--output", required=True)
-    p.add_argument("--model-weights", default=None, help=".npz weights to load")
+    p.add_argument("--model-weights", default=None,
+                   help=".npz (jax) or .pt (the reference's shipped PyTorch "
+                        "state_dicts, e.g. 1d_cnn_mix_train_full_bn.pt) weights")
     p.add_argument("--truth-vcf", action="append", default=[],
                    help="truth resource(s); enables on-the-fly training")
     p.add_argument("--save-model-weights", default=None)
@@ -521,7 +523,27 @@ def nv_score_variants(argv):
     anns = np.stack(anns)
     is_snp = np.array(is_snp)
 
-    if args.model_weights:
+    use_ref_arch = bool(args.model_weights) and args.model_weights.endswith(
+        (".pt", ".pth", ".ckpt"))
+    if use_ref_arch:
+        # reference-compatible GATK_CNN_1D (scorevariants/models/gatk_1d.py):
+        # loads the .pt weights GATK ships in resources/large/nvscorevariants/
+        from ..calling import nvscore_models as nvm
+
+        params = nvm.load_torch_1d(args.model_weights)
+        refs2 = []
+        anns2 = []
+        for v in records:
+            start = max(0, v.pos - nvm.WINDOW // 2)
+            window = ref.fetch_bytes(v.contig, start, start + nvm.WINDOW).decode()
+            refs2.append(nvm.encode_reference_window(window))
+            anns2.append(nvm.encode_best_practices(v.info))
+        logits = np.asarray(nvm.forward_1d(params, np.stack(refs2), np.stack(anns2)))
+        # score = log-odds of the true class vs its artifact class
+        # (SNP vs NOT_SNP, INDEL vs NOT_INDEL)
+        scores = np.where(is_snp, logits[:, 0] - logits[:, 1],
+                          logits[:, 2] - logits[:, 3])
+    elif args.model_weights:
         params = cnn.load_weights(args.model_weights)
     elif args.truth_vcf:
         truth = set()
@@ -540,7 +562,8 @@ def nv_score_variants(argv):
     else:
         raise UserError("provide --model-weights or --truth-vcf for training")
 
-    scores = cnn.score(params, refs, anns, is_snp)
+    if not use_ref_arch:
+        scores = cnn.score(params, refs, anns, is_snp)
     header = reader.header_lines + [
         '##INFO=<ID=CNN_1D,Number=1,Type=Float,Description="Log odds of being a true variant versus being false under the trained 1D convolutional neural network">']
     w = vcfio.VcfWriter(args.output, reader.samples,
