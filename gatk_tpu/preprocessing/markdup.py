@@ -164,3 +164,138 @@ def mark_duplicates(reads, header, dont_mark_unmapped_mates: bool = False):
         read.flag |= sam.DUPLICATE
         n_dup += 1
     return n_dup, non_dup
+
+
+# ---------------------------------------------------------------------------
+# Optical duplicates + DuplicationMetrics
+# (utils/read/markduplicates/ + picard OpticalDuplicateFinder /
+#  DuplicationMetrics: tile/x/y from read names; members of a duplicate set
+#  within OPTICAL_DUPLICATE_PIXEL_DISTANCE of a kept member on the same tile
+#  are optical rather than library duplicates)
+# ---------------------------------------------------------------------------
+
+OPTICAL_DUPLICATE_PIXEL_DISTANCE = 100
+
+
+def count_optical_duplicates(records, pixel_distance=OPTICAL_DUPLICATE_PIXEL_DISTANCE):
+    """Number of optical duplicates within one duplicate set of _Records
+    (OpticalDuplicateFinder.getOpticalDuplicatesFlag: greedy transitive
+    proximity on the same tile; the best-scoring member is never optical)."""
+    if len(records) < 2:
+        return 0
+    keeper = _best(records)
+    others = sorted((r for r in records if r is not keeper),
+                    key=lambda r: (r.tile, r.x, r.y))
+    kept = [keeper]
+    n_optical = 0
+    for r in others:
+        if r.tile < 0:
+            kept.append(r)
+            continue
+        close = any(k.tile == r.tile and abs(k.x - r.x) <= pixel_distance
+                    and abs(k.y - r.y) <= pixel_distance for k in kept)
+        if close:
+            n_optical += 1
+        else:
+            kept.append(r)
+    return n_optical
+
+
+def estimate_library_size(read_pairs: int, unique_read_pairs: int):
+    """picard DuplicationMetrics.estimateLibrarySize (exact port): solve
+    f(x) = c/x - 1 + exp(-n/x) = 0 with c=unique, n=read pairs, by bisection
+    over x = m*unique."""
+    import math
+
+    dup_pairs = read_pairs - unique_read_pairs
+    if read_pairs <= 0 or dup_pairs <= 0:
+        return None
+
+    def f(x, c, n):
+        return c / x - 1 + math.exp(-n / x)
+
+    m, big = 1.0, 100.0
+    if unique_read_pairs >= read_pairs or f(m * unique_read_pairs,
+                                            unique_read_pairs, read_pairs) < 0:
+        return None
+    while f(big * unique_read_pairs, unique_read_pairs, read_pairs) > 0:
+        big *= 10.0
+    for _ in range(40):
+        r = (m + big) / 2.0
+        u = f(r * unique_read_pairs, unique_read_pairs, read_pairs)
+        if u == 0:
+            break
+        if u > 0:
+            m = r
+        else:
+            big = r
+    return int(unique_read_pairs * (m + big) / 2.0)
+
+
+def collect_duplication_metrics(reads, header,
+                                pixel_distance=OPTICAL_DUPLICATE_PIXEL_DISTANCE):
+    """Per-library picard DuplicationMetrics rows. Re-runs the duplicate-set
+    grouping to count examined/duplicate/optical reads; returns
+    {library: metrics dict}."""
+    rg_library = {rg.get("ID"): rg.get("LB") or UNKNOWN_LIBRARY
+                  for rg in header.read_groups}
+    non_dup = find_non_duplicate_names(reads, header)
+
+    by_name = defaultdict(list)
+    metrics: dict = {}
+
+    def m_for(lib):
+        return metrics.setdefault(lib, dict(
+            UNPAIRED_READS_EXAMINED=0, READ_PAIRS_EXAMINED=0,
+            SECONDARY_OR_SUPPLEMENTARY_RDS=0, UNMAPPED_READS=0,
+            UNPAIRED_READ_DUPLICATES=0, READ_PAIR_DUPLICATES=0,
+            READ_PAIR_OPTICAL_DUPLICATES=0))
+
+    pair_groups = defaultdict(list)
+    for r in reads:
+        lib = _library_of(r, rg_library)
+        if r.is_secondary or r.is_supplementary:
+            m_for(lib)["SECONDARY_OR_SUPPLEMENTARY_RDS"] += 1
+            continue
+        if r.is_unmapped:
+            m_for(lib)["UNMAPPED_READS"] += 1
+            continue
+        by_name[r.name].append(r)
+
+    for name, group in by_name.items():
+        lib = _library_of(group[0], rg_library)
+        m = m_for(lib)
+        mapped_pair = [r for r in group if _has_mapped_mate(r)]
+        if len(mapped_pair) == 2:
+            m["READ_PAIRS_EXAMINED"] += 1
+            if name not in non_dup:
+                m["READ_PAIR_DUPLICATES"] += 1
+            r1, r2 = mapped_pair
+            s1, s2 = stranded_unclipped_start(r1), stranded_unclipped_start(r2)
+            first, second = ((r1, r2) if (r1.ref_id, s1) <= (r2.ref_id, s2)
+                             else (r2, r1))
+            key = (lib, first.ref_id, stranded_unclipped_start(first),
+                   first.is_reverse, second.ref_id,
+                   stranded_unclipped_start(second), second.is_reverse)
+            pair_groups[key].append(_Record(name, score_read(r1) + score_read(r2),
+                                            first.is_reverse))
+        else:
+            for r in group:
+                if not _has_mapped_mate(r):
+                    m["UNPAIRED_READS_EXAMINED"] += 1
+                    if name not in non_dup:
+                        m["UNPAIRED_READ_DUPLICATES"] += 1
+
+    for key, records in pair_groups.items():
+        if len(records) > 1:
+            m_for(key[0])["READ_PAIR_OPTICAL_DUPLICATES"] += \
+                count_optical_duplicates(records, pixel_distance)
+
+    for lib, m in metrics.items():
+        dup_reads = m["UNPAIRED_READ_DUPLICATES"] + 2 * m["READ_PAIR_DUPLICATES"]
+        examined = m["UNPAIRED_READS_EXAMINED"] + 2 * m["READ_PAIRS_EXAMINED"]
+        m["PERCENT_DUPLICATION"] = (dup_reads / examined) if examined else 0.0
+        m["ESTIMATED_LIBRARY_SIZE"] = estimate_library_size(
+            m["READ_PAIRS_EXAMINED"] - m["READ_PAIR_OPTICAL_DUPLICATES"],
+            m["READ_PAIRS_EXAMINED"] - m["READ_PAIR_DUPLICATES"])
+    return metrics

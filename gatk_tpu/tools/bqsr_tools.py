@@ -204,24 +204,50 @@ def mark_duplicates_tool(argv):
     p.add_argument("-O", "--output", required=True)
     p.add_argument("-M", "--metrics-file", default=None)
     p.add_argument("--do-not-mark-unmapped-mates", action="store_true")
+    p.add_argument("--optical-duplicate-pixel-distance", type=int, default=100)
     args = p.parse_args(argv)
 
     from ..preprocessing import markdup
 
     n_dup_total = 0
+    all_metrics = {}
     for path in args.input:
         reader = bam.BamReader(path)
         reads = list(reader)
         n_dup, _ = markdup.mark_duplicates(
             reads, reader.header, dont_mark_unmapped_mates=args.do_not_mark_unmapped_mates)
         n_dup_total += n_dup
+        if args.metrics_file:
+            for lib, m in markdup.collect_duplication_metrics(
+                    reads, reader.header,
+                    pixel_distance=args.optical_duplicate_pixel_distance).items():
+                cur = all_metrics.get(lib)
+                if cur is None:
+                    all_metrics[lib] = m
+                else:
+                    for k, v in m.items():
+                        if isinstance(v, int):
+                            cur[k] += v
         writer = bam.BamWriter(args.output, reader.header)
         for r in reads:
             writer.write(r)
         writer.close()
     if args.metrics_file:
-        with open(args.metrics_file, "w") as fh:
-            fh.write(f"## METRICS\nDUPLICATES\t{n_dup_total}\n")
+        # picard DuplicationMetrics layout
+        from .metrics_tools import write_metrics_file
+
+        cols = ["LIBRARY", "UNPAIRED_READS_EXAMINED", "READ_PAIRS_EXAMINED",
+                "SECONDARY_OR_SUPPLEMENTARY_RDS", "UNMAPPED_READS",
+                "UNPAIRED_READ_DUPLICATES", "READ_PAIR_DUPLICATES",
+                "READ_PAIR_OPTICAL_DUPLICATES", "PERCENT_DUPLICATION",
+                "ESTIMATED_LIBRARY_SIZE"]
+        rows = []
+        for lib in sorted(all_metrics):
+            m = all_metrics[lib]
+            rows.append([lib] + [m[c] if m.get(c) is not None else ""
+                                 for c in cols[1:]])
+        write_metrics_file(args.metrics_file, "MarkDuplicates",
+                           "picard.sam.DuplicationMetrics", cols, rows)
     print(f"marked {n_dup_total} duplicates")
     return 0
 

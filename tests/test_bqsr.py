@@ -156,3 +156,74 @@ def test_gather_bqsr_reports_golden(tmp_path):
             # observations of the flipped rows (allow 10% relative)
             assert abs(float(gf[i]) - float(ef[i])) <= max(1.0, 0.1 * abs(float(ef[i]))), (g, e)
     assert n_diff <= 0.002 * len(exp), n_diff
+
+
+def test_optical_duplicates_and_metrics():
+    """Optical-duplicate detection: duplicate-set members within the pixel
+    distance on the same tile are optical (OpticalDuplicateFinder); metrics
+    follow picard DuplicationMetrics incl. ESTIMATED_LIBRARY_SIZE."""
+    import numpy as np
+
+    from gatk_tpu.io import sam as samio
+    from gatk_tpu.io.reads import Read
+    from gatk_tpu.preprocessing import markdup
+
+    def mk_pair(name, pos1, pos2, q=30):
+        ops = np.array([0], np.uint8)
+        lens = np.array([10], np.int32)
+        bases = np.frombuffer(b"ACGTACGTAC", np.uint8)
+        quals = np.full(10, q, np.uint8)
+        r1 = Read(name=name, flag=0x1 | 0x40 | 0x20, ref_id=0, pos=pos1, mapq=60,
+                  cigar_ops=ops.copy(), cigar_lens=lens.copy(), bases=bases,
+                  quals=quals.copy(), mate_ref_id=0, mate_pos=pos2, tlen=pos2 - pos1 + 10,
+                  tags={"RG": "rg1"})
+        r2 = Read(name=name, flag=0x1 | 0x80 | 0x10, ref_id=0, pos=pos2, mapq=60,
+                  cigar_ops=ops.copy(), cigar_lens=lens.copy(), bases=bases,
+                  quals=quals.copy(), mate_ref_id=0, mate_pos=pos1, tlen=-(pos2 - pos1 + 10),
+                  tags={"RG": "rg1"})
+        return [r1, r2]
+
+    header = samio.SamHeader.parse(
+        "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:10000\n"
+        "@RG\tID:rg1\tSM:S\tLB:lib1\n")
+    # 4 duplicate pairs at the same coordinates:
+    #  A: tile 5 at (1000, 1000)  -- best score will be tuned below
+    #  B: tile 5 at (1050, 1050)  -- optical vs A (within 100px)
+    #  C: tile 5 at (5000, 5000)  -- same tile, far away -> library duplicate
+    #  D: tile 7 at (1000, 1000)  -- different tile -> library duplicate
+    reads = []
+    reads += mk_pair("M:1:FC:1:5:1000:1000", 100, 300, q=40)  # A (best)
+    reads += mk_pair("M:1:FC:1:5:1050:1050", 100, 300, q=30)  # B optical
+    reads += mk_pair("M:1:FC:1:5:5000:5000", 100, 300, q=30)  # C
+    reads += mk_pair("M:1:FC:1:7:1000:1000", 100, 300, q=30)  # D
+    # one unique pair elsewhere
+    reads += mk_pair("M:1:FC:1:9:2000:2000", 2000, 2400, q=30)
+
+    n_dup, non_dup = markdup.mark_duplicates(reads, header)
+    assert n_dup == 6  # 3 duplicate pairs x 2 reads
+    assert "M:1:FC:1:5:1000:1000" in non_dup
+
+    metrics = markdup.collect_duplication_metrics(reads, header)
+    m = metrics["lib1"]
+    assert m["READ_PAIRS_EXAMINED"] == 5
+    assert m["READ_PAIR_DUPLICATES"] == 3
+    assert m["READ_PAIR_OPTICAL_DUPLICATES"] == 1  # only B is optical
+    assert abs(m["PERCENT_DUPLICATION"] - 0.6) < 1e-9
+    # library size from (pairs - optical)=4, unique=2: picard bisection
+    assert m["ESTIMATED_LIBRARY_SIZE"] == markdup.estimate_library_size(4, 2)
+    assert m["ESTIMATED_LIBRARY_SIZE"] is not None
+
+
+def test_estimate_library_size_formula():
+    from gatk_tpu.preprocessing import markdup
+
+    # closed-form checks: no duplicates -> None; all duplicates -> small library
+    assert markdup.estimate_library_size(100, 100) is None
+    L = markdup.estimate_library_size(1000, 900)
+    # solve c/x - 1 + exp(-n/x) = 0 numerically for c=900, n=1000
+    import math
+
+    x = L
+    assert abs(900 / x - 1 + math.exp(-1000 / x)) < 1e-2
+    # more duplication -> smaller library
+    assert markdup.estimate_library_size(1000, 500) < L
