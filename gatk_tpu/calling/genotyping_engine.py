@@ -64,6 +64,8 @@ def assign_genotype_likelihoods(
     emit_all_active: bool = False,
     add_non_ref: bool = False,
     as_annotations: bool = False,
+    output_mode: str = "EMIT_VARIANTS_ONLY",
+    genotype_assignment_method: str = "USE_PLS_TO_ASSIGN",
 ):
     """Produce Variant records for one assembled region.
 
@@ -151,16 +153,51 @@ def assign_genotype_likelihoods(
         ]
         af = af_calc.calculate(allele_lengths, len(longest_ref), [gl_quantized], ploidy)
         phred_no_variant = -10.0 * af.log10_p_no_variant
+        filters = ()
         if phred_no_variant < standard_confidence and not emit_all_active:
-            continue
+            # GenotypingEngine.calculateGenotypes output-mode gate
+            # (walkers/genotyper/OutputMode.java): CONFIDENT_SITES also emits
+            # confident hom-ref calls; ACTIVE_SITES force-emits with LowQual
+            if output_mode == "EMIT_VARIANTS_ONLY":
+                continue
+            gts_chk = genotyper.genotype_allele_counts(ploidy, len(alleles))
+            best_is_ref = all(a == 0 for a in gts_chk[int(np.argmin(pl))])
+            pl_srt = np.sort(pl)
+            ref_conf = int(min(pl_srt[1] - pl_srt[0], 99))
+            if output_mode == "EMIT_ALL_CONFIDENT_SITES":
+                if not (best_is_ref and ref_conf >= standard_confidence):
+                    continue
+            elif output_mode == "EMIT_ALL_ACTIVE_SITES":
+                filters = ("LowQual",)
+            else:
+                continue
 
-        # genotype assignment from PLs (USE_PLS_TO_ASSIGN)
+        # genotype assignment (GenotypeAssignmentMethod):
+        # USE_PLS_TO_ASSIGN (default) or USE_POSTERIOR_PROBABILITIES (the
+        # DRAGEN-mode method: PL likelihoods weighted by the AF-calculator's
+        # Dirichlet-posterior allele frequencies)
         gts = genotyper.genotype_allele_counts(ploidy, len(alleles))
-        best_gt_idx = int(np.argmin(pl))
+        if genotype_assignment_method == "USE_POSTERIOR_PROBABILITIES":
+            log10_af = np.log10(np.maximum(af.allele_posterior_frequencies, 1e-10)) \
+                if hasattr(af, "allele_posterior_frequencies") else None
+            if log10_af is None:
+                # fall back to MLE counts as frequency estimates
+                counts_mle = np.asarray([ploidy - sum(af.allele_counts_mle),
+                                         *af.allele_counts_mle], float)
+                freqs = np.maximum(counts_mle, 0.5) / max(counts_mle.sum(), 1.0)
+                log10_af = np.log10(freqs)
+            log10_prior = np.array([sum(log10_af[a] for a in gt) for gt in gts])
+            log10_post = -0.1 * pl + log10_prior
+            log10_post -= log10_post.max()
+            best_gt_idx = int(np.argmax(log10_post))
+            post_pl = np.round(-10.0 * (log10_post - log10_post.max())).astype(int)
+            srt = np.sort(post_pl)
+            gq = int(min(srt[1] - srt[0], 99))
+        else:
+            best_gt_idx = int(np.argmin(pl))
+            pl_sorted = np.sort(pl)
+            gq = int(min(pl_sorted[1] - pl_sorted[0], 99))
         gt_tuple = gts[best_gt_idx]
-        # GQ: difference between best and second-best PL
-        pl_sorted = np.sort(pl)
-        gq = int(min(pl_sorted[1] - pl_sorted[0], 99))
 
         counts = marginal.counts_by_allele()
         dp = int(counts.sum())
@@ -180,7 +217,7 @@ def assign_genotype_likelihoods(
             ref=longest_ref,
             alts=tuple(a.alt for a in alleles[1:]),
             qual=qual,
-            filters=(),
+            filters=filters,
             info=info,
             fmt_keys=("GT", "AD", "DP", "GQ", "PL"),
             samples=[

@@ -63,6 +63,10 @@ class HCArgs:
     # --dragen-mode; PileupDetectionArgumentCollection + HaplotypeCallerEngine
     # :798-853). None = off.
     pileup_args: object = None
+    # --output-mode (walkers/genotyper/OutputMode.java) and
+    # --genotype-assignment-method (GenotypeAssignmentMethod.java)
+    output_mode: str = "EMIT_VARIANTS_ONLY"
+    genotype_assignment_method: str = "USE_PLS_TO_ASSIGN"
 
 
 def maybe_filter_alleles(lik, args, span_start):
@@ -393,6 +397,8 @@ class HaplotypeCallerEngine:
                 span.contig, self.sample,
                 standard_confidence=args.standard_confidence, ploidy=args.ploidy,
                 as_annotations=args.as_annotations,
+                output_mode=args.output_mode,
+                genotype_assignment_method=args.genotype_assignment_method,
             )
         if self.bamout is not None:
             self.bamout.add_region(span.contig, haplotypes, lik)
@@ -429,6 +435,8 @@ class HaplotypeCallerEngine:
             span.contig, self.sample,
             standard_confidence=args.standard_confidence, ploidy=args.ploidy,
             as_annotations=args.as_annotations,
+            output_mode=args.output_mode,
+            genotype_assignment_method=args.genotype_assignment_method,
         )
         if self.bamout is not None:
             self.bamout.add_region(span.contig, haplotypes, lik)

@@ -64,6 +64,11 @@ def haplotype_caller(argv):
                    help="flow-cycle order for FlowBasedHMM reads")
     # multi-process data parallelism (jax.distributed; the Spark/WDL cluster
     # path re-architected as SPMD interval sharding — parallel/multihost.py)
+    p.add_argument("--output-mode", default="EMIT_VARIANTS_ONLY",
+                   choices=["EMIT_VARIANTS_ONLY", "EMIT_ALL_CONFIDENT_SITES",
+                            "EMIT_ALL_ACTIVE_SITES"])
+    p.add_argument("--genotype-assignment-method", default="USE_PLS_TO_ASSIGN",
+                   choices=["USE_PLS_TO_ASSIGN", "USE_POSTERIOR_PROBABILITIES"])
     p.add_argument("--pileup-detection", action="store_true",
                    help="create pileup-based haplotypes in addition to assembly "
                         "(DRAGEN ColumnwiseDetection; PileupBasedAlleles.java)")
@@ -131,6 +136,8 @@ def haplotype_caller(argv):
         disabled_read_filters=tuple(args.disable_read_filter),
         likelihood_engine=args.likelihood_engine,
         flow_order=args.flow_order,
+        output_mode=args.output_mode,
+        genotype_assignment_method=args.genotype_assignment_method,
     )
     if args.dragen_mode or args.pileup_detection or args.use_pdhmm:
         from ..calling.pileup_alleles import PileupDetectionArgs

@@ -177,3 +177,76 @@ def test_as_annotations_emitted():
                 "AS_BaseQRankSum", "AS_ReadPosRankSum", "AS_QD"):
         assert key in info, key
     assert "|" in info["AS_SB_TABLE"]
+
+
+def _mini_region(alt_reads=10, ref_reads=10, lik_sep=-8.0):
+    """(haps, reads, likelihoods, ref array) for a 1-SNP toy region."""
+    import numpy as np
+
+    from gatk_tpu.assembly.haplotype import Haplotype, build_event_map
+    from gatk_tpu.calling.likelihoods import AlleleLikelihoods
+    from gatk_tpu.io.reads import Read
+
+    ref = "ACGTACGTACGTACGTACGT"
+    alt = ref[:10] + "T" + ref[11:]
+
+    def hap(bases, is_ref=False):
+        h = Haplotype(bases=bases.encode(), is_ref=is_ref,
+                      cigar_ops=np.array([0], np.uint8),
+                      cigar_lens=np.array([len(bases)], np.int32),
+                      alignment_start=0)
+        build_event_map(h, np.frombuffer(ref.encode(), np.uint8), 0)
+        return h
+
+    haps = [hap(ref, True), hap(alt)]
+    n = alt_reads + ref_reads
+    reads = []
+    for i in range(n):
+        bases = (alt if i < alt_reads else ref).encode()
+        reads.append(Read(f"r{i}", 0, 0, 0, 60,
+                          np.array([0], np.uint8), np.array([len(bases)], np.int32),
+                          np.frombuffer(bases, np.uint8).copy(),
+                          np.full(len(bases), 30, np.uint8)))
+    values = np.zeros((2, n))
+    values[0, :alt_reads] = lik_sep   # alt reads dislike the ref haplotype
+    values[1, alt_reads:] = lik_sep   # ref reads dislike the alt haplotype
+    lik = AlleleLikelihoods(haps, reads, values)
+    return haps, reads, lik, np.frombuffer(ref.encode(), np.uint8)
+
+
+def test_output_modes():
+    """--output-mode gates (walkers/genotyper/OutputMode.java): VARIANTS_ONLY
+    drops low-confidence sites, CONFIDENT_SITES emits confident hom-ref calls,
+    ACTIVE_SITES force-emits with the LowQual filter."""
+    from gatk_tpu.calling.genotyping_engine import assign_genotype_likelihoods
+
+    # all-ref reads: the site is a confident hom-ref -> not a variant
+    common = dict(ref_start=0, span_start=0, span_end=20, contig="chr1",
+                  sample="S")
+
+    def run(mode):
+        haps, _reads, lik, ref = _mini_region(alt_reads=0, ref_reads=20)
+        return assign_genotype_likelihoods(haps, lik, ref_bases=ref,
+                                           output_mode=mode, **common)
+
+    assert run("EMIT_VARIANTS_ONLY") == []
+    got = run("EMIT_ALL_CONFIDENT_SITES")
+    assert len(got) == 1
+    assert got[0].samples[0]["GT"] == "0/0"
+    assert got[0].filters == ()
+    got = run("EMIT_ALL_ACTIVE_SITES")
+    assert len(got) == 1 and got[0].filters == ("LowQual",)
+
+
+def test_genotype_assignment_posteriors_matches_pls_when_clear():
+    """USE_POSTERIOR_PROBABILITIES must agree with USE_PLS_TO_ASSIGN on a
+    clear-cut het (the prior can't flip a strong likelihood)."""
+    from gatk_tpu.calling.genotyping_engine import assign_genotype_likelihoods
+
+    for method in ("USE_PLS_TO_ASSIGN", "USE_POSTERIOR_PROBABILITIES"):
+        haps, reads, lik, ref = _mini_region(alt_reads=10, ref_reads=10)
+        got = assign_genotype_likelihoods(
+            haps, lik, ref_bases=ref, ref_start=0, span_start=0, span_end=20,
+            contig="chr1", sample="S", genotype_assignment_method=method)
+        assert len(got) == 1, method
+        assert got[0].samples[0]["GT"] == "0/1", method
