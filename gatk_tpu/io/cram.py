@@ -468,8 +468,9 @@ def _read_container_header(fh, version: int):
     if len(raw) < 4:
         return None
     length = struct.unpack("<i", raw)[0]
-    # read a generous chunk for the varint fields
-    buf = fh.read(64)
+    # read a generous chunk for the varint fields (landmark arrays can be
+    # hundreds of bytes in many-block containers)
+    buf = fh.read(4096)
     st = _ByteStream(buf)
     ref_id = st.itf8()
     start = st.itf8()

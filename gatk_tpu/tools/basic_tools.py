@@ -53,7 +53,8 @@ def print_reads(argv):
     p.add_argument("-L", "--intervals", action="append", default=None)
     args = p.parse_args(argv)
     readers = [bam.BamReader(path) for path in args.input]
-    w = bam.BamWriter(args.output, readers[0].header)
+    from ..io.cram_writer import open_reads_writer
+    w = open_reads_writer(args.output, readers[0].header)
     n = 0
     for r in readers:
         if args.intervals:

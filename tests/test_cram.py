@@ -13,6 +13,7 @@ from gatk_tpu.io.cram import CramReader, open_reads, rans_uncompress
 RES = "/root/reference/src/test/resources"
 ENGINE = f"{RES}/org/broadinstitute/hellbender/engine"
 ISM = f"{RES}/org/broadinstitute/hellbender/metrics/analysis/CollectInsertSizeMetrics"
+BAM = f"{RES}/org/broadinstitute/hellbender/tools/mutect/mito/NA12878.bam"
 
 pytestmark = pytest.mark.skipif(not os.path.isdir(ENGINE), reason="reference data missing")
 
@@ -74,3 +75,49 @@ def test_rans_roundtrip_order0_known():
     # decode a stream produced by the spec's reference implementation is covered
     # by the golden files; here sanity-check the empty stream contract
     assert rans_uncompress(b"") == b""
+
+
+def test_cram_writer_roundtrip(tmp_path):
+    """CRAM 3.0 writer round-trips the mito reads exactly (flags, cigars,
+    bases, quals, mates, tags) through the CRAM reader without a reference
+    (no-ref feature encoding, io/cram_writer.py)."""
+    import itertools
+
+    from gatk_tpu.io import bam
+    from gatk_tpu.io.cram import CramReader
+    from gatk_tpu.io.cram_writer import CramWriter
+
+    reader = bam.BamReader(BAM)
+    reads = list(itertools.islice(reader, 400))
+    out = str(tmp_path / "rt.cram")
+    w = CramWriter(out, reader.header)
+    for r in reads:
+        w.write(r)
+    w.close()
+    back = list(CramReader(out))
+    assert len(back) == len(reads)
+    for a, b in zip(reads, back):
+        assert a.name == b.name and a.flag == b.flag
+        assert a.ref_id == b.ref_id and a.pos == b.pos and a.mapq == b.mapq
+        assert bytes(a.bases) == bytes(b.bases)
+        assert bytes(a.quals) == bytes(b.quals)
+        assert list(a.cigar_ops) == list(b.cigar_ops)
+        assert list(a.cigar_lens) == list(b.cigar_lens)
+        assert (a.mate_ref_id, a.mate_pos, a.tlen) == (b.mate_ref_id, b.mate_pos, b.tlen)
+        assert {k: v for k, v in a.tags.items()} == {k: v for k, v in b.tags.items()}
+    # header survives
+    rd = CramReader(out)
+    assert [s.name for s in rd.header.sequences] == \
+        [s.name for s in reader.header.sequences]
+
+
+def test_print_reads_writes_cram(tmp_path):
+    from gatk_tpu.cli import TOOL_REGISTRY
+    from gatk_tpu.io.cram import CramReader
+
+    out = str(tmp_path / "subset.cram")
+    rc = TOOL_REGISTRY["PrintReads"](
+        ["-I", BAM, "-O", out, "-L", "chrM:1-200"])
+    assert rc == 0
+    got = list(CramReader(out))
+    assert got and all(r.pos < 200 or r.is_unmapped for r in got)
