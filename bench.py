@@ -187,6 +187,67 @@ def _hc_wallclock():
     return dt, n_reads / dt, stages
 
 
+def _scaling_bench():
+    """Multi-process (jax.distributed) scaling curve on the CPU backend: the
+    mito HC run at 1 vs 2 processes, contiguous target shards per process with
+    host-0 gather (GATKSparkTool.java:720-724 pattern). Startup (interpreter +
+    jax init + compile) is measured with an empty-interval run and subtracted,
+    so efficiency reflects the calling phase. Results land in SCALING_r{N}.json
+    via GATK_TPU_BENCH_SCALING=1 (off by default: ~3 subprocess runs)."""
+    import socket
+    import subprocess
+
+    mito = ("/root/reference/src/test/resources/org/broadinstitute/hellbender/"
+            "tools/mutect/mito")
+    if not os.path.exists(f"{mito}/NA12878.bam"):
+        return None
+
+    def cmd(out, interval, extra):
+        return [sys.executable, "-m", "gatk_tpu", "HaplotypeCaller",
+                "-I", f"{mito}/NA12878.bam",
+                "-R", f"{mito}/Homo_sapiens_assembly38.mt_only.fasta",
+                "-L", interval, "-O", out, "--shard-size", "300",
+                "--max-reads-per-alignment-start", "5", "--adaptive-pruning"] + extra
+
+    env = dict(os.environ)
+    env["GATK_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    def run_procs(n_procs, interval, tag):
+        t0 = time.time()
+        if n_procs == 1:
+            subprocess.run(cmd(f"/tmp/scale_{tag}.vcf", interval, []), env=env,
+                           check=True, capture_output=True)
+        else:
+            s = socket.socket()
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+            s.close()
+            procs = []
+            for pid in range(n_procs):
+                procs.append(subprocess.Popen(
+                    cmd(f"/tmp/scale_{tag}.vcf", interval,
+                        ["--distributed-coordinator", f"127.0.0.1:{port}",
+                         "--distributed-num-processes", str(n_procs),
+                         "--distributed-process-id", str(pid)]),
+                    env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+            for p in procs:
+                if p.wait() != 0:
+                    raise RuntimeError("distributed process failed")
+        return time.time() - t0
+
+    startup = run_procs(1, "chrM:1-2", "warm")  # fixed cost: no active regions
+    t1 = run_procs(1, "chrM:1-600", "p1")
+    t2 = run_procs(2, "chrM:1-600", "p2")
+    work1 = max(t1 - startup, 1e-3)
+    work2 = max(t2 - startup, 1e-3)
+    eff = work1 / (2.0 * work2)
+    return dict(startup_s=round(startup, 1), wall_1proc_s=round(t1, 1),
+                wall_2proc_s=round(t2, 1), work_1proc_s=round(work1, 1),
+                work_2proc_s=round(work2, 1),
+                scaling_efficiency_2proc=round(eff, 3))
+
+
 def main():
     tpu_gcups, base_gcups = _kernel_bench()
     extras = {}
@@ -199,6 +260,13 @@ def main():
                 extras["hc_stage_s"] = stages
         except Exception as e:  # pragma: no cover - bench robustness
             print(f"WARNING: HC wall-clock bench failed: {e}", file=sys.stderr)
+    if os.environ.get("GATK_TPU_BENCH_SCALING", "0") == "1":
+        try:
+            scaling = _scaling_bench()
+            if scaling:
+                extras["scaling"] = scaling
+        except Exception as e:  # pragma: no cover - bench robustness
+            print(f"WARNING: scaling bench failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

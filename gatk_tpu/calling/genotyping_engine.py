@@ -66,6 +66,9 @@ def assign_genotype_likelihoods(
     as_annotations: bool = False,
     output_mode: str = "EMIT_VARIANTS_ONLY",
     genotype_assignment_method: str = "USE_PLS_TO_ASSIGN",
+    apply_bqd: bool = False,
+    apply_frd: bool = False,
+    max_effective_depth_adjustment_for_frd: int = 0,
 ):
     """Produce Variant records for one assembled region.
 
@@ -145,6 +148,16 @@ def assign_genotype_likelihoods(
             )
 
         gl = genotyper.compute_genotype_likelihoods(marginal.values, ploidy)
+        if apply_bqd or apply_frd:
+            # DRAGEN advanced genotyping: merge BQD/FRD model scores into the
+            # standard likelihoods (DRAGENGenotypesModel.java:106-162)
+            from . import dragen_genotypes
+
+            gl = dragen_genotypes.apply_dragen_models(
+                gl, marginal.values, [alleles[0].ref] + [a.alt for a in alleles[1:]],
+                marginal.reads, loc, ref_bases, ref_start, ploidy=ploidy,
+                use_bqd=apply_bqd, use_frd=apply_frd,
+                max_effective_depth=max_effective_depth_adjustment_for_frd)
         pl = genotyper.gls_to_pls(gl)
         gl_quantized = genotyper.pls_to_gls(pl)
 

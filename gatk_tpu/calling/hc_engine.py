@@ -67,6 +67,11 @@ class HCArgs:
     # --genotype-assignment-method (GenotypeAssignmentMethod.java)
     output_mode: str = "EMIT_VARIANTS_ONLY"
     genotype_assignment_method: str = "USE_PLS_TO_ASSIGN"
+    # DRAGEN advanced genotyping (--apply-bqd/--apply-frd;
+    # DRAGENGenotypesModel.java)
+    apply_bqd: bool = False
+    apply_frd: bool = False
+    max_effective_depth_adjustment_for_frd: int = 0
 
 
 def maybe_filter_alleles(lik, args, span_start):
@@ -399,6 +404,8 @@ class HaplotypeCallerEngine:
                 as_annotations=args.as_annotations,
                 output_mode=args.output_mode,
                 genotype_assignment_method=args.genotype_assignment_method,
+                apply_bqd=args.apply_bqd, apply_frd=args.apply_frd,
+                max_effective_depth_adjustment_for_frd=args.max_effective_depth_adjustment_for_frd,
             )
         if self.bamout is not None:
             self.bamout.add_region(span.contig, haplotypes, lik)
@@ -437,6 +444,8 @@ class HaplotypeCallerEngine:
             as_annotations=args.as_annotations,
             output_mode=args.output_mode,
             genotype_assignment_method=args.genotype_assignment_method,
+            apply_bqd=args.apply_bqd, apply_frd=args.apply_frd,
+            max_effective_depth_adjustment_for_frd=args.max_effective_depth_adjustment_for_frd,
         )
         if self.bamout is not None:
             self.bamout.add_region(span.contig, haplotypes, lik)

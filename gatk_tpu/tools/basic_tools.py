@@ -7,38 +7,79 @@ from ..engine import intervals as iv
 from ..io import bam, vcf
 
 
+class _CountReadsWalker:
+    """tools/CountReads.java as a ReadWalker (WellformedReadFilter default),
+    with the walker framework's filter summaries + ProgressMeter."""
+
+    def __new__(cls, argv):
+        import argparse
+
+        from ..engine.walkers import ReadWalker
+
+        p = argparse.ArgumentParser()
+        p.add_argument("-I", "--input", action="append", required=True)
+        p.add_argument("-L", "--intervals", action="append", default=None)
+        p.add_argument("--read-filter", action="append", default=[])
+        p.add_argument("--disable-read-filter", action="append", default=[])
+        args = p.parse_args(argv)
+
+        class W(ReadWalker):
+            tool_name = "CountReads"
+            default_read_filters = ["WellformedReadFilter"]
+
+            def on_traversal_start(self):
+                self.count = 0
+
+            def apply(self, read, ctx):
+                self.count += 1
+
+            def on_traversal_success(self):
+                print(self.count)
+                return 0
+
+        total = 0
+        for path in args.input:
+            w = W(reads_path=path, intervals=args.intervals,
+                  read_filters=args.read_filter,
+                  disable_read_filters=args.disable_read_filter)
+            w.run()
+        return 0
+
+
 @register_tool("CountReads")
 def count_reads(argv):
-    """Count reads in a BAM/SAM file (tools/CountReads.java equivalent)."""
-    import argparse
-
-    p = argparse.ArgumentParser()
-    p.add_argument("-I", "--input", action="append", required=True)
-    p.add_argument("-L", "--intervals", action="append", default=None)
-    args = p.parse_args(argv)
-    total = 0
-    for path in args.input:
-        r = bam.BamReader(path)
-        if args.intervals:
-            lengths = {s.name: s.length for s in r.header.sequences}
-            for s in args.intervals:
-                target = iv.parse_interval(s, lengths)
-                total += sum(1 for _ in r.query(target.contig, target.start, target.end))
-        else:
-            total += sum(1 for _ in r)
-    print(total)
-    return 0
+    """Count reads in a BAM/SAM file (tools/CountReads.java as a ReadWalker)."""
+    return _CountReadsWalker(argv)
 
 
 @register_tool("CountVariants")
 def count_variants(argv):
-    """Count variant records in a VCF."""
+    """Count variant records in a VCF (tools/CountVariants.java as a
+    VariantWalker: per-record progress + lifecycle)."""
     import argparse
+
+    from ..engine.walkers import VariantWalker
 
     p = argparse.ArgumentParser()
     p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
     args = p.parse_args(argv)
-    print(sum(1 for _ in vcf.VcfReader(args.variant)))
+
+    class W(VariantWalker):
+        tool_name = "CountVariants"
+
+        def on_traversal_start(self):
+            self.count = 0
+
+        def apply(self, variant):
+            self.count += 1
+
+        def on_traversal_success(self):
+            print(self.count)
+            return 0
+
+    w = W(variant_path=args.variant, intervals=args.intervals)
+    w.run()
     return 0
 
 

@@ -69,6 +69,11 @@ def haplotype_caller(argv):
                             "EMIT_ALL_ACTIVE_SITES"])
     p.add_argument("--genotype-assignment-method", default="USE_PLS_TO_ASSIGN",
                    choices=["USE_PLS_TO_ASSIGN", "USE_POSTERIOR_PROBABILITIES"])
+    p.add_argument("--apply-bqd", action="store_true",
+                   help="DRAGEN base-quality-dropout genotyping model")
+    p.add_argument("--apply-frd", action="store_true",
+                   help="DRAGEN foreign-read-detection genotyping model")
+    p.add_argument("--max-effective-depth-adjustment-for-frd", type=int, default=0)
     p.add_argument("--pileup-detection", action="store_true",
                    help="create pileup-based haplotypes in addition to assembly "
                         "(DRAGEN ColumnwiseDetection; PileupBasedAlleles.java)")
@@ -138,6 +143,9 @@ def haplotype_caller(argv):
         flow_order=args.flow_order,
         output_mode=args.output_mode,
         genotype_assignment_method=args.genotype_assignment_method,
+        apply_bqd=args.apply_bqd or args.dragen_mode,
+        apply_frd=args.apply_frd or args.dragen_mode,
+        max_effective_depth_adjustment_for_frd=args.max_effective_depth_adjustment_for_frd,
     )
     if args.dragen_mode or args.pileup_detection or args.use_pdhmm:
         from ..calling.pileup_alleles import PileupDetectionArgs
