@@ -179,8 +179,7 @@ def _build_graph(reads, ref_bases: bytes, k: int, min_base_qual: int,
                 return None
             seen.add(km)
     g.add_sequence("ref", ref_bases, 0, len(ref_bases), 1, True)
-    for r in reads:
-        g.add_read(r.name, r.bases, r.quals)
+    g.add_reads(reads)
     g.build()
     if g.has_cycles() and not allow_cycles:
         return None

@@ -19,6 +19,44 @@ import numpy as np
 
 DEFAULT_MIN_BASE_QUAL = 10
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """ctypes binding to native/rtgraph/librtgraph_native.so — the C++ port of
+    the threading hot loop (exact same graph; see rtgraph_native.cpp)."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+
+    so = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
+                                      "native", "rtgraph", "librtgraph_native.so"))
+    if not os.path.exists(so) or os.environ.get("GATK_TPU_NO_NATIVE_RTGRAPH"):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        u8 = np.ctypeslib.ndpointer(np.uint8)
+        i32 = np.ctypeslib.ndpointer(np.int32)
+        i64 = np.ctypeslib.ndpointer(np.int64)
+        c = ctypes
+        lib.rtg_build.restype = c.c_void_p
+        lib.rtg_build.argtypes = [c.c_int32, u8, i64, i64, i64, i64, u8,
+                                  c.c_int64, c.POINTER(c.c_int64),
+                                  c.POINTER(c.c_int64), c.POINTER(c.c_int64),
+                                  c.POINTER(c.c_int64), c.POINTER(c.c_int32)]
+        lib.rtg_export.restype = None
+        lib.rtg_export.argtypes = [c.c_void_p, u8, i32, i32, i64, u8, i32, u8]
+        lib.rtg_free.restype = None
+        lib.rtg_free.argtypes = [c.c_void_p]
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = None
+    return _NATIVE
+
 
 @dataclass
 class Edge:
@@ -77,6 +115,47 @@ class ReadThreadingGraph:
                 self.add_sequence(f"{name}_{st}_{en}", seq, int(st), int(en), 1, False)
         return self
 
+    def add_reads(self, reads):
+        """Batched add_read: one vectorized usable-run pass over ALL reads
+        (AbstractReadThreadingGraph.addRead quality runs :1040-1065)."""
+        if not reads:
+            return self
+        lens = np.fromiter((len(r.bases) for r in reads), np.int64, len(reads))
+        total = int(lens.sum())
+        if total == 0:
+            return self
+        B = np.empty(total, np.uint8)
+        Q = np.empty(total, np.uint8)
+        offs = np.zeros(len(reads) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        for i, r in enumerate(reads):
+            B[offs[i]:offs[i + 1]] = r.bases
+            Q[offs[i]:offs[i + 1]] = r.quals
+        usable = (B != ord("N")) & (Q >= self.min_base_qual)
+        # break runs at read boundaries: flags padded per read
+        padded = np.zeros(total + len(reads) + 1, np.int8)
+        # position of each base in the padded stream: offset + read index + 1
+        rid = np.repeat(np.arange(len(reads)), lens)
+        padded[np.arange(total) + rid + 1] = usable
+        d = np.diff(padded)
+        starts = np.nonzero(d == 1)[0]
+        ends = np.nonzero(d == -1)[0]
+        k = self.kmer_size
+        keep = (ends - starts) >= k
+        starts, ends = starts[keep], ends[keep]
+        # map back to (read, in-read offsets): base j of read i sits at padded
+        # position offs[i]+j+i+1, so its d-index (run boundary) is offs[i]+j+i
+        srid = np.searchsorted(offs[1:] + np.arange(len(reads)),
+                               starts, side="right")
+        for st, en, i in zip(starts, ends, srid):
+            base = offs[i] + i
+            st_i = int(st - base)
+            en_i = int(en - base)
+            r = reads[i]
+            self.add_sequence(f"{r.name}_{st_i}_{en_i}", bytes(r.bases),
+                              st_i, en_i, 1, False)
+        return self
+
     def _new_vertex(self, kmer: bytes) -> int:
         vid = len(self.vertex_seq)
         self.vertex_seq.append(kmer)
@@ -103,6 +182,9 @@ class ReadThreadingGraph:
     def build(self):
         if self.already_built:
             return self
+        lib = _load_native()
+        if lib is not None:
+            return self._build_native(lib)
         # non-unique kmers: duplicated within any single sequence. One
         # vectorized pass over ALL pending sequences: per-position rolling
         # hashes mixed with the sequence id, one global np.unique, then
@@ -147,6 +229,78 @@ class ReadThreadingGraph:
         self.already_built = True
         # retained for junction-tree generation (JunctionTreeLinkedDeBruijnGraph
         # threads the same pending sequences a second time)
+        self.retained_sequences = self.pending
+        self.pending = []
+        return self
+
+    def _build_native(self, lib):
+        """Native build: identical graph to the python path (same creation
+        order, non-unique rule, first-match extension); python-side structures
+        reconstructed from the exported arrays."""
+        import ctypes
+
+        k = self.kmer_size
+        n = len(self.pending)
+        seq_data = np.frombuffer(b"".join(s.seq for s in self.pending), np.uint8) \
+            if n else np.zeros(0, np.uint8)
+        off = np.zeros(n, np.int64)
+        lens = np.fromiter((len(s.seq) for s in self.pending), np.int64, n) \
+            if n else np.zeros(0, np.int64)
+        if n > 1:
+            np.cumsum(lens[:-1], out=off[1:])
+        starts = np.fromiter((s.start for s in self.pending), np.int64, n)
+        stops = np.fromiter((s.stop for s in self.pending), np.int64, n)
+        counts = np.fromiter((s.count for s in self.pending), np.int64, n)
+        is_ref = np.fromiter((1 if s.is_ref else 0 for s in self.pending),
+                             np.uint8, n)
+        nv = ctypes.c_int64()
+        ne = ctypes.c_int64()
+        nrp = ctypes.c_int64()
+        nnu = ctypes.c_int64()
+        err = ctypes.c_int32()
+        handle = lib.rtg_build(
+            np.int32(k), np.ascontiguousarray(seq_data), off, starts, stops,
+            counts, is_ref, np.int64(n), ctypes.byref(nv), ctypes.byref(ne),
+            ctypes.byref(nrp), ctypes.byref(nnu), ctypes.byref(err))
+        if not handle:
+            raise MemoryError("rtg_build failed")
+        try:
+            kmers = np.zeros(nv.value * k, np.uint8)
+            esrc = np.zeros(ne.value, np.int32)
+            edst = np.zeros(ne.value, np.int32)
+            emult = np.zeros(ne.value, np.int64)
+            eref = np.zeros(ne.value, np.uint8)
+            rp = np.zeros(nrp.value, np.int32)
+            nu = np.zeros(nnu.value * k, np.uint8)
+            lib.rtg_export(handle, kmers, esrc, edst, emult, eref, rp, nu)
+        finally:
+            lib.rtg_free(handle)
+        if err.value == 1:
+            raise ValueError("two reference sources")
+        if err.value == 2:
+            raise ValueError("unique kmer merging into reference path")
+
+        kb = kmers.tobytes()
+        self.vertex_seq = [kb[i * k:(i + 1) * k] for i in range(nv.value)]
+        self.out_edges = [{} for _ in range(nv.value)]
+        self.in_edges = [{} for _ in range(nv.value)]
+        self.out_by_base = [{} for _ in range(nv.value)]
+        for i in range(ne.value):
+            s, d = int(esrc[i]), int(edst[i])
+            e = Edge(int(emult[i]), bool(eref[i]))
+            self.out_edges[s][d] = e
+            self.in_edges[d][s] = e
+            self.out_by_base[s].setdefault(self.vertex_seq[d][-1], d)
+        nub = nu.tobytes()
+        self.non_unique_kmers = {nub[i * k:(i + 1) * k] for i in range(nnu.value)}
+        self.kmer_to_vertex = {}
+        for vid, km in enumerate(self.vertex_seq):
+            if km not in self.non_unique_kmers and km not in self.kmer_to_vertex:
+                self.kmer_to_vertex[km] = vid
+        if nrp.value:
+            self.ref_path = [int(x) for x in rp]
+            self.ref_source_vid = self.ref_path[0]
+        self.already_built = True
         self.retained_sequences = self.pending
         self.pending = []
         return self

@@ -1,6 +1,7 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh (the reference's
 Spark local-mode equivalence tests, SURVEY §4.4)."""
 import numpy as np
+import pytest
 
 import __graft_entry__ as graft
 
