@@ -133,3 +133,56 @@ def make_shards(intervals, shard_size: int, padding: int, contig_lengths: dict) 
         for piece in split_interval(iv, shard_size):
             shards.append(Shard.make(piece, padding, contig_lengths.get(iv.contig)))
     return shards
+
+
+def load_interval_file(path: str, contig_lengths: dict | None = None) -> list:
+    """Intervals from a file: BED (0-based half-open), Picard .interval_list
+    (@-header + 1-based inclusive columns), GATK .intervals/.list (one -L
+    string per line), or VCF (record spans)
+    (utils/IntervalUtils.parseIntervalArguments file dispatch)."""
+    lower = path.lower()
+    out = []
+    if lower.endswith((".bed", ".bed.gz")):
+        import gzip as _gz
+
+        op = _gz.open if lower.endswith(".gz") else open
+        with op(path, "rt") as fh:
+            for line in fh:
+                if not line.strip() or line.startswith(("#", "track", "browser")):
+                    continue
+                f = line.split("\t")
+                out.append(Interval(f[0], int(f[1]), int(f[2])))
+    elif lower.endswith(".interval_list"):
+        with open(path) as fh:
+            for line in fh:
+                if line.startswith("@") or not line.strip():
+                    continue
+                f = line.split("\t")
+                out.append(Interval(f[0], int(f[1]) - 1, int(f[2])))
+    elif lower.endswith((".vcf", ".vcf.gz")):
+        from ..io import vcf as _vcf
+
+        for v in _vcf.VcfReader(path):
+            out.append(Interval(v.contig, v.pos, v.pos + len(v.ref)))
+    else:  # .intervals / .list: one -L string per line
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith(("#", "@")):
+                    out.append(parse_interval(line, contig_lengths))
+    return out
+
+
+def parse_intervals_arg(values, contig_lengths: dict | None = None) -> list:
+    """GATK -L semantics: each value is an interval string OR a path to an
+    interval file (BED/.interval_list/.intervals/.list/VCF)."""
+    import os as _os
+
+    out = []
+    for s in values:
+        if _os.path.exists(s) and (
+                "." in _os.path.basename(s) and not _RE_FULL.match(s)):
+            out.extend(load_interval_file(s, contig_lengths))
+        else:
+            out.append(parse_interval(s, contig_lengths))
+    return out

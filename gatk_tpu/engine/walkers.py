@@ -86,7 +86,9 @@ class GATKTool:
         else:
             lengths = {}
         if self.intervals_arg:
-            self.targets = [parse_interval(s, lengths) for s in self.intervals_arg]
+            from .intervals import parse_intervals_arg
+
+            self.targets = parse_intervals_arg(self.intervals_arg, lengths)
         else:
             self.targets = [Interval(n, 0, l) for n, l in lengths.items()]
 

@@ -91,7 +91,7 @@ def base_recalibrator(argv):
     if args.intervals:
         hdr = bam.BamReader(args.input[0]).header
         lengths0 = {s.name: s.length for s in hdr.sequences}
-        known_intervals = [iv.parse_interval(s, lengths0) for s in args.intervals]
+        known_intervals = iv.parse_intervals_arg(args.intervals, lengths0)
     known = _KnownSites(args.known_sites, known_intervals)
     rargs = RecalArgs(
         mismatches_context_size=args.mismatches_context_size,

@@ -118,7 +118,7 @@ def fasta_alternate_reference_maker(argv):
     for v in vcfio.VcfReader(args.variant):
         if v.alts and v.alts[0] not in ("*", "<NON_REF>"):
             by_contig.setdefault(v.contig, []).append(v)
-    targets = ([iv.parse_interval(s, lengths) for s in args.intervals]
+    targets = (iv.parse_intervals_arg(args.intervals, lengths)
                if args.intervals else
                [iv.Interval(n, 0, lengths[n]) for n in ref.contigs()])
     records = []

@@ -112,7 +112,7 @@ def haplotype_caller(argv):
 
     contig_lengths = {s.name: s.length for s in header.sequences}
     if args.intervals:
-        targets = [iv.parse_interval(s, contig_lengths) for s in args.intervals]
+        targets = iv.parse_intervals_arg(args.intervals, contig_lengths)
     else:
         targets = [iv.Interval(s.name, 0, s.length) for s in header.sequences]
     if args.shard_size:

@@ -66,7 +66,7 @@ def mutect2(argv):
         eng.germline_af = make_germline_af_lookup(args.germline_resource, default_af)
 
     if args.intervals:
-        targets = [iv.parse_interval(s, lengths) for s in args.intervals]
+        targets = iv.parse_intervals_arg(args.intervals, lengths)
     else:
         targets = [iv.Interval(s.name, 0, s.length) for s in reader.header.sequences]
 
@@ -304,7 +304,7 @@ def get_pileup_summaries(argv):
     reader = bamio.BamReader(args.input)
     sample = reader.header.read_groups[0].get("SM", "SAMPLE") if reader.header.read_groups else "SAMPLE"
     lengths = {s.name: s.length for s in reader.header.sequences}
-    intervals = ([iv.parse_interval(s, lengths) for s in args.intervals]
+    intervals = (iv.parse_intervals_arg(args.intervals, lengths)
                  if args.intervals else None)
     sites = []
     for v in vcfio.iter_vcf_features(args.variant, intervals):

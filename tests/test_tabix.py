@@ -148,3 +148,26 @@ def test_index_feature_file_tool(tmp_path):
     rc = TOOL_REGISTRY["IndexFeatureFile"](["-I", src, "-O", out])
     assert rc == 0
     assert bgzf.decompress_file(out) == bgzf.decompress_file(src + ".tbi")
+
+
+def test_interval_file_parsing(tmp_path):
+    """-L file dispatch (IntervalUtils.parseIntervalArguments): BED 0-based,
+    .interval_list 1-based inclusive, .intervals strings, plus plain strings."""
+    from gatk_tpu.engine import intervals as iv
+
+    bed = tmp_path / "t.bed"
+    bed.write_text("track name=x\nchr1\t100\t200\nchr2\t0\t50\n")
+    il = tmp_path / "t.interval_list"
+    il.write_text("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000\nchr1\t101\t200\t+\tx\n")
+    txt = tmp_path / "t.intervals"
+    txt.write_text("chr1:51-60\nchr2\n")
+    lengths = {"chr1": 1000, "chr2": 500}
+    got = iv.parse_intervals_arg([str(bed), "chr3:1-10"], lengths | {"chr3": 99})
+    assert (got[0].contig, got[0].start, got[0].end) == ("chr1", 100, 200)
+    assert (got[1].contig, got[1].start, got[1].end) == ("chr2", 0, 50)
+    assert (got[2].contig, got[2].start, got[2].end) == ("chr3", 0, 10)
+    got = iv.parse_intervals_arg([str(il)], lengths)
+    assert (got[0].contig, got[0].start, got[0].end) == ("chr1", 100, 200)
+    got = iv.parse_intervals_arg([str(txt)], lengths)
+    assert (got[0].start, got[0].end) == (50, 60)
+    assert (got[1].contig, got[1].end) == ("chr2", 500)
