@@ -67,6 +67,9 @@ class HCArgs:
     # --genotype-assignment-method (GenotypeAssignmentMethod.java)
     output_mode: str = "EMIT_VARIANTS_ONLY"
     genotype_assignment_method: str = "USE_PLS_TO_ASSIGN"
+    # trim-to-variation after assembly (AssemblyRegionTrimmer.java; GATK
+    # default on, here opt-in pending default-path revalidation)
+    assembly_region_trimming: bool = False
     # DRAGEN advanced genotyping (--apply-bqd/--apply-frd;
     # DRAGENGenotypesModel.java)
     apply_bqd: bool = False
@@ -327,6 +330,20 @@ class HaplotypeCallerEngine:
         haplotypes = result.haplotypes
         if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
             return None
+        if args.assembly_region_trimming:
+            from . import region_trimmer
+
+            trimmed = region_trimmer.trim_assembly(
+                haplotypes, ref_bases, padded.start, span, padded)
+            if trimmed is not None:
+                haplotypes, _vspan, pv, ref_bases, _ = trimmed
+                padded = pv
+                final_reads = [clipping.hard_clip_to_interval(r, pv.start, pv.end)
+                               for r in final_reads]
+                final_reads = [r for r in final_reads
+                               if len(r.bases) > 0 and r.pos < r.end]
+                if not final_reads:
+                    return None
         if args.pileup_args is not None and args.pileup_args.generate_pd_haplotypes:
             # DRAGEN PDHMM pre-work (HaplotypeCallerEngine.java:798-853): merge
             # pileup-detected events with assembly events and rebuild the

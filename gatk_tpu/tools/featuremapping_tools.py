@@ -1,0 +1,189 @@
+"""Flow feature mapping tools.
+
+Reference behavior: tools/walkers/featuremapping/FlowFeatureMapper.java +
+SNVMapper.java — emit one VCF record per read-level SNV feature ("X_" INFO
+fields carrying the read evidence), where a feature is a read/ref mismatch in
+an M cigar block surrounded by >= snv-identical-bases matching bases. The
+feature score is the flow-space likelihood difference between the read
+haplotype and the reference haplotype (scoreFeature); for non-flow reads
+(no tp tag) the phred base quality / 10 stands in.
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..cli import register_tool
+from ..io import sam
+
+
+def _snv_features(read, ref_window, ref_start, surround_before, surround_after):
+    """SNVMapper.forEachOnRead: mismatches in M blocks with identical-base
+    surround; yields (genomic pos, read offset, ref base, alt base)."""
+    bases = read.bases
+    read_ofs = 0
+    ref_ofs = read.pos - ref_start
+    for op, ln in zip(read.cigar_ops, read.cigar_lens):
+        op, ln = int(op), int(ln)
+        if op in (sam.OP_M, sam.OP_EQ, sam.OP_X):
+            if ln >= surround_before + 1 + surround_after:
+                lo = read_ofs + surround_before
+                hi = read_ofs + ln - surround_after
+                for ro in range(lo, hi):
+                    fo = ref_ofs + (ro - read_ofs)
+                    if fo < 0 or fo >= len(ref_window):
+                        continue
+                    rb = ref_window[fo]
+                    if rb == ord("N") or bases[ro] == rb:
+                        continue
+                    # surround must match the reference exactly
+                    ok = True
+                    for d in range(1, surround_before + 1):
+                        if bases[ro - d] != ref_window[fo - d]:
+                            ok = False
+                            break
+                    if ok:
+                        for d in range(1, surround_after + 1):
+                            if fo + d >= len(ref_window) or \
+                                    bases[ro + d] != ref_window[fo + d]:
+                                ok = False
+                                break
+                    if ok:
+                        yield (ref_start + fo, ro, rb, int(bases[ro]))
+            read_ofs += ln
+            ref_ofs += ln
+        elif op in (sam.OP_D, sam.OP_N):
+            ref_ofs += ln
+        elif op in (sam.OP_I, sam.OP_S):
+            read_ofs += ln
+
+
+def _edit_distance_and_mismatches(read, ref_window, ref_start):
+    """(per-M-block mismatch count, aligned length) for X_EDIST/X_FC1."""
+    mism = 0
+    read_ofs = 0
+    ref_ofs = read.pos - ref_start
+    for op, ln in zip(read.cigar_ops, read.cigar_lens):
+        op, ln = int(op), int(ln)
+        if op in (sam.OP_M, sam.OP_EQ, sam.OP_X):
+            seg_r = ref_window[max(ref_ofs, 0): ref_ofs + ln]
+            seg_b = read.bases[read_ofs: read_ofs + len(seg_r)]
+            mism += int(np.count_nonzero((seg_r != seg_b) & (seg_r != ord("N"))))
+            read_ofs += ln
+            ref_ofs += ln
+        elif op in (sam.OP_D, sam.OP_N):
+            mism += ln
+            ref_ofs += ln
+        elif op == sam.OP_I:
+            mism += ln
+            read_ofs += ln
+        elif op == sam.OP_S:
+            read_ofs += ln
+    return mism
+
+
+def _flow_score(read, ref_window, ref_start, pos, alt_base, flow_order):
+    """scoreFeature: log10 lik(read | read-haplotype) - log10 lik(read | ref
+    haplotype) in flow space; phred/10 fallback for non-flow reads."""
+    if not read.tags or "tp" not in read.tags:
+        off = pos - read.pos
+        quals = read.quals
+        i = min(max(off, 0), len(quals) - 1)
+        return float(quals[i]) / 10.0
+    from ..ops import flow, flow_pairhmm
+
+    lo = max(pos - ref_start - 40, 0)
+    hi = min(pos - ref_start + 41, len(ref_window))
+    ref_hap = bytes(ref_window[lo:hi])
+    alt = bytearray(ref_hap)
+    alt[pos - ref_start - lo] = alt_base
+    try:
+        fread = flow.flow_read_from_sam(read, flow_order)
+        h_read = flow.FlowBasedHaplotype(bytes(alt), flow_order)
+        h_ref = flow.FlowBasedHaplotype(ref_hap, flow_order)
+        return (flow_pairhmm.flow_pairhmm_log10(h_read, fread)
+                - flow_pairhmm.flow_pairhmm_log10(h_ref, fread))
+    except Exception:
+        return -1.0
+
+
+@register_tool("FlowFeatureMapper")
+def flow_feature_mapper(argv):
+    """Map per-read SNV features to a VCF (FlowFeatureMapper.java)."""
+    from ..io import bam as bamio
+    from ..io import fasta
+    from ..io import vcf as vcfio
+    from ..io.vcf import Variant
+
+    p = argparse.ArgumentParser(description="FlowFeatureMapper")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--snv-identical-bases", type=int, default=1)
+    p.add_argument("--snv-identical-bases-after", type=int, default=0)
+    p.add_argument("--min-score", type=float, default=0.0)
+    p.add_argument("--max-score", type=float, default=float("inf"))
+    p.add_argument("--flow-order", default="TGCA")
+    p.add_argument("--include-qc-failed-reads", action="store_true")
+    args = p.parse_args(argv)
+
+    reader = bamio.BamReader(args.input)
+    ref = fasta.FastaReference(args.reference)
+    lengths = {s.name: s.length for s in reader.header.sequences}
+    from ..engine import intervals as iv
+
+    targets = (iv.parse_intervals_arg(args.intervals, lengths) if args.intervals
+               else [iv.Interval(s.name, 0, s.length)
+                     for s in reader.header.sequences])
+    before = args.snv_identical_bases
+    after = args.snv_identical_bases_after or before
+    records = []
+    n_reads = n_filtered = 0
+    for t in targets:
+        ref_window = ref.fetch(t.contig, 0, lengths[t.contig])
+        for read in reader.query(t.contig, t.start, t.end):
+            if read.is_unmapped or read.is_secondary or read.is_supplementary:
+                continue
+            if read.is_duplicate or (read.flag & 0x200 and not args.include_qc_failed_reads):
+                n_filtered += 1
+                continue
+            n_reads += 1
+            edist = _edit_distance_and_mismatches(read, ref_window, 0)
+            for pos, ro, rb, ab in _snv_features(read, ref_window, 0, before, after):
+                if not (t.start <= pos < t.end):
+                    continue
+                score = _flow_score(read, ref_window, 0, pos, ab, args.flow_order)
+                if not (args.min_score <= score <= args.max_score):
+                    continue
+                records.append(Variant(
+                    contig=t.contig, pos=pos, ref=chr(rb), alts=(chr(ab),),
+                    qual=round(score, 4), filters=(),
+                    info={
+                        "X_CIGAR": sam.cigar_to_string(read.cigar_ops, read.cigar_lens), "X_EDIST": str(edist),
+                        "X_FC1": str(edist), "X_FLAGS": str(read.flag),
+                        "X_INDEX": str(ro), "X_LENGTH": str(len(read.bases)),
+                        "X_MAPQ": str(read.mapq), "X_RN": read.name,
+                        "X_SCORE": f"{score:.4f}",
+                    }))
+    records.sort(key=lambda v: (v.contig, v.pos, v.info["X_RN"]))
+    extra = [f'##INFO=<ID={k},Number=1,Type={t_},Description="{d}">'
+             for k, t_, d in (
+                 ("X_CIGAR", "String", "cigar of the read"),
+                 ("X_EDIST", "Integer", "read edit distance to the reference"),
+                 ("X_FC1", "Integer", "number of mismatching bases"),
+                 ("X_FLAGS", "Integer", "read flags"),
+                 ("X_INDEX", "Integer", "feature offset in the read"),
+                 ("X_LENGTH", "Integer", "read length"),
+                 ("X_MAPQ", "Integer", "read mapping quality"),
+                 ("X_RN", "String", "read name"),
+                 ("X_SCORE", "Float", "feature score"))]
+    w = vcfio.VcfWriter(args.output, [], extra_header_lines=extra,
+                        write_format=False)
+    for v in records:
+        w.write(v)
+    w.close()
+    print(f"mapped {len(records)} features from {n_reads} reads "
+          f"({n_filtered} filtered) -> {args.output}")
+    return 0

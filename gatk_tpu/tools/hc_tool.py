@@ -69,6 +69,10 @@ def haplotype_caller(argv):
                             "EMIT_ALL_ACTIVE_SITES"])
     p.add_argument("--genotype-assignment-method", default="USE_PLS_TO_ASSIGN",
                    choices=["USE_PLS_TO_ASSIGN", "USE_POSTERIOR_PROBABILITIES"])
+    p.add_argument("--enable-assembly-region-trimming", dest="trimming",
+                   action="store_true",
+                   help="trim the genotyping region to the variation span "
+                        "(AssemblyRegionTrimmer trim-to-variation)")
     p.add_argument("--apply-bqd", action="store_true",
                    help="DRAGEN base-quality-dropout genotyping model")
     p.add_argument("--apply-frd", action="store_true",
@@ -143,6 +147,7 @@ def haplotype_caller(argv):
         flow_order=args.flow_order,
         output_mode=args.output_mode,
         genotype_assignment_method=args.genotype_assignment_method,
+        assembly_region_trimming=args.trimming,
         apply_bqd=args.apply_bqd or args.dragen_mode,
         apply_frd=args.apply_frd or args.dragen_mode,
         max_effective_depth_adjustment_for_frd=args.max_effective_depth_adjustment_for_frd,

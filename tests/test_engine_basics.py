@@ -250,3 +250,83 @@ def test_genotype_assignment_posteriors_matches_pls_when_clear():
             contig="chr1", sample="S", genotype_assignment_method=method)
         assert len(got) == 1, method
         assert got[0].samples[0]["GT"] == "0/1", method
+
+
+def test_region_trimmer_spans_and_haplotype_trim():
+    """AssemblyRegionTrimmer math (snp padding 20 / indel padding 75) and
+    Haplotype.trim semantics (boundary deletions dropped, events preserved)."""
+    import numpy as np
+
+    from gatk_tpu.assembly.haplotype import Event, Haplotype, build_event_map
+    from gatk_tpu.calling import region_trimmer as rt
+    from gatk_tpu.engine.intervals import Interval
+
+    span = Interval("c", 1000, 1400)
+    padded = Interval("c", 900, 1500)
+    # snp at 1200, del at 1300
+    got = rt.compute_trim_spans([Event(1200, "A", "C"),
+                                 Event(1300, "AT", "A")], span, padded)
+    vspan, pv = got
+    assert (vspan.start, vspan.end) == (1200, 1302)
+    assert pv.start == 1200 - 20 and pv.end == 1302 + 75
+    # events outside the active span are ignored
+    assert rt.compute_trim_spans([Event(1450, "A", "C")], span, padded) is None
+
+    # haplotype trim around a SNP
+    rng = np.random.default_rng(0)
+    ref = rng.choice(np.frombuffer(b"ACGT", np.uint8), 300)
+    hap_bases = ref.copy()
+    hap_bases[150] = ord("T") if ref[150] != ord("T") else ord("A")
+    ref_start = 1000
+    h = Haplotype(hap_bases.tobytes(), cigar_ops=np.array([0], np.uint8),
+                  cigar_lens=np.array([300], np.int32), alignment_start=1000)
+    build_event_map(h, ref, ref_start)
+    assert len(h.events) == 1
+    res = rt.trim_assembly([h, Haplotype(ref.tobytes(), is_ref=True,
+                                         cigar_ops=np.array([0], np.uint8),
+                                         cigar_lens=np.array([300], np.int32),
+                                         alignment_start=1000)],
+                           ref, ref_start, Interval("c", 1050, 1250),
+                           Interval("c", 1000, 1300))
+    assert res is not None
+    haps, vspan, pv, new_ref, new_start = res
+    assert (vspan.start, vspan.end) == (1150, 1151)
+    assert pv.start == 1130 and pv.end == 1171
+    assert new_start == pv.start
+    assert all(len(nh.bases) == pv.end - pv.start for nh in haps)
+    alt = next(nh for nh in haps if nh.events)
+    assert alt.events[0].start == 1150  # event preserved at the same locus
+
+
+def test_region_trimmer_indel_haplotype():
+    """Deletion haplotypes trim with the cigar respected (D spans excluded from
+    bases, boundary deletions dropped)."""
+    import numpy as np
+
+    from gatk_tpu.assembly.haplotype import Haplotype, build_event_map
+    from gatk_tpu.calling import region_trimmer as rt
+    from gatk_tpu.engine.intervals import Interval
+
+    rng = np.random.default_rng(1)
+    ref = rng.choice(np.frombuffer(b"ACGT", np.uint8), 200)
+    # 5bp deletion at ref offset 100-105
+    hap_bases = np.concatenate([ref[:100], ref[105:]])
+    h = Haplotype(hap_bases.tobytes(),
+                  cigar_ops=np.array([0, 2, 0], np.uint8),
+                  cigar_lens=np.array([100, 5, 95], np.int32),
+                  alignment_start=0)
+    rh = Haplotype(ref.tobytes(), is_ref=True,
+                   cigar_ops=np.array([0], np.uint8),
+                   cigar_lens=np.array([200], np.int32), alignment_start=0)
+    build_event_map(h, ref, 0)
+    assert len(h.events) == 1 and h.events[0].is_indel()
+    res = rt.trim_assembly([rh, h], ref, 0, Interval("c", 50, 150),
+                           Interval("c", 0, 200))
+    assert res is not None
+    haps, vspan, pv, new_ref, new_start = res
+    alt = next(nh for nh in haps if nh.events)
+    ev = alt.events[0]
+    assert ev.is_indel() and len(ev.ref) == 6
+    assert ev.start == 99
+    # the trimmed alt is 5bp shorter than the window
+    assert len(alt.bases) == (pv.end - pv.start) - 5

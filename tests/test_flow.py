@@ -124,3 +124,55 @@ class TestFlowPairHMM:
         from gatk_tpu.calling.hc_engine import HCArgs
         args = HCArgs(likelihood_engine="FlowBasedHMM")
         assert args.flow_order == "TGCA"
+
+
+def test_flow_feature_mapper(tmp_path):
+    """FlowFeatureMapper: per-read SNV features with the identical-base
+    surround rule, X_* evidence fields, coordinate-sorted output."""
+    import numpy as np
+
+    from gatk_tpu.cli import TOOL_REGISTRY
+    from gatk_tpu.io import bam as bamio, sam as samio, vcf as vcfio
+    from gatk_tpu.io.reads import Read
+
+    ref_seq = "ACGTACGTACGTACGTACGTACGTACGTACGT"  # 32bp
+    ref_path = str(tmp_path / "ref.fasta")
+    with open(ref_path, "w") as fh:
+        fh.write(">c1\n" + ref_seq + "\n")
+    with open(ref_path + ".fai", "w") as fh:
+        fh.write("c1\t32\t4\t32\t33\n")
+
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("c1", 32, 0)])
+    bam_path = str(tmp_path / "r.bam")
+    w = bamio.BamWriter(bam_path, header)
+
+    def mk(name, pos, seq, flag=0):
+        return Read(name=name, flag=flag, ref_id=0, pos=pos, mapq=60,
+                    cigar_ops=np.array([0], np.uint8),
+                    cigar_lens=np.array([len(seq)], np.int32),
+                    bases=np.frombuffer(seq.encode(), np.uint8).copy(),
+                    quals=np.full(len(seq), 30, np.uint8))
+
+    # read 1: SNV at ref pos 10 (G->T), well surrounded
+    alt = ref_seq[4:10] + "T" + ref_seq[11:20]
+    w.write(mk("r1", 4, alt))
+    # read 2: matches the reference exactly -> no features
+    w.write(mk("r2", 4, ref_seq[4:20]))
+    # read 3: mismatch at the first base -> fails the surround rule
+    w.write(mk("r3", 4, "T" + ref_seq[5:20]))
+    # read 4: duplicate flag -> filtered
+    w.write(mk("r4", 4, alt, flag=0x400))
+    w.close()
+
+    out = str(tmp_path / "features.vcf")
+    assert TOOL_REGISTRY["FlowFeatureMapper"](
+        ["-I", bam_path, "-R", ref_path, "-O", out]) == 0
+    recs = list(vcfio.VcfReader(out))
+    assert len(recs) == 1
+    v = recs[0]
+    assert v.contig == "c1" and v.pos == 10
+    assert v.ref == "G" and v.alts == ("T",)
+    assert v.info["X_RN"] == "r1"
+    assert v.info["X_INDEX"] == "6"
+    assert v.info["X_EDIST"] == "1"
+    assert float(v.info["X_SCORE"]) == 3.0  # qual 30 / 10 (non-flow fallback)
