@@ -70,6 +70,10 @@ class HCArgs:
     # trim-to-variation after assembly (AssemblyRegionTrimmer.java; GATK
     # default on, here opt-in pending default-path revalidation)
     assembly_region_trimming: bool = False
+    # flow-mode long-homopolymer uncollapsing
+    # (--flow-assembly-collapse-hmer-size;
+    # LongHomopolymerHaplotypeCollapsingEngine.java). 0 = off.
+    flow_assembly_collapse_hmer_size: int = 0
     # DRAGEN advanced genotyping (--apply-bqd/--apply-frd;
     # DRAGENGenotypesModel.java)
     apply_bqd: bool = False
@@ -330,6 +334,14 @@ class HaplotypeCallerEngine:
         haplotypes = result.haplotypes
         if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
             return None
+        if args.flow_assembly_collapse_hmer_size > 0:
+            from . import hap_collapsing
+
+            if hap_collapsing.needs_collapsing(
+                    bytes(ref_bases), args.flow_assembly_collapse_hmer_size):
+                haplotypes = hap_collapsing.uncollapse_haplotypes(
+                    haplotypes, ref_bases, padded.start,
+                    args.flow_assembly_collapse_hmer_size)
         if args.assembly_region_trimming:
             from . import region_trimmer
 

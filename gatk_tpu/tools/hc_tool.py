@@ -69,6 +69,10 @@ def haplotype_caller(argv):
                             "EMIT_ALL_ACTIVE_SITES"])
     p.add_argument("--genotype-assignment-method", default="USE_PLS_TO_ASSIGN",
                    choices=["USE_PLS_TO_ASSIGN", "USE_POSTERIOR_PROBABILITIES"])
+    p.add_argument("--flow-assembly-collapse-hmer-size", type=int, default=0,
+                   help="uncollapse reference homopolymers longer than this "
+                        "against the reference (flow mode; 0=off; "
+                        "LongHomopolymerHaplotypeCollapsingEngine)")
     p.add_argument("--enable-assembly-region-trimming", dest="trimming",
                    action="store_true",
                    help="trim the genotyping region to the variation span "
@@ -148,6 +152,7 @@ def haplotype_caller(argv):
         output_mode=args.output_mode,
         genotype_assignment_method=args.genotype_assignment_method,
         assembly_region_trimming=args.trimming,
+        flow_assembly_collapse_hmer_size=args.flow_assembly_collapse_hmer_size,
         apply_bqd=args.apply_bqd or args.dragen_mode,
         apply_frd=args.apply_frd or args.dragen_mode,
         max_effective_depth_adjustment_for_frd=args.max_effective_depth_adjustment_for_frd,

@@ -176,3 +176,56 @@ def test_flow_feature_mapper(tmp_path):
     assert v.info["X_INDEX"] == "6"
     assert v.info["X_EDIST"] == "1"
     assert float(v.info["X_SCORE"]) == 3.0  # qual 30 / 10 (non-flow fallback)
+
+
+def test_hap_collapsing_roundtrip():
+    """LongHomopolymerHaplotypeCollapsingEngine: a haplotype whose 14-mer was
+    collapsed to 12 by the sequencer is re-expanded against the reference."""
+    import numpy as np
+
+    from gatk_tpu.calling import hap_collapsing as hc
+
+    rng = np.random.default_rng(5)
+    left = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 30))
+    right = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 30))
+    ref = left + b"A" * 14 + right
+    assert hc.needs_collapsing(ref, 12)
+    assert not hc.needs_collapsing(ref, 15)
+    collapsed = hc.collapse_bases(ref, 12)
+    assert collapsed == left + b"A" * 12 + right
+    # uncollapse restores the full homopolymer
+    bases, offset, was_collapsed = hc.uncollapse_by_ref(collapsed, ref, 12)
+    assert was_collapsed
+    assert bases == ref
+    # a real SNP next to the homopolymer survives uncollapsing
+    snp = bytearray(collapsed)
+    snp[10] = ord("A") if snp[10] != ord("A") else ord("C")
+    bases2, _o, _c = hc.uncollapse_by_ref(bytes(snp), ref, 12)
+    assert len(bases2) == len(ref)
+    assert bases2[10] == snp[10]
+    assert bases2[30:44] == b"A" * 14
+
+
+def test_uncollapse_haplotypes_event_maps():
+    import numpy as np
+
+    from gatk_tpu.assembly.haplotype import Haplotype, build_event_map
+    from gatk_tpu.calling import hap_collapsing as hc
+
+    rng = np.random.default_rng(7)
+    left = bytes(rng.choice(np.frombuffer(b"CGT", np.uint8), 25))
+    right = bytes(rng.choice(np.frombuffer(b"CGT", np.uint8), 25))
+    ref = left + b"A" * 15 + right
+    ref_arr = np.frombuffer(ref, np.uint8)
+    collapsed = hc.collapse_bases(ref, 12)
+    snp = bytearray(collapsed)
+    snp[5] = ord("G") if snp[5] != ord("G") else ord("T")
+    h_ref = Haplotype(ref, is_ref=True, cigar_ops=np.array([0], np.uint8),
+                      cigar_lens=np.array([len(ref)], np.int32), alignment_start=500)
+    h_alt = Haplotype(bytes(snp))
+    out = hc.uncollapse_haplotypes([h_ref, h_alt], ref_arr, 500, 12)
+    assert len(out) == 2
+    alt = next(h for h in out if not h.is_ref)
+    assert len(alt.bases) == len(ref)  # homopolymer restored
+    assert len(alt.events) == 1
+    assert alt.events[0].start == 505 and alt.events[0].is_snp()
