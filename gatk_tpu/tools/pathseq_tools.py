@@ -283,3 +283,68 @@ def pathseq_score(argv):
                      f"{s['unambiguous']}\t{node['length']}\n")
     print(f"scored {total_templates} templates across {len(scores)} taxa -> {args.scores_output}")
     return 0
+
+
+@register_tool("PathSeqAlign")
+def pathseq_align(argv):
+    """Align filtered reads to the microbe reference (PathSeqAlignSpark.java /
+    PSBwaAligner: bwa-mem stage; here the from-scratch seed-and-extend aligner,
+    gatk_tpu/align/seed_extend.py). Output BAM feeds PathSeqScore."""
+    from ..align.seed_extend import SeedExtendAligner, revcomp
+    from ..io import bam as bamio
+    from ..io import fasta, sam as samio
+
+    p = argparse.ArgumentParser(description="PathSeqAlign")
+    p.add_argument("-I", "--input", required=True, help="filtered reads BAM")
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--microbe-fasta", required=True)
+    p.add_argument("--seed-length", type=int, default=21)
+    p.add_argument("--min-score-fraction", type=float, default=0.5)
+    args = p.parse_args(argv)
+
+    ref = fasta.FastaReference(args.microbe_fasta)
+    contigs = [(name, ref.fetch(name)) for name in ref.contigs()]
+    aligner = SeedExtendAligner(contigs, k=args.seed_length)
+    header = samio.SamHeader(sequences=[
+        samio.SequenceRecord(name, len(seq), i)
+        for i, (name, seq) in enumerate(contigs)])
+    reader = bamio.BamReader(args.input)
+    header.read_groups = reader.header.read_groups
+    w = bamio.BamWriter(args.output, header)
+    n = n_aligned = 0
+    out = []
+    for r in reader:
+        n += 1
+        hit = aligner.align(r.bases, min_score_frac=args.min_score_fraction)
+        if hit is None:
+            r.flag = (r.flag & ~0x10) | samio.UNMAPPED
+            r.ref_id = -1
+            r.pos = -1
+            r.mapq = 0
+            r.cigar_ops = np.zeros(0, np.uint8)
+            r.cigar_lens = np.zeros(0, np.int32)
+            out.append(r)
+            continue
+        n_aligned += 1
+        if hit.is_reverse:
+            r.bases = revcomp(r.bases)
+            r.quals = r.quals[::-1].copy()
+            r.flag |= 0x10
+        else:
+            r.flag &= ~0x10
+        r.flag &= ~samio.UNMAPPED
+        r.ref_id = hit.contig_index
+        r.pos = hit.pos
+        r.mapq = hit.mapq
+        r.cigar_ops = hit.cigar_ops
+        r.cigar_lens = hit.cigar_lens
+        r.tags = dict(r.tags or {})
+        r.tags["NM"] = hit.nm
+        r.tags["AS"] = hit.score
+        out.append(r)
+    out.sort(key=lambda x: (x.ref_id & 0xFFFFFFFF, x.pos))
+    for r in out:
+        w.write(r)
+    w.close()
+    print(f"aligned {n_aligned}/{n} reads -> {args.output}")
+    return 0

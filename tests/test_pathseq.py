@@ -104,3 +104,84 @@ def test_pathseq_pipeline(tmp_path):
     assert float(rows[1][3]) == 4.0       # root
     assert abs(float(rows[101][4]) - 75.0) < 1e-6  # normalized percent
     assert int(rows[101][6]) == 3          # unambiguous
+
+
+def test_seed_extend_aligner_synthetic():
+    """Seed-and-extend aligner: reads sampled from a synthetic microbe genome
+    (with SNPs, an insertion, and reverse-complement) map back to their true
+    positions; random reads stay unmapped."""
+    import numpy as np
+
+    from gatk_tpu.align.seed_extend import SeedExtendAligner, revcomp
+
+    rng = np.random.default_rng(11)
+    bases4 = np.frombuffer(b"ACGT", np.uint8)
+    g1 = rng.choice(bases4, 5000)
+    g2 = rng.choice(bases4, 3000)
+    aligner = SeedExtendAligner([("microbe1", g1), ("microbe2", g2)])
+
+    # exact read from g1
+    a = aligner.align(g1[1000:1100])
+    assert a is not None and a.contig_index == 0 and a.pos == 1000
+    assert not a.is_reverse and a.nm == 0
+
+    # read with 3 SNPs from g2
+    read = g2[500:600].copy()
+    for i in (10, 50, 90):
+        read[i] = bases4[(np.searchsorted(bases4, read[i]) + 1) % 4]
+    a = aligner.align(read)
+    assert a is not None and a.contig_index == 1 and a.pos == 500
+    assert a.nm == 3
+
+    # reverse-complement read
+    a = aligner.align(revcomp(g1[2000:2120]))
+    assert a is not None and a.contig_index == 0 and a.pos == 2000
+    assert a.is_reverse
+
+    # read with a 4bp insertion
+    read = np.concatenate([g1[3000:3050], rng.choice(bases4, 4), g1[3050:3100]])
+    a = aligner.align(read)
+    assert a is not None and a.contig_index == 0 and a.pos == 3000
+    assert 1 in a.cigar_ops.tolist()  # insertion op present
+
+    # random garbage does not map
+    assert aligner.align(rng.choice(bases4, 100)) is None or False
+
+
+def test_pathseq_align_tool(tmp_path):
+    import numpy as np
+
+    from gatk_tpu.cli import TOOL_REGISTRY
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    rng = np.random.default_rng(3)
+    bases4 = np.frombuffer(b"ACGT", np.uint8)
+    genome = rng.choice(bases4, 4000)
+    fa = str(tmp_path / "microbe.fasta")
+    with open(fa, "w") as fh:
+        fh.write(">m1\n" + genome.tobytes().decode() + "\n")
+    with open(fa + ".fai", "w") as fh:
+        fh.write("m1\t4000\t4\t4000\t4001\n")
+
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("u", 1, 0)])
+    inp = str(tmp_path / "filtered.bam")
+    w = bamio.BamWriter(inp, header)
+    for i, start in enumerate((100, 700, 1500)):
+        seq = genome[start:start + 120]
+        w.write(Read(name=f"m{i}", flag=4, ref_id=-1, pos=-1, mapq=0,
+                     cigar_ops=np.zeros(0, np.uint8), cigar_lens=np.zeros(0, np.int32),
+                     bases=seq.copy(), quals=np.full(120, 30, np.uint8)))
+    w.write(Read(name="junk", flag=4, ref_id=-1, pos=-1, mapq=0,
+                 cigar_ops=np.zeros(0, np.uint8), cigar_lens=np.zeros(0, np.int32),
+                 bases=rng.choice(bases4, 120), quals=np.full(120, 30, np.uint8)))
+    w.close()
+
+    out = str(tmp_path / "aligned.bam")
+    assert TOOL_REGISTRY["PathSeqAlign"](
+        ["-I", inp, "-O", out, "--microbe-fasta", fa]) == 0
+    got = {r.name: r for r in bamio.BamReader(out)}
+    assert got["m0"].pos == 100 and not got["m0"].is_unmapped
+    assert got["m1"].pos == 700 and got["m2"].pos == 1500
+    assert got["m0"].tags["NM"] == 0
+    assert got["junk"].is_unmapped
