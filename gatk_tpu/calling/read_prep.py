@@ -24,6 +24,37 @@ MAX_REPEAT_LENGTH = 20
 CONSERVATIVE_RATE_FACTOR = 3.0
 
 _PCR_CACHE = {}
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """ctypes binding to native/readprep/libreadprep_native.so — the C++
+    OpenMP port of the tandem-repeat scan (readprep_native.cpp)."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+
+    so = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
+                                      "native", "readprep", "libreadprep_native.so"))
+    if not os.path.exists(so) or os.environ.get("GATK_TPU_NO_NATIVE_READPREP"):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.tandem_repeat_lengths_batch.restype = None
+        lib.tandem_repeat_lengths_batch.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = None
+    return _NATIVE
 
 
 def pcr_error_cache(rate_factor: float = CONSERVATIVE_RATE_FACTOR) -> np.ndarray:
@@ -157,6 +188,14 @@ def tandem_repeat_lengths_batch(B: np.ndarray, lengths: np.ndarray) -> np.ndarra
     """
     N, L = B.shape
     lengths = np.asarray(lengths)
+    lib = _load_native()
+    if lib is not None:
+        Bc = np.ascontiguousarray(B, np.uint8)
+        out = np.zeros((N, L), np.int32)
+        lib.tandem_repeat_lengths_batch(
+            Bc, np.int64(N), np.int64(L),
+            np.ascontiguousarray(lengths, np.int64), out)
+        return out
     cols = np.arange(L)
     in_read = cols[None, :] < lengths[:, None]
     # per-unit-length block matches and run counts
@@ -258,44 +297,47 @@ def prepare_reads_for_pairhmm(reads, pcr_error_model: str = "CONSERVATIVE"):
         return []
     lengths = np.fromiter((len(r.bases) for r in reads), np.int64, n_reads)
     L = int(lengths.max())
-    caps = None
+    B = np.zeros((n_reads, L), np.uint8)
+    RQ = np.zeros((n_reads, L), np.int32)
+    for i, r in enumerate(reads):
+        n = lengths[i]
+        B[i, :n] = r.bases
+        RQ[i, :n] = r.quals
     if pcr_error_model in ("CONSERVATIVE", "AGGRESSIVE"):
-        B = np.zeros((n_reads, L), np.uint8)
-        for i, r in enumerate(reads):
-            B[i, : lengths[i]] = np.frombuffer(bytes(r.bases), np.uint8)
         rate = CONSERVATIVE_RATE_FACTOR if pcr_error_model == "CONSERVATIVE" else 2.0
-        caps = pcr_caps_batch(B, lengths, rate)
+        caps = pcr_caps_batch(B, lengths, rate).astype(np.int32)
+    else:
+        caps = np.full((n_reads, L), 255, np.int32)
+    # default gap-open quals capped by the PCR model; BI/BD-tagged reads get
+    # their per-base quals instead (rare — patched per read below)
+    IQ = np.minimum(np.int32(DEFAULT_INS_GOP), caps)
+    DQ = np.minimum(np.int32(DEFAULT_DEL_GOP), caps)
+    tagged = [i for i, r in enumerate(reads)
+              if isinstance(r.tags.get("BI"), str) or isinstance(r.tags.get("BD"), str)]
+    for i in tagged:
+        r, n = reads[i], lengths[i]
+        bi, bd = r.tags.get("BI"), r.tags.get("BD")
+        if isinstance(bi, str):
+            IQ[i, :n] = np.minimum(
+                np.frombuffer(bi.encode(), np.uint8).astype(np.int32) - 33, caps[i, :n])
+        if isinstance(bd, str):
+            DQ[i, :n] = np.minimum(
+                np.frombuffer(bd.encode(), np.uint8).astype(np.int32) - 33, caps[i, :n])
+    # cap base qual by mapping quality, then threshold
+    mapqs = np.fromiter((r.mapq for r in reads), np.int32, n_reads)
+    np.minimum(RQ, mapqs[:, None], out=RQ)
+    RQ = np.where(RQ < BASE_QUALITY_SCORE_THRESHOLD, MIN_USABLE_Q, RQ).astype(np.uint8)
+    IQ = np.maximum(IQ, MIN_USABLE_Q).astype(np.uint8)
+    DQ = np.maximum(DQ, MIN_USABLE_Q).astype(np.uint8)
+    GCP = np.full(L, DEFAULT_GCP, np.uint8)
     out = []
     for i, read in enumerate(reads):
-        bases = bytes(read.bases)
-        n = len(bases)
-        rq = read.quals.astype(np.int32, copy=True)
-        bi = read.tags.get("BI")
-        bd = read.tags.get("BD")
-        iq = (
-            np.frombuffer(bi.encode(), np.uint8).astype(np.int32) - 33
-            if isinstance(bi, str)
-            else np.full(n, DEFAULT_INS_GOP, np.int32)
-        )
-        dq = (
-            np.frombuffer(bd.encode(), np.uint8).astype(np.int32) - 33
-            if isinstance(bd, str)
-            else np.full(n, DEFAULT_DEL_GOP, np.int32)
-        )
-        if caps is not None:
-            c = caps[i, :n].astype(np.int32)
-            np.minimum(iq, c, out=iq)
-            np.minimum(dq, c, out=dq)
-        # cap base qual by mapping quality, then threshold
-        rq = np.minimum(rq, read.mapq)
-        rq = np.where(rq < BASE_QUALITY_SCORE_THRESHOLD, MIN_USABLE_Q, rq)
-        iq = np.where(iq < MIN_USABLE_Q, MIN_USABLE_Q, iq)
-        dq = np.where(dq < MIN_USABLE_Q, MIN_USABLE_Q, dq)
+        n = lengths[i]
         out.append(dict(
-            bases=bases,
-            rq=rq.astype(np.uint8),
-            iq=iq.astype(np.uint8),
-            dq=dq.astype(np.uint8),
-            gcp=np.full(n, DEFAULT_GCP, np.uint8),
+            bases=bytes(read.bases),
+            rq=RQ[i, :n],
+            iq=IQ[i, :n],
+            dq=DQ[i, :n],
+            gcp=GCP[:n],
         ))
     return out

@@ -29,6 +29,13 @@ class Read:
     tlen: int = 0
     tags: dict = field(default_factory=dict)
 
+    def __setattr__(self, name, value):
+        # invalidate the cached alignment end whenever the alignment changes
+        # (clipping/realignment mutate pos/cigar in place via _rebuild)
+        if name == "pos" or name == "cigar_ops" or name == "cigar_lens":
+            object.__setattr__(self, "_end_cache", None)
+        object.__setattr__(self, name, value)
+
     # --- flag helpers -------------------------------------------------------------
     @property
     def is_unmapped(self):
@@ -76,8 +83,13 @@ class Read:
 
     @property
     def end(self) -> int:
-        """0-based exclusive reference end of the alignment."""
-        return self.pos + sam.cigar_ref_length(self.cigar_ops, self.cigar_lens)
+        """0-based exclusive reference end of the alignment (cached; the cache
+        is invalidated by __setattr__ when pos/cigar change)."""
+        e = self._end_cache
+        if e is None:
+            e = self.pos + sam.cigar_ref_length(self.cigar_ops, self.cigar_lens)
+            object.__setattr__(self, "_end_cache", e)
+        return e
 
     @property
     def read_group(self):

@@ -1247,7 +1247,9 @@ def _dispatch_tile(reads, haps, nr_t, nh_t, rp, hmax, device, interpret):
     args = (packed["rbase"], packed["rq"], packed["iq"], packed["dq"], packed["gcp"],
             e, packed["rlen"], hlen)
     if device is not None:
-        args = tuple(jax.device_put(a, device) for a in args)
+        # one batched transfer for all 8 operands (vs 8 round trips — the
+        # remote-device link is latency-bound)
+        args = jax.device_put(args, device)
     return _pairhmm_cartesian_v6(*args, rp=rp, hmax=hmax, interpret=bool(interpret))
 
 
