@@ -10,6 +10,9 @@ import argparse
 import sys
 import time
 
+from .utils.errors import (CommandLineError, GATKException,  # noqa: F401
+                           UserError, exit_code_for)
+
 TOOL_REGISTRY = {}
 
 
@@ -58,10 +61,6 @@ def main(argv=None):
         return 2
     print(f"{tool} done. Elapsed time: {time.time() - t0:.2f} seconds.", file=sys.stderr)
     return rc
-
-
-class UserError(Exception):
-    """Error caused by bad user input (exit code 2, no traceback — Main.java:204)."""
 
 
 def standard_io_parser(description: str, reference_required=True):

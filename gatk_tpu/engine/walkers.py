@@ -199,11 +199,137 @@ class VariantWalker(GATKTool):
     def apply(self, variant):
         raise NotImplementedError
 
-    def traverse(self):
+    def _variants(self):
         targets = self.targets if self.intervals_arg else None
         for v in self.variant_reader:
             if targets is not None and not any(
                     v.contig == t.contig and t.start <= v.pos < t.end for t in targets):
                 continue
+            yield v
+
+    def traverse(self):
+        for v in self._variants():
             self.apply(v)
             self.progress.update(f"{v.contig}:{v.pos + 1}")
+
+
+class TwoPassVariantWalker(VariantWalker):
+    """Two full traversals of the driving VCF: first_pass_apply over every
+    record, after_first_pass, then second_pass_apply
+    (engine/TwoPassVariantWalker.java — the CNNScoreVariants /
+    FilterVariantTranches traversal shape)."""
+
+    def first_pass_apply(self, variant):
+        raise NotImplementedError
+
+    def after_first_pass(self):
+        pass
+
+    def second_pass_apply(self, variant):
+        raise NotImplementedError
+
+    def traverse(self):
+        records = []
+        for v in self._variants():
+            self.first_pass_apply(v)
+            records.append(v)
+            self.progress.update(f"{v.contig}:{v.pos + 1}")
+        self.after_first_pass()
+        for v in records:
+            self.second_pass_apply(v)
+            self.progress.update(f"{v.contig}:{v.pos + 1}")
+
+    def apply(self, variant):  # not used by two-pass traversal
+        raise NotImplementedError
+
+
+class MultiVariantWalker(GATKTool):
+    """apply(variant) over the position-sorted union of several VCFs
+    (engine/MultiVariantWalker.java — CombineGVCFs/VariantEval shape).
+    variant_path may be a list of paths."""
+
+    progress_unit = "variants"
+
+    def on_startup(self):
+        super().on_startup()
+        paths = (self.variant_path if isinstance(self.variant_path, (list, tuple))
+                 else [self.variant_path])
+        self.variant_readers = [vcfio.VcfReader(p) for p in paths]
+
+    def apply(self, variant, source_index: int):
+        raise NotImplementedError
+
+    def traverse(self):
+        import heapq
+
+        targets = self.targets if self.intervals_arg else None
+        streams = [iter(r) for r in self.variant_readers]
+        heap = []
+        for si, s in enumerate(streams):
+            v = next(s, None)
+            if v is not None:
+                heapq.heappush(heap, (v.contig, v.pos, si, id(v), v))
+        while heap:
+            _, _, si, _, v = heapq.heappop(heap)
+            if targets is None or any(
+                    v.contig == t.contig and t.start <= v.pos < t.end for t in targets):
+                self.apply(v, si)
+                self.progress.update(f"{v.contig}:{v.pos + 1}")
+            nxt = next(streams[si], None)
+            if nxt is not None:
+                heapq.heappush(heap, (nxt.contig, nxt.pos, si, id(nxt), nxt))
+
+
+class FeatureWalker(GATKTool):
+    """apply(feature) per record of a driving feature file — VCF or
+    BED/interval_list (engine/FeatureWalker.java). The feature source is
+    resolved by extension through the tabix/BED feature layer."""
+
+    progress_unit = "features"
+
+    def __init__(self, feature_path=None, **kw):
+        super().__init__(**kw)
+        self.feature_path = feature_path
+
+    def apply(self, feature):
+        raise NotImplementedError
+
+    def _features(self):
+        path = self.feature_path
+        lower = str(path).lower()
+        if lower.endswith((".bed", ".bed.gz", ".interval_list")):
+            from .intervals import load_interval_file
+
+            yield from load_interval_file(path)
+        else:
+            yield from vcfio.VcfReader(path)
+
+    def traverse(self):
+        targets = self.targets if self.intervals_arg else None
+        for f in self._features():
+            contig = getattr(f, "contig", None)
+            pos = getattr(f, "pos", getattr(f, "start", 0))
+            if targets is not None and not any(
+                    contig == t.contig and t.start <= pos < t.end for t in targets):
+                continue
+            self.apply(f)
+            self.progress.update(f"{contig}:{pos + 1}")
+
+
+class ReferenceWalker(GATKTool):
+    """apply(ReferenceContext window) over fixed-size windows of the reference
+    (engine/ReferenceWalker.java)."""
+
+    progress_unit = "bases"
+    requires_reference = True
+    window_size = 10000
+
+    def apply(self, ctx: ReferenceContext):
+        raise NotImplementedError
+
+    def traverse(self):
+        for target in self.targets:
+            for w0 in range(target.start, target.end, self.window_size):
+                w1 = min(w0 + self.window_size, target.end)
+                self.apply(ReferenceContext(self.reference, target.contig, w0, w1))
+                self.progress.update(f"{target.contig}:{w1}")

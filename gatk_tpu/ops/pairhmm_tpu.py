@@ -1219,7 +1219,7 @@ def _scan_chunked(packed, e, hlen, rp, hmax, device=None):
 # sweep, pad reads only waste lanes), oversize regions are CHUNKED into
 # (CART_MAX_NR x CART_MAX_NH) tiles of the big shape. prewarm() dispatches
 # dummy calls at startup so these compiles overlap host-side BAM/assembly work.
-CARTESIAN_SHAPES = ((256, 32), (768, 128))
+CARTESIAN_SHAPES = ((256, 32), (768, 128), (4096, 32))
 CART_MAX_NR, CART_MAX_NH = CARTESIAN_SHAPES[-1]
 
 
@@ -1234,11 +1234,23 @@ class _CartParts:
         self.nr = nr
 
     def __array__(self, dtype=None, copy=None):
+        # overlap all D2H transfers (each blocking fetch over the remote link
+        # costs ~latency; async-copy first, then gather)
+        for *_, arr in self.parts:
+            _copy_to_host_async(arr)
         out = np.full((self.nh, self.nr), NEG_INF, np.float32)
         for h0, r0, n_h, n_r, arr in self.parts:
             a = np.asarray(arr)
             out[h0 : h0 + n_h, r0 : r0 + n_r] = a[:n_h, :n_r]
         return out.astype(dtype) if dtype is not None else out
+
+
+def _copy_to_host_async(arr):
+    """Enqueue a device->host copy without blocking (no-op for numpy/other)."""
+    try:
+        arr.copy_to_host_async()
+    except AttributeError:
+        pass
 
 
 def _dispatch_tile(reads, haps, nr_t, nh_t, rp, hmax, device, interpret):
@@ -1275,18 +1287,31 @@ def start_likelihood_matrix(reads, haps, interpret=None, device=None):
     # programs (each is a 10-200s remote compile).
     rp = max(160, _bucket(max_r + 2, RP_BUCKETS))
     hmax = max(512, _bucket(max_h, HMAX_BUCKETS))
-    for nr_t, nh_t in CARTESIAN_SHAPES:
-        if len(reads) <= nr_t and len(haps) <= nh_t:
-            out = _dispatch_tile(reads, haps, nr_t, nh_t, rp, hmax, device, interpret)
-            return _CartParts([(0, 0, len(haps), len(reads), out)], len(haps), len(reads))
-    # oversize region: tile the (haps x reads) grid with big-shape programs
+    # smallest single-program fit (least pair padding)
+    best_fit = min(
+        (s for s in CARTESIAN_SHAPES if len(reads) <= s[0] and len(haps) <= s[1]),
+        key=lambda s: s[0] * s[1], default=None)
+    if best_fit is not None:
+        out = _dispatch_tile(reads, haps, best_fit[0], best_fit[1], rp, hmax,
+                             device, interpret)
+        _copy_to_host_async(out)
+        return _CartParts([(0, 0, len(haps), len(reads), out)], len(haps), len(reads))
+    # oversize region: tile the (haps x reads) grid, choosing the ladder shape
+    # that minimizes dispatch count (the remote link is latency-bound), then
+    # padded-pair waste
+    def _tile_cost(s):
+        nt = -(-len(reads) // s[0]) * -(-len(haps) // s[1])
+        return (nt, nt * s[0] * s[1])
+
+    nr_tile, nh_tile = min(CARTESIAN_SHAPES, key=_tile_cost)
     parts = []
-    for h0 in range(0, len(haps), CART_MAX_NH):
-        hs = haps[h0 : h0 + CART_MAX_NH]
-        for r0 in range(0, len(reads), CART_MAX_NR):
-            rs = reads[r0 : r0 + CART_MAX_NR]
-            out = _dispatch_tile(rs, hs, CART_MAX_NR, CART_MAX_NH, rp, hmax,
+    for h0 in range(0, len(haps), nh_tile):
+        hs = haps[h0 : h0 + nh_tile]
+        for r0 in range(0, len(reads), nr_tile):
+            rs = reads[r0 : r0 + nr_tile]
+            out = _dispatch_tile(rs, hs, nr_tile, nh_tile, rp, hmax,
                                  device, interpret)
+            _copy_to_host_async(out)
             parts.append((h0, r0, len(hs), len(rs), out))
     return _CartParts(parts, len(haps), len(reads))
 

@@ -118,3 +118,91 @@ def test_pileup_tool_on_mito(tmp_path):
     # NA12878 is ~homoplasmic 152T>C: pileup bases mostly C
     bases = by_pos[152][4]
     assert bases.count("C") > 0.9 * len(bases)
+
+
+def _vcf(tmp_path, name, rows):
+    p = tmp_path / name
+    with open(p, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write("##contig=<ID=chr1,length=100000>\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for pos, ref, alt in rows:
+            fh.write(f"chr1\t{pos}\t.\t{ref}\t{alt}\t50\tPASS\t.\n")
+    return str(p)
+
+
+def test_two_pass_variant_walker(tmp_path):
+    path = _vcf(tmp_path, "a.vcf", [(100, "A", "G"), (200, "C", "T"), (300, "G", "A")])
+    from gatk_tpu.engine.walkers import TwoPassVariantWalker
+
+    seen = {"first": [], "second": [], "between": 0}
+
+    class W(TwoPassVariantWalker):
+        def first_pass_apply(self, v):
+            seen["first"].append(v.pos)
+
+        def after_first_pass(self):
+            seen["between"] = len(seen["first"])
+
+        def second_pass_apply(self, v):
+            seen["second"].append(v.pos)
+
+    W(variant_path=path).run()
+    assert seen["first"] == seen["second"] == [99, 199, 299]
+    assert seen["between"] == 3
+
+
+def test_multi_variant_walker_sorted_union(tmp_path):
+    a = _vcf(tmp_path, "a.vcf", [(100, "A", "G"), (300, "G", "A")])
+    b = _vcf(tmp_path, "b.vcf", [(200, "C", "T"), (400, "T", "C")])
+    from gatk_tpu.engine.walkers import MultiVariantWalker
+
+    order = []
+
+    class W(MultiVariantWalker):
+        def apply(self, v, si):
+            order.append((v.pos, si))
+
+    W(variant_path=[a, b]).run()
+    assert order == [(99, 0), (199, 1), (299, 0), (399, 1)]
+
+
+def test_feature_walker_bed_and_vcf(tmp_path):
+    bed = tmp_path / "f.bed"
+    bed.write_text("chr1\t10\t20\nchr1\t50\t70\n")
+    from gatk_tpu.engine.walkers import FeatureWalker
+
+    got = []
+
+    class W(FeatureWalker):
+        def apply(self, f):
+            got.append((f.start, f.end))
+
+    W(feature_path=str(bed)).run()
+    assert got == [(10, 20), (50, 70)]
+
+    vcf = _vcf(tmp_path, "f.vcf", [(5, "A", "T")])
+    got2 = []
+
+    class W2(FeatureWalker):
+        def apply(self, f):
+            got2.append(f.pos)
+
+    W2(feature_path=vcf).run()
+    assert got2 == [4]
+
+
+def test_reference_walker_windows():
+    from gatk_tpu.engine.walkers import ReferenceWalker
+
+    MITO_FA = MITO + "/Homo_sapiens_assembly38.mt_only.fasta"
+    windows = []
+
+    class W(ReferenceWalker):
+        window_size = 4000
+
+        def apply(self, ctx):
+            windows.append((ctx.start, ctx.end, len(ctx.bases())))
+
+    W(reference_path=MITO_FA, intervals=["chrM:1-10000"]).run()
+    assert windows == [(0, 4000, 4000), (4000, 8000, 4000), (8000, 10000, 2000)]
