@@ -212,12 +212,22 @@ def _scaling_bench():
     env = dict(os.environ)
     env["GATK_TPU_PLATFORM"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["OMP_NUM_THREADS"] = "1"
+
+    # pin each process to one distinct core: every simulated "host" gets the
+    # same fixed resource budget, so efficiency measures the distribution
+    # design (shard split + gather), not core oversubscription on this
+    # small machine (os.cpu_count() may be < n_procs * threads).
+    def pin(pid):
+        if os.path.exists("/usr/bin/taskset") or os.path.exists("/bin/taskset"):
+            return ["taskset", "-c", str(pid % os.cpu_count())]
+        return []
 
     def run_procs(n_procs, interval, tag):
         t0 = time.time()
         if n_procs == 1:
-            subprocess.run(cmd(f"/tmp/scale_{tag}.vcf", interval, []), env=env,
-                           check=True, capture_output=True)
+            subprocess.run(pin(0) + cmd(f"/tmp/scale_{tag}.vcf", interval, []),
+                           env=env, check=True, capture_output=True)
         else:
             s = socket.socket()
             s.bind(("127.0.0.1", 0))
@@ -226,10 +236,10 @@ def _scaling_bench():
             procs = []
             for pid in range(n_procs):
                 procs.append(subprocess.Popen(
-                    cmd(f"/tmp/scale_{tag}.vcf", interval,
-                        ["--distributed-coordinator", f"127.0.0.1:{port}",
-                         "--distributed-num-processes", str(n_procs),
-                         "--distributed-process-id", str(pid)]),
+                    pin(pid) + cmd(f"/tmp/scale_{tag}.vcf", interval,
+                                   ["--distributed-coordinator", f"127.0.0.1:{port}",
+                                    "--distributed-num-processes", str(n_procs),
+                                    "--distributed-process-id", str(pid)]),
                     env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
             for p in procs:
                 if p.wait() != 0:

@@ -472,3 +472,61 @@ def liftover_vcf(argv):
     rw.close()
     print(f"lifted {len(lifted)} records, rejected {len(rejects)}")
     return 0
+
+
+@register_tool("VariantAnnotator")
+def variant_annotator(argv):
+    """Annotate VCF records with pluggable annotations computed from a BAM
+    pileup (walkers/annotator/VariantAnnotator.java; -A/-AX select
+    annotations by their reference class names)."""
+    p = argparse.ArgumentParser(description="VariantAnnotator")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-I", "--input", default=None, help="BAM for pileup annotations")
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("-A", "--annotation", action="append", default=[])
+    p.add_argument("-AX", "--annotations-to-exclude", action="append", default=[])
+    args = p.parse_args(argv)
+
+    from ..calling.annotations import (ANNOTATION_REGISTRY, STANDARD_SET,
+                                       VariantAnnotatorEngine)
+
+    engine = VariantAnnotatorEngine(
+        STANDARD_SET, extra=args.annotation, exclude=args.annotations_to_exclude)
+    reference = None
+    if args.reference:
+        from ..io import fasta
+
+        reference = fasta.FastaReference(args.reference)
+    reads_src = None
+    if args.input:
+        from ..io.cram import open_reads
+
+        reads_src = open_reads(args.input, reference=reference)
+    reader = vcf.VcfReader(args.variant)
+    targets = [iv.parse_interval(s) for s in args.intervals] if args.intervals else None
+    info_keys = sorted({k for a in engine.annotations for k in a.keys})
+    headers = list(reader.header_lines) + [
+        f"##INFO=<ID={k},Number=.,Type=String,Description=\"gatk_tpu VariantAnnotator\">"
+        for k in info_keys]
+    w = vcf.VcfWriter(args.output, reader.samples, extra_header_lines=headers)
+    n = 0
+    for v in reader:
+        if targets is not None and not any(
+                v.contig == t.contig and t.start <= v.pos < t.end for t in targets):
+            continue
+        reads = []
+        if reads_src is not None:
+            reads = [r for r in reads_src.query(v.contig, v.pos, v.pos + max(1, len(v.ref)))
+                     if not r.is_unmapped and not r.is_duplicate and r.mapq > 0]
+        new_info = engine.annotate(v, reads, reference)
+        merged = dict(v.info)
+        for k, val in new_info.items():
+            merged[k] = True if val is None else val
+        v.info = merged
+        w.write(v)
+        n += 1
+    w.close()
+    print(f"annotated {n} variants to {args.output}")
+    return 0
