@@ -97,6 +97,7 @@ def _register_builtin_tools():
     from .tools import fasta_tools  # noqa: F401
     from .tools import plotting_tools  # noqa: F401
     from .tools import featuremapping_tools  # noqa: F401
+    from .tools import misc_tools  # noqa: F401
 
 
 _register_builtin_tools()

@@ -1,0 +1,438 @@
+"""Small diagnostic/utility tool tranche.
+
+Reference tools: PrintReadsHeader.java, CountBasesInReference (ReferenceWalker
+example family), PrintBGZFBlockInformation.java, DumpTabixIndex.java,
+CompareIntervalLists.java, CompareBaseQualities.java,
+FixMisencodedBaseQualityReads.java, AddOriginalAlignmentTags.java,
+AnnotateVcfWithBamDepth.java, RemoveNearbyIndels.java, HtsgetReader.java,
+GtfToBed.java, LeftAlignIndels.java.
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..cli import UserError, register_tool
+from ..engine import intervals as iv
+from ..io import bam as bamio, sam as samio, vcf as vcfio
+
+
+@register_tool("PrintReadsHeader")
+def print_reads_header(argv):
+    """Write the SAM header of a reads file (PrintReadsHeader.java)."""
+    p = argparse.ArgumentParser(description="PrintReadsHeader")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    from ..io.cram import open_reads
+
+    reads = open_reads(args.input)
+    with open(args.output, "w") as fh:
+        fh.write(reads.header.text)
+    return 0
+
+
+@register_tool("CountBasesInReference")
+def count_bases_in_reference(argv):
+    """Count reference bases by symbol (ReferenceWalker traversal)."""
+    p = argparse.ArgumentParser(description="CountBasesInReference")
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    args = p.parse_args(argv)
+    from ..engine.walkers import ReferenceWalker
+
+    counts: dict[str, int] = {}
+
+    class W(ReferenceWalker):
+        tool_name = "CountBasesInReference"
+
+        def apply(self, ctx):
+            arr = np.frombuffer(bytes(ctx.bases()), np.uint8)
+            for b, n in zip(*np.unique(arr, return_counts=True)):
+                key = chr(b).upper()
+                counts[key] = counts.get(key, 0) + int(n)
+
+    W(reference_path=args.reference, intervals=args.intervals).run()
+    total = sum(counts.values())
+    for k in sorted(counts):
+        print(f"{k}\t{counts[k]}")
+    print(f"total\t{total}")
+    return 0
+
+
+@register_tool("PrintBGZFBlockInformation")
+def print_bgzf_block_information(argv):
+    """Print the offset/size of every BGZF block (PrintBGZFBlockInformation.java)."""
+    p = argparse.ArgumentParser(description="PrintBGZFBlockInformation")
+    p.add_argument("--bgzf-file", required=True)
+    args = p.parse_args(argv)
+    from ..io.bgzf import _read_block_size
+
+    with open(args.bgzf_file, "rb") as fh:
+        data = fh.read()
+    off = n = 0
+    while off < len(data):
+        bsize = _read_block_size(data, off)
+        import zlib
+
+        # ISIZE: last 4 bytes of the gzip member = uncompressed size
+        isize = int.from_bytes(data[off + bsize - 4 : off + bsize], "little")
+        n += 1
+        print(f"Block #{n} at file offset {off}: compressed size {bsize}, "
+              f"uncompressed size {isize}")
+        if bsize == 28 and isize == 0:
+            print("(BGZF EOF marker)")
+        off += bsize
+    print(f"{n} BGZF blocks total")
+    return 0
+
+
+@register_tool("DumpTabixIndex")
+def dump_tabix_index(argv):
+    """Textual dump of a .tbi index (DumpTabixIndex.java)."""
+    p = argparse.ArgumentParser(description="DumpTabixIndex")
+    p.add_argument("--tabix-index", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    from ..io.tabix import TbxIndex
+
+    idx = TbxIndex(args.tabix_index)
+    with open(args.output, "w") as fh:
+        fh.write(f"format: {idx.fmt}  colSeq: {idx.col_seq}  colBeg: {idx.col_beg}"
+                 f"  colEnd: {idx.col_end}  meta: {chr(idx.meta)}  skip: {idx.skip}\n")
+        fh.write(f"sequences: {len(idx.names)}\n")
+        for name in idx.names:
+            tid = idx.tid[name]
+            bins, linear = idx.bins[tid], idx.linear[tid]
+            fh.write(f"{name}: {len(bins)} bins, {len(linear)} linear-index entries\n")
+            for b in sorted(bins):
+                fh.write(f"  bin {b}: {len(bins[b])} chunks\n")
+    return 0
+
+
+@register_tool("CompareIntervalLists")
+def compare_interval_lists(argv):
+    """Compare two interval lists for equal genomic territory
+    (CompareIntervalLists.java)."""
+    p = argparse.ArgumentParser(description="CompareIntervalLists")
+    p.add_argument("-L", required=True, dest="first")
+    p.add_argument("-L2", required=True, dest="second")
+    p.add_argument("-R", "--reference", default=None)
+    args = p.parse_args(argv)
+
+    def load(path):
+        spans = {}
+        for itv in iv.load_interval_file(path):
+            spans.setdefault(itv.contig, []).append((itv.start, itv.end))
+        return {c: _merge(v) for c, v in spans.items()}
+
+    a, b = load(args.first), load(args.second)
+    if a == b:
+        print("Interval lists are equal")
+        return 0
+    only_a = _territory_diff(a, b)
+    only_b = _territory_diff(b, a)
+    print(f"Interval lists differ: {only_a} bp only in {args.first}, "
+          f"{only_b} bp only in {args.second}")
+    raise UserError("Interval lists differ")
+
+
+def _merge(spans):
+    out = []
+    for s, e in sorted(spans):
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def _territory_diff(a, b):
+    total = 0
+    for contig, spans in a.items():
+        other = b.get(contig, [])
+        for s, e in spans:
+            covered = sum(max(0, min(e, oe) - max(s, os_)) for os_, oe in other)
+            total += (e - s) - covered
+    return total
+
+
+@register_tool("CompareBaseQualities")
+def compare_base_qualities(argv):
+    """Compare base qualities of two name-matched BAMs (CompareBaseQualities.java)."""
+    p = argparse.ArgumentParser(description="CompareBaseQualities")
+    p.add_argument("inputs", nargs=2)
+    p.add_argument("--throw-on-diff", action="store_true")
+    args = p.parse_args(argv)
+    from ..io.cram import open_reads
+
+    def keyed(path):
+        out = {}
+        for r in open_reads(path):
+            out[(r.name, r.flag & 0xC0)] = r.quals
+        return out
+
+    a, b = keyed(args.inputs[0]), keyed(args.inputs[1])
+    if set(a) != set(b):
+        raise UserError("BAMs contain different reads")
+    n_diff = sum(0 if np.array_equal(a[k], b[k]) else 1 for k in a)
+    print(f"{len(a)} reads compared; {n_diff} with differing quals")
+    if n_diff and args.throw_on_diff:
+        raise UserError(f"{n_diff} reads differ in base qualities")
+    return 0
+
+
+@register_tool("FixMisencodedBaseQualityReads")
+def fix_misencoded_base_quality_reads(argv):
+    """Rewrite Illumina-1.5 (+64) quals to standard +33
+    (FixMisencodedBaseQualityReads.java via MisencodedBaseQualityReadTransformer)."""
+    p = argparse.ArgumentParser(description="FixMisencodedBaseQualityReads")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    from ..engine.transformers import misencoded_quals
+    from ..io.cram import open_reads
+
+    src = open_reads(args.input)
+    w = bamio.BamWriter(args.output, src.header)
+    n = 0
+    for r in src:
+        w.write(misencoded_quals(r))
+        n += 1
+    w.close()
+    print(f"fixed {n} reads")
+    return 0
+
+
+@register_tool("AddOriginalAlignmentTags")
+def add_original_alignment_tags(argv):
+    """Add OA (original alignment) and XM (mate contig) tags
+    (AddOriginalAlignmentTags.java)."""
+    p = argparse.ArgumentParser(description="AddOriginalAlignmentTags")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    from ..io.cram import open_reads
+
+    src = open_reads(args.input)
+    names = [s.name for s in src.header.sequences]
+    w = bamio.BamWriter(args.output, src.header)
+    n = 0
+    for r in src:
+        contig = names[r.ref_id] if 0 <= r.ref_id < len(names) else "*"
+        strand = "-" if r.is_reverse else "+"
+        cigar = samio.cigar_to_string(r.cigar_ops, r.cigar_lens) or "*"
+        r.tags["OA"] = f"{contig},{r.pos + 1},{strand},{cigar},{r.mapq},;"
+        mate = (names[r.mate_ref_id]
+                if 0 <= r.mate_ref_id < len(names) else "*")
+        r.tags["XM"] = mate
+        w.write(r)
+        n += 1
+    w.close()
+    print(f"tagged {n} reads")
+    return 0
+
+
+@register_tool("AnnotateVcfWithBamDepth")
+def annotate_vcf_with_bam_depth(argv):
+    """Add BAM_DEPTH INFO = pileup depth in a BAM at each variant site
+    (AnnotateVcfWithBamDepth.java)."""
+    p = argparse.ArgumentParser(description="AnnotateVcfWithBamDepth")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    from ..io.cram import open_reads
+
+    reads = open_reads(args.input)
+    reader = vcfio.VcfReader(args.variant)
+    headers = list(reader.header_lines) + [
+        '##INFO=<ID=BAM_DEPTH,Number=1,Type=Integer,Description="pileup depth">']
+    w = vcfio.VcfWriter(args.output, reader.samples, extra_header_lines=headers)
+    n = 0
+    for v in reader:
+        depth = sum(1 for r in reads.query(v.contig, v.pos, v.pos + 1)
+                    if not r.is_unmapped and not r.is_duplicate
+                    and not r.is_secondary and not r.is_supplementary)
+        info = dict(v.info)
+        info["BAM_DEPTH"] = str(depth)
+        v.info = info
+        w.write(v)
+        n += 1
+    w.close()
+    print(f"annotated {n} variants")
+    return 0
+
+
+@register_tool("RemoveNearbyIndels")
+def remove_nearby_indels(argv):
+    """Drop indels within --min-indel-spacing of another indel
+    (RemoveNearbyIndels.java)."""
+    p = argparse.ArgumentParser(description="RemoveNearbyIndels")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--min-indel-spacing", type=int, default=50)
+    args = p.parse_args(argv)
+
+    reader = vcfio.VcfReader(args.variant)
+    records = list(reader)
+
+    def is_indel(v):
+        return any(len(a) != len(v.ref) for a in v.alts)
+
+    keep = [True] * len(records)
+    last_indel = None
+    for i, v in enumerate(records):
+        if not is_indel(v):
+            continue
+        if (last_indel is not None
+                and v.contig == records[last_indel].contig
+                and v.pos - records[last_indel].pos < args.min_indel_spacing):
+            keep[i] = False
+            keep[last_indel] = False
+        last_indel = i
+    w = vcfio.VcfWriter(args.output, reader.samples,
+                        extra_header_lines=reader.header_lines)
+    n = 0
+    for v, k in zip(records, keep):
+        if k:
+            w.write(v)
+            n += 1
+    w.close()
+    print(f"kept {n} of {len(records)} variants")
+    return 0
+
+
+@register_tool("HtsgetReader")
+def htsget_reader(argv):
+    """Download reads for an ID from an htsget server (HtsgetReader.java)."""
+    p = argparse.ArgumentParser(description="HtsgetReader")
+    p.add_argument("--url", required=True, help="htsget endpoint")
+    p.add_argument("--id", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--reference-name", default=None)
+    p.add_argument("--start", type=int, default=None)
+    p.add_argument("--end", type=int, default=None)
+    args = p.parse_args(argv)
+    from ..io.htsget import download_reads
+
+    download_reads(args.url, args.id, args.output,
+                   reference_name=args.reference_name,
+                   start=args.start, end=args.end)
+    print(f"wrote {args.output}")
+    return 0
+
+
+@register_tool("GtfToBed")
+def gtf_to_bed(argv):
+    """Extract gene (or transcript) records from a GTF into BED
+    (GtfToBed.java)."""
+    p = argparse.ArgumentParser(description="GtfToBed")
+    p.add_argument("-G", "--gtf-path", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--sort-by-transcript", action="store_true")
+    args = p.parse_args(argv)
+    import gzip
+
+    feature_type = "transcript" if args.sort_by_transcript else "gene"
+    op = gzip.open if args.gtf_path.endswith(".gz") else open
+    rows = []
+    with op(args.gtf_path, "rt") as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 9 or f[2] != feature_type:
+                continue
+            attrs = f[8]
+            name = ""
+            for key in ("gene_name", "transcript_id", "gene_id"):
+                tag = key + ' "'
+                if tag in attrs:
+                    name = attrs.split(tag, 1)[1].split('"', 1)[0]
+                    break
+            rows.append((f[0], int(f[3]) - 1, int(f[4]), name))
+    rows.sort()
+    with open(args.output, "w") as fh:
+        for contig, start, end, name in rows:
+            fh.write(f"{contig}\t{start}\t{end}\t{name}\n")
+    print(f"wrote {len(rows)} {feature_type} records")
+    return 0
+
+
+@register_tool("LeftAlignIndels")
+def left_align_indels(argv):
+    """Left-align indels in read cigars against the reference
+    (LeftAlignIndels.java via CigarUtils.leftAlignCigarSequentially)."""
+    p = argparse.ArgumentParser(description="LeftAlignIndels")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    from ..io import fasta
+    from ..io.cram import open_reads
+
+    ref = fasta.FastaReference(args.reference)
+    src = open_reads(args.input, reference=ref)
+    names = [s.name for s in src.header.sequences]
+    w = bamio.BamWriter(args.output, src.header)
+    n = n_changed = 0
+    for r in src:
+        n += 1
+        if (not r.is_unmapped and 0 <= r.ref_id < len(names)
+                and any(op in (samio.OP_I, samio.OP_D) for op in r.cigar_ops)):
+            contig = names[r.ref_id]
+            ref_seg = ref.fetch(contig, r.pos, r.end)
+            new_ops, new_lens = _left_align_cigar(
+                r.cigar_ops, r.cigar_lens, bytes(r.bases), bytes(ref_seg))
+            if (new_ops != list(r.cigar_ops) or new_lens != list(r.cigar_lens)):
+                r.cigar_ops = np.array(new_ops, np.uint8)
+                r.cigar_lens = np.array(new_lens, np.int32)
+                n_changed += 1
+        w.write(r)
+    w.close()
+    print(f"left-aligned {n_changed} of {n} reads")
+    return 0
+
+
+def _left_align_cigar(ops, lens, read_bases: bytes, ref_bases: bytes):
+    """Shift each I/D run left while the repeated sequence allows
+    (AlignmentUtils.leftAlignIndels core loop)."""
+    ops = [int(o) for o in ops]
+    lens = [int(l) for l in lens]
+    from ..io import sam
+
+    changed = True
+    while changed:
+        changed = False
+        read_pos = ref_pos = 0
+        for i, (op, ln) in enumerate(zip(ops, lens)):
+            if op in (sam.OP_I, sam.OP_D) and i > 0 and ops[i - 1] == sam.OP_M:
+                seq = (read_bases[read_pos : read_pos + ln] if op == sam.OP_I
+                       else ref_bases[ref_pos : ref_pos + ln])
+                shift = 0
+                while (shift < lens[i - 1]
+                       and read_pos - shift - 1 >= 0 and ref_pos - shift - 1 >= 0
+                       and read_bases[read_pos - shift - 1]
+                       == seq[(ln - 1 - (shift % ln))]
+                       and ref_bases[ref_pos - shift - 1]
+                       == seq[(ln - 1 - (shift % ln))]):
+                    shift += 1
+                if shift > 0:
+                    lens[i - 1] -= shift
+                    if i + 1 < len(ops) and ops[i + 1] == sam.OP_M:
+                        lens[i + 1] += shift
+                    else:
+                        ops.insert(i + 1, sam.OP_M)
+                        lens.insert(i + 1, shift)
+                    if lens[i - 1] == 0:
+                        del ops[i - 1]
+                        del lens[i - 1]
+                    changed = True
+                    break
+            if sam.CONSUMES_READ[op]:
+                read_pos += ln
+            if sam.CONSUMES_REF[op]:
+                ref_pos += ln
+    return ops, lens

@@ -1,0 +1,146 @@
+"""Misc utility tool tests (tools/misc_tools.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from gatk_tpu.cli import TOOL_REGISTRY, UserError
+from gatk_tpu.io import bam as bamio, sam as samio, vcf as vcfio
+from gatk_tpu.io.reads import Read
+
+MITO = "/root/reference/src/test/resources/org/broadinstitute/hellbender/tools/mutect/mito"
+BAM = f"{MITO}/NA12878.bam"
+FASTA = f"{MITO}/Homo_sapiens_assembly38.mt_only.fasta"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(BAM), reason="mito data")
+
+
+def test_print_reads_header(tmp_path):
+    out = tmp_path / "h.txt"
+    assert TOOL_REGISTRY["PrintReadsHeader"](["-I", BAM, "-O", str(out)]) == 0
+    text = out.read_text()
+    assert "@SQ" in text and "chrM" in text
+
+
+def test_count_bases_in_reference(capsys):
+    assert TOOL_REGISTRY["CountBasesInReference"](
+        ["-R", FASTA, "-L", "chrM:1-1000"]) == 0
+    outp = capsys.readouterr().out
+    lines = dict(l.split("\t") for l in outp.strip().splitlines()
+                 if "\t" in l and "INFO" not in l)
+    assert int(lines["total"]) == 1000
+    assert sum(int(lines.get(b, 0)) for b in "ACGTN") == 1000
+
+
+def test_bgzf_block_information(capsys):
+    assert TOOL_REGISTRY["PrintBGZFBlockInformation"](["--bgzf-file", BAM]) == 0
+    outp = capsys.readouterr().out
+    assert "BGZF EOF marker" in outp and "Block #1 at file offset 0" in outp
+
+
+def test_compare_interval_lists(tmp_path, capsys):
+    a = tmp_path / "a.bed"
+    b = tmp_path / "b.bed"
+    a.write_text("chrM\t0\t100\nchrM\t200\t300\n")
+    b.write_text("chrM\t0\t100\nchrM\t200\t300\n")
+    assert TOOL_REGISTRY["CompareIntervalLists"](
+        ["-L", str(a), "-L2", str(b)]) == 0
+    b.write_text("chrM\t0\t100\nchrM\t200\t350\n")
+    with pytest.raises(UserError):
+        TOOL_REGISTRY["CompareIntervalLists"](["-L", str(a), "-L2", str(b)])
+    assert "50 bp only in" in capsys.readouterr().out
+
+
+def _mini_bam(tmp_path, reads, name="m.bam"):
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chrM", 16569, 0)])
+    path = tmp_path / name
+    w = bamio.BamWriter(str(path), header)
+    for r in reads:
+        w.write(r)
+    w.close()
+    return str(path)
+
+
+def _read(name="r1", pos=100, quals=None, n=10, cigar=None):
+    ops, lens = cigar if cigar else (np.array([0], np.uint8),
+                                     np.array([n], np.int32))
+    return Read(name=name, flag=0, ref_id=0, pos=pos, mapq=60,
+                cigar_ops=ops, cigar_lens=lens,
+                bases=np.full(n, ord("A"), np.uint8),
+                quals=quals if quals is not None else np.full(n, 30, np.uint8))
+
+
+def test_fix_misencoded_and_compare_quals(tmp_path, capsys):
+    src = _mini_bam(tmp_path, [_read(quals=np.full(10, 64, np.uint8))])
+    out = tmp_path / "fixed.bam"
+    assert TOOL_REGISTRY["FixMisencodedBaseQualityReads"](
+        ["-I", src, "-O", str(out)]) == 0
+    r = next(iter(bamio.BamReader(str(out))))
+    assert r.quals.tolist() == [33] * 10
+    # CompareBaseQualities flags the difference
+    with pytest.raises(UserError):
+        TOOL_REGISTRY["CompareBaseQualities"]([src, str(out), "--throw-on-diff"])
+    assert TOOL_REGISTRY["CompareBaseQualities"]([src, src]) == 0
+
+
+def test_add_original_alignment_tags(tmp_path):
+    src = _mini_bam(tmp_path, [_read()])
+    out = tmp_path / "oa.bam"
+    assert TOOL_REGISTRY["AddOriginalAlignmentTags"](["-I", src, "-O", str(out)]) == 0
+    r = next(iter(bamio.BamReader(str(out))))
+    assert r.tags["OA"].startswith("chrM,101,+,10M,60")
+
+
+def test_annotate_vcf_with_bam_depth(tmp_path):
+    src = tmp_path / "v.vcf"
+    src.write_text("##fileformat=VCFv4.2\n"
+                   "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                   "chrM\t152\t.\tT\tC\t50\tPASS\t.\n")
+    out = tmp_path / "o.vcf"
+    assert TOOL_REGISTRY["AnnotateVcfWithBamDepth"](
+        ["-V", str(src), "-I", BAM, "-O", str(out)]) == 0
+    rec = next(iter(vcfio.VcfReader(str(out))))
+    assert int(rec.info["BAM_DEPTH"]) > 100
+
+
+def test_remove_nearby_indels(tmp_path):
+    src = tmp_path / "v.vcf"
+    src.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chrM\t100\t.\tAT\tA\t50\tPASS\t.\n"
+        "chrM\t120\t.\tC\tCG\t50\tPASS\t.\n"     # within 50 of first -> both dropped
+        "chrM\t500\t.\tG\tGA\t50\tPASS\t.\n"     # isolated -> kept
+        "chrM\t600\t.\tT\tC\t50\tPASS\t.\n")     # SNP -> kept
+    out = tmp_path / "o.vcf"
+    assert TOOL_REGISTRY["RemoveNearbyIndels"](
+        ["-V", str(src), "-O", str(out), "--min-indel-spacing", "50"]) == 0
+    poss = [v.pos + 1 for v in vcfio.VcfReader(str(out))]
+    assert poss == [500, 600]
+
+
+def test_gtf_to_bed(tmp_path):
+    gtf = tmp_path / "g.gtf"
+    gtf.write_text(
+        'chr1\thavana\tgene\t100\t200\t.\t+\t.\tgene_id "G1"; gene_name "ALPHA";\n'
+        'chr1\thavana\texon\t100\t150\t.\t+\t.\tgene_id "G1";\n'
+        'chr1\thavana\tgene\t500\t900\t.\t-\t.\tgene_id "G2"; gene_name "BETA";\n')
+    out = tmp_path / "g.bed"
+    assert TOOL_REGISTRY["GtfToBed"](["-G", str(gtf), "-O", str(out)]) == 0
+    lines = out.read_text().strip().splitlines()
+    assert lines == ["chr1\t99\t200\tALPHA", "chr1\t499\t900\tBETA"]
+
+
+def test_left_align_indels(tmp_path):
+    # reference ...GGG AAAA GGG...; read has deletion placed right-most:
+    # 5M 1D 4M over ref AAAAA -> should left-align to 2M(?) compute:
+    # ref:  G G A A A A A G G G  (pos 0..9)
+    # read: G G A A A A G G G  with cigar 6M1D3M (del at offset 6, ref pos 6)
+    # left aligned: deletion shifts to the start of the A run: 2M1D7M
+    import gatk_tpu.tools.misc_tools as mt
+
+    ref = b"GGAAAAAGGG"
+    read = b"GGAAAAGGG"
+    ops, lens = mt._left_align_cigar(
+        np.array([0, 2, 0], np.uint8), np.array([6, 1, 3], np.int32), read, ref)
+    assert (ops, lens) == ([0, 2, 0], [2, 1, 7])
