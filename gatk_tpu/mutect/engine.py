@@ -46,6 +46,9 @@ class M2Args:
     # M2 uses adaptive pruning by default
     # (MutectReadThreadingAssemblerArgumentCollection.java)
     adaptive_pruning: bool = True
+    # clip inverted-tandem-repeat palindrome artifacts (M2ArgumentCollection
+    # dontClipITRArtifacts, default off = clipping on)
+    dont_clip_itr_artifacts: bool = False
 
     def __post_init__(self):
         if self.mitochondria_mode:
@@ -130,6 +133,16 @@ class Mutect2Engine:
         args = self.args
         contig_len = self.ref.contig_length(interval.contig)
         usable = [r for r in reads if m2_read_filter(r)]
+        if not getattr(args, "dont_clip_itr_artifacts", False):
+            # standard M2 post-filter transformer: clip inverted-tandem-repeat
+            # palindrome artifacts against the reference
+            # (Mutect2Engine.makeStandardMutect2PostFilterReadTransformer:208-210,
+            # MIN_PALINDROME_SIZE=5)
+            from ..engine.transformers import palindrome_artifact_clip
+
+            clip = palindrome_artifact_clip(self.ref, min_palindrome_size=5)
+            usable = [r for r in (clip(r) for r in usable)
+                      if r is not None and len(r.bases) > 0]
         usable = positional_downsample(usable, args.max_reads_per_alignment_start)
 
         span_start = max(0, interval.start - REGION_PADDING)

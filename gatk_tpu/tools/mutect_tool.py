@@ -32,12 +32,16 @@ def mutect2(argv):
                         "fully decompressed")
     p.add_argument("--af-of-alleles-not-in-resource", "--default-af",
                    dest="default_af", type=float, default=-1.0)
+    p.add_argument("--dont-clip-ITR-artifacts", dest="dont_clip_itr_artifacts",
+                   action="store_true",
+                   help="disable palindrome-artifact read clipping")
     args = p.parse_args(argv)
 
     m2args = M2Args(
         mitochondria_mode=args.mitochondria_mode,
         min_af=args.min_AF,
         max_reads_per_alignment_start=args.max_reads_per_alignment_start,
+        dont_clip_itr_artifacts=args.dont_clip_itr_artifacts,
     )
     if args.tumor_lod_to_emit is not None:
         m2args.emission_log10_odds = args.tumor_lod_to_emit
