@@ -436,3 +436,127 @@ def _left_align_cigar(ops, lens, read_bases: bytes, ref_bases: bytes):
             if sam.CONSUMES_REF[op]:
                 ref_pos += ln
     return ops, lens
+
+
+@register_tool("GatherPileupSummaries")
+def gather_pileup_summaries(argv):
+    """Concatenate scattered GetPileupSummaries tables
+    (GatherPileupSummaries.java)."""
+    p = argparse.ArgumentParser(description="GatherPileupSummaries")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--sequence-dictionary", default=None)
+    args = p.parse_args(argv)
+    from ..mutect.contamination import read_pileup_table, write_pileup_table
+
+    sample = None
+    sites = []
+    for path in args.input:
+        s, rows = read_pileup_table(path)
+        if sample is None:
+            sample = s
+        elif s != sample:
+            raise UserError(f"sample mismatch: {s} vs {sample}")
+        sites.extend(rows)
+    write_pileup_table(args.output, sample or "SAMPLE", sites)
+    print(f"gathered {len(sites)} sites from {len(args.input)} tables")
+    return 0
+
+
+@register_tool("CalculateMixingFractions")
+def calculate_mixing_fractions(argv):
+    """Estimate per-sample mixing fractions of a pooled BAM from sample-private
+    het SNPs (CalculateMixingFractions.java): for each sample, the fraction is
+    proportional to the mean alt fraction at sites where only that sample is
+    het, normalized over samples."""
+    p = argparse.ArgumentParser(description="CalculateMixingFractions")
+    p.add_argument("-V", "--variant", required=True, help="multi-sample VCF")
+    p.add_argument("-I", "--input", required=True, help="pooled BAM")
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    from ..io.cram import open_reads
+
+    reader = vcfio.VcfReader(args.variant)
+    samples = reader.samples
+    reads = open_reads(args.input)
+    alt_frac_sum = {s: 0.0 for s in samples}
+    site_count = {s: 0 for s in samples}
+    for v in reader:
+        if len(v.alts) != 1 or len(v.ref) != 1 or len(v.alts[0]) != 1:
+            continue
+        hets = [i for i, sm in enumerate(v.samples)
+                if sorted(sm.get("GT", "./.").replace("|", "/").split("/")) == ["0", "1"]]
+        homref = [i for i, sm in enumerate(v.samples)
+                  if sm.get("GT", "./.").replace("|", "/") in ("0/0",)]
+        if len(hets) != 1 or len(hets) + len(homref) != len(samples):
+            continue  # sample-private het sites only
+        ref_b, alt_b = ord(v.ref), ord(v.alts[0])
+        n_ref = n_alt = 0
+        from ..calling.annotations import read_offset_at
+
+        for r in reads.query(v.contig, v.pos, v.pos + 1):
+            if r.is_unmapped or r.is_duplicate or r.is_secondary or r.mapq < 20:
+                continue
+            off = read_offset_at(r, v.pos)
+            if off is None:
+                continue
+            b = r.bases[off]
+            if b == ref_b:
+                n_ref += 1
+            elif b == alt_b:
+                n_alt += 1
+        if n_ref + n_alt >= 10:
+            s = samples[hets[0]]
+            alt_frac_sum[s] += n_alt / (n_ref + n_alt)
+            site_count[s] += 1
+    # a het in sample s at fraction f implies mixing fraction 2f
+    raw = {s: (2.0 * alt_frac_sum[s] / site_count[s] if site_count[s] else 0.0)
+           for s in samples}
+    total = sum(raw.values()) or 1.0
+    with open(args.output, "w") as fh:
+        fh.write("SAMPLE\tMIXING_FRACTION\n")
+        for s in samples:
+            fh.write(f"{s}\t{raw[s] / total:.4f}\n")
+    print(f"wrote mixing fractions for {len(samples)} samples")
+    return 0
+
+
+@register_tool("AnalyzeCovariates")
+def analyze_covariates(argv):
+    """Summarize before/after BQSR recalibration tables into a csv of
+    quality-vs-covariate rows (AnalyzeCovariates.java; the reference also
+    renders a PDF via R — here the csv is the artifact, matching its
+    intermediate .csv output)."""
+    p = argparse.ArgumentParser(description="AnalyzeCovariates")
+    p.add_argument("-before", "--before-report-file", default=None)
+    p.add_argument("-after", "--after-report-file", default=None)
+    p.add_argument("-bqsr", "--bqsr-recal-file", default=None)
+    p.add_argument("--intermediate-csv-file", "-csv", dest="csv", required=True)
+    args = p.parse_args(argv)
+    from ..recal.report import parse_report
+
+    inputs = [("BEFORE", args.before_report_file), ("AFTER", args.after_report_file),
+              ("BQSR", args.bqsr_recal_file)]
+    inputs = [(tag, path) for tag, path in inputs if path]
+    if not inputs:
+        raise UserError("provide at least one of -before/-after/-bqsr")
+    rows = []
+    for tag, path in inputs:
+        with open(path) as fh:
+            tables = parse_report(fh.read())
+        for name, _desc, columns, table_rows in tables:
+            if name != "RecalTable1":
+                continue
+            cols = [c[0] for c in columns]
+            for row in table_rows:
+                d = dict(zip(cols, row))
+                rows.append((tag, d.get("ReadGroup", ""), d.get("QualityScore", ""),
+                             d.get("EventType", ""), d.get("EmpiricalQuality", ""),
+                             d.get("Observations", ""), d.get("Errors", "")))
+    with open(args.csv, "w") as fh:
+        fh.write("Recalibration,ReadGroup,QualityScore,EventType,"
+                 "EmpiricalQuality,Observations,Errors\n")
+        for r in rows:
+            fh.write(",".join(str(x) for x in r) + "\n")
+    print(f"wrote {len(rows)} covariate rows to {args.csv}")
+    return 0

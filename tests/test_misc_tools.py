@@ -144,3 +144,73 @@ def test_left_align_indels(tmp_path):
     ops, lens = mt._left_align_cigar(
         np.array([0, 2, 0], np.uint8), np.array([6, 1, 3], np.int32), read, ref)
     assert (ops, lens) == ([0, 2, 0], [2, 1, 7])
+
+
+def test_gather_pileup_summaries(tmp_path):
+    from gatk_tpu.mutect.contamination import PileupSite, write_pileup_table, read_pileup_table
+
+    a = tmp_path / "a.table"
+    b = tmp_path / "b.table"
+    write_pileup_table(str(a), "S1", [PileupSite("chr1", 100, 10, 2, 0, 0.05)])
+    write_pileup_table(str(b), "S1", [PileupSite("chr1", 500, 8, 4, 1, 0.10)])
+    out = tmp_path / "o.table"
+    assert TOOL_REGISTRY["GatherPileupSummaries"](
+        ["-I", str(a), "-I", str(b), "-O", str(out)]) == 0
+    sample, sites = read_pileup_table(str(out))
+    assert sample == "S1" and [s.position for s in sites] == [100, 500]
+    write_pileup_table(str(b), "S2", [PileupSite("chr1", 500, 8, 4, 1, 0.10)])
+    with pytest.raises(UserError):
+        TOOL_REGISTRY["GatherPileupSummaries"](["-I", str(a), "-I", str(b), "-O", str(out)])
+
+
+def test_calculate_mixing_fractions(tmp_path):
+    # pooled BAM: site 100 private-het in S1 (25% alt), site 300 in S2 (25% alt)
+    reads = []
+    for i in range(20):
+        alt = i % 4 == 0  # 25% alt fraction
+        b = np.full(10, ord("A"), np.uint8)
+        if alt:
+            b[5] = ord("G")
+        reads.append(Read(name=f"a{i}", flag=0, ref_id=0, pos=95, mapq=60,
+                          cigar_ops=np.array([0], np.uint8),
+                          cigar_lens=np.array([10], np.int32), bases=b,
+                          quals=np.full(10, 30, np.uint8)))
+    for i in range(20):
+        alt = i % 4 == 0
+        b = np.full(10, ord("C"), np.uint8)
+        if alt:
+            b[5] = ord("T")
+        reads.append(Read(name=f"b{i}", flag=0, ref_id=0, pos=295, mapq=60,
+                          cigar_ops=np.array([0], np.uint8),
+                          cigar_lens=np.array([10], np.int32), bases=b,
+                          quals=np.full(10, 30, np.uint8)))
+    bam = _mini_bam(tmp_path, reads, "pool.bam")
+    v = tmp_path / "v.vcf"
+    v.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n"
+        "chrM\t101\t.\tA\tG\t50\tPASS\t.\tGT\t0/1\t0/0\n"
+        "chrM\t301\t.\tC\tT\t50\tPASS\t.\tGT\t0/0\t0/1\n")
+    out = tmp_path / "mix.table"
+    assert TOOL_REGISTRY["CalculateMixingFractions"](
+        ["-V", str(v), "-I", bam, "-O", str(out)]) == 0
+    lines = out.read_text().strip().splitlines()
+    fr = {l.split("\t")[0]: float(l.split("\t")[1]) for l in lines[1:]}
+    assert abs(fr["S1"] - 0.5) < 1e-6 and abs(fr["S2"] - 0.5) < 1e-6
+
+
+def test_analyze_covariates(tmp_path):
+    recal = ("/root/reference/src/test/resources/org/broadinstitute/hellbender/"
+             "tools/BQSR/")
+    import glob
+
+    candidates = sorted(glob.glob(recal + "*.recal.txt")) or sorted(
+        glob.glob(recal + "expected.*.table*"))
+    if not candidates:
+        pytest.skip("no recal golden available")
+    out = tmp_path / "c.csv"
+    assert TOOL_REGISTRY["AnalyzeCovariates"](
+        ["-before", candidates[0], "-csv", str(out)]) == 0
+    text = out.read_text().splitlines()
+    assert text[0].startswith("Recalibration,ReadGroup,QualityScore")
+    assert len(text) > 1
