@@ -560,3 +560,229 @@ def analyze_covariates(argv):
             fh.write(",".join(str(x) for x in r) + "\n")
     print(f"wrote {len(rows)} covariate rows to {args.csv}")
     return 0
+
+
+@register_tool("CallableLoci")
+def callable_loci(argv):
+    """Classify every locus as CALLABLE / NO_COVERAGE / LOW_COVERAGE /
+    POOR_MAPPING_QUALITY / EXCESSIVE_COVERAGE / REF_N and emit a BED of
+    state runs plus a state-count summary
+    (walkers/coverage/CallableLoci.java:315-345 state machine, exact
+    defaults)."""
+    p = argparse.ArgumentParser(description="CallableLoci")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True, help="BED of state runs")
+    p.add_argument("--summary", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--max-low-mapq", type=int, default=1)
+    p.add_argument("--min-mapping-quality", type=int, default=10)
+    p.add_argument("--min-base-quality", type=int, default=20)
+    p.add_argument("--min-depth", type=int, default=4)
+    p.add_argument("--min-depth-for-low-mapq", type=int, default=10)
+    p.add_argument("--max-fraction-of-low-mapq-reads", type=float, default=0.1)
+    p.add_argument("--max-depth", type=int, default=-1)
+    args = p.parse_args(argv)
+    from ..engine import pileup as pileup_mod
+    from ..io import fasta
+    from ..io.cram import open_reads
+
+    ref = fasta.FastaReference(args.reference)
+    reads_src = open_reads(args.input, reference=ref)
+    lengths = {s.name: s.length for s in reads_src.header.sequences}
+    targets = (iv.parse_intervals_arg(args.intervals, lengths) if args.intervals
+               else [iv.Interval(n, 0, l) for n, l in lengths.items()])
+
+    STATES = ("REF_N", "CALLABLE", "NO_COVERAGE", "LOW_COVERAGE",
+              "EXCESSIVE_COVERAGE", "POOR_MAPPING_QUALITY")
+    totals = {s: 0 for s in STATES}
+    with open(args.output, "w") as bed:
+        for t in targets:
+            span = t.end - t.start
+            raw = np.zeros(span, np.int32)
+            qc = np.zeros(span, np.int32)
+            lowmq = np.zeros(span, np.int32)
+            for r in reads_src.query(t.contig, t.start, t.end):
+                if r.is_unmapped or r.is_duplicate or r.is_secondary:
+                    continue
+                pos, _base, qual, flags = pileup_mod.expand_read(r)
+                sel = (pos >= t.start) & (pos < t.end)
+                idx = (pos[sel] - t.start).astype(np.int64)
+                np.add.at(raw, idx, 1)
+                if r.mapq <= args.max_low_mapq:
+                    np.add.at(lowmq, idx, 1)
+                if r.mapq >= args.min_mapping_quality:
+                    is_del = (flags[sel] & pileup_mod.F_DELETION) != 0
+                    ok = (qual[sel] >= args.min_base_quality) | is_del
+                    np.add.at(qc, idx[ok], 1)
+            ref_bases = np.frombuffer(
+                bytes(ref.fetch_bytes(t.contig, t.start, t.end)), np.uint8)
+            is_n = (ref_bases == ord("N")) | (ref_bases == ord("n"))
+            state = np.full(span, 1, np.int8)  # CALLABLE
+            state[raw == 0] = 2
+            poor = (raw >= args.min_depth_for_low_mapq) & (
+                lowmq >= args.max_fraction_of_low_mapq_reads * raw) & (raw > 0)
+            state[poor] = 5
+            low = (~poor) & (raw > 0) & (qc < args.min_depth)
+            state[low] = 3
+            if args.max_depth > 0:
+                exc = (~poor) & (~low) & (raw >= args.max_depth)
+                state[exc] = 4
+            state[is_n] = 0
+            # run-length encode into BED rows
+            changes = np.nonzero(np.diff(state))[0] + 1
+            starts = np.concatenate([[0], changes])
+            ends = np.concatenate([changes, [span]])
+            for s0, e0 in zip(starts, ends):
+                name = STATES[state[s0]]
+                bed.write(f"{t.contig}\t{t.start + s0}\t{t.start + e0}\t{name}\n")
+                totals[name] += int(e0 - s0)
+    with open(args.summary, "w") as fh:
+        fh.write(f"{'state':>21} nBases\n")
+        for s in STATES:
+            fh.write(f"{s:>21} {totals[s]}\n")
+    print(f"CallableLoci: {totals}")
+    return 0
+
+
+@register_tool("LocalAssembler")
+def local_assembler(argv):
+    """Assemble the reads of a genomic region into contigs, written as FASTA
+    and GFA-1 (tools/LocalAssembler.java: unitig assembly of a small region;
+    here the read-threading de Bruijn assembler + SeqGraph simplification
+    produce the contigs and the graph edges)."""
+    p = argparse.ArgumentParser(description="LocalAssembler")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-L", "--intervals", action="append", required=True)
+    p.add_argument("--assembly-name", default="assembly")
+    p.add_argument("--fasta-file", default=None)
+    p.add_argument("--gfa-file", default=None)
+    p.add_argument("--kmer-size", type=int, action="append", default=None)
+    args = p.parse_args(argv)
+    from ..assembly import assembler
+    from ..io import fasta
+    from ..io.cram import open_reads
+
+    ref = fasta.FastaReference(args.reference)
+    reads_src = open_reads(args.input, reference=ref)
+    lengths = {s.name: s.length for s in reads_src.header.sequences}
+    targets = iv.parse_intervals_arg(args.intervals, lengths)
+    fasta_path = args.fasta_file or f"{args.assembly_name}.fa"
+    gfa_path = args.gfa_file or f"{args.assembly_name}.gfa"
+    contigs = []
+    links = []
+    for t in targets:
+        region_reads = [r for r in reads_src.query(t.contig, t.start, t.end)
+                        if not r.is_unmapped and not r.is_duplicate
+                        and not r.is_secondary]
+        ref_bases = ref.fetch(t.contig, t.start, t.end)
+        kw = {}
+        if args.kmer_size:
+            kw["kmer_sizes"] = tuple(args.kmer_size)
+        result = assembler.assemble(region_reads, ref_bases, t.start, **kw)
+        for i, hap in enumerate(result.haplotypes):
+            tag = "ref" if i == 0 else f"h{i}"
+            contigs.append((f"{args.assembly_name}_{t.contig}_{t.start + 1}_{tag}",
+                            bytes(hap.bases).decode()))
+        # GFA links: successive contigs overlap through the reference span
+        for i in range(1, len(result.haplotypes)):
+            links.append((contigs[-len(result.haplotypes)][0],
+                          contigs[-len(result.haplotypes) + i][0]))
+    with open(fasta_path, "w") as fh:
+        for name, seq in contigs:
+            fh.write(f">{name}\n")
+            for i in range(0, len(seq), 80):
+                fh.write(seq[i : i + 80] + "\n")
+    with open(gfa_path, "w") as fh:
+        fh.write("H\tVN:Z:1.0\n")
+        for name, seq in contigs:
+            fh.write(f"S\t{name}\t{seq}\tLN:i:{len(seq)}\n")
+        for a, b in links:
+            fh.write(f"L\t{a}\t+\t{b}\t+\t0M\n")
+    print(f"assembled {len(contigs)} contigs -> {fasta_path}, {gfa_path}")
+    return 0
+
+
+@register_tool("VCFComparator")
+def vcf_comparator(argv):
+    """Compare an actual VCF against an expected VCF record-by-record with
+    configurable tolerances (walkers/variantutils/VCFComparator.java).
+    Exit 0 when equivalent; UserError listing differences otherwise."""
+    p = argparse.ArgumentParser(description="VCFComparator")
+    p.add_argument("-V", "--variant", action="append", required=True,
+                   help="two VCFs: actual then expected (or use twice)")
+    p.add_argument("--ignore-quals", action="store_true")
+    p.add_argument("--qual-change-allowed", type=float, default=0.001)
+    p.add_argument("--dp-change-allowed", type=int, default=0)
+    p.add_argument("--rank-sum-change-allowed", type=float, default=0.0)
+    p.add_argument("--ignore-annotations", action="store_true")
+    p.add_argument("--ignore-genotype-annotations", action="store_true")
+    p.add_argument("--ignore-genotype-phasing", action="store_true")
+    p.add_argument("--ignore-filters", action="store_true")
+    p.add_argument("--ignore-attribute", action="append", default=[])
+    p.add_argument("--positions-only", action="store_true")
+    p.add_argument("--warn-on-errors", action="store_true")
+    args = p.parse_args(argv)
+    if len(args.variant) != 2:
+        raise UserError("provide exactly two -V inputs: actual and expected")
+    actual = {(v.contig, v.pos): v for v in vcfio.VcfReader(args.variant[0])}
+    expected = {(v.contig, v.pos): v for v in vcfio.VcfReader(args.variant[1])}
+    errors = []
+    for key in sorted(set(actual) | set(expected)):
+        a, e = actual.get(key), expected.get(key)
+        loc = f"{key[0]}:{key[1] + 1}"
+        if a is None:
+            errors.append(f"{loc}: missing from actual")
+            continue
+        if e is None:
+            errors.append(f"{loc}: unexpected record in actual")
+            continue
+        if args.positions_only:
+            continue
+        if a.ref != e.ref or tuple(a.alts) != tuple(e.alts):
+            errors.append(f"{loc}: alleles {a.ref}>{a.alts} vs {e.ref}>{e.alts}")
+            continue
+        if not args.ignore_quals and a.qual is not None and e.qual is not None:
+            if abs(a.qual - e.qual) > args.qual_change_allowed:
+                errors.append(f"{loc}: QUAL {a.qual} vs {e.qual}")
+        if not args.ignore_filters and tuple(a.filters) != tuple(e.filters):
+            errors.append(f"{loc}: FILTER {a.filters} vs {e.filters}")
+        if not args.ignore_annotations:
+            keys = (set(a.info) | set(e.info)) - set(args.ignore_attribute)
+            for k in sorted(keys):
+                av, ev = a.info.get(k), e.info.get(k)
+                if av == ev:
+                    continue
+                if k == "DP" and av is not None and ev is not None:
+                    if abs(int(av) - int(ev)) <= args.dp_change_allowed:
+                        continue
+                if k.endswith("RankSum") and av is not None and ev is not None:
+                    try:
+                        if abs(float(av) - float(ev)) <= args.rank_sum_change_allowed:
+                            continue
+                    except ValueError:
+                        pass
+                errors.append(f"{loc}: INFO {k} {av} vs {ev}")
+        for si, (sa, se) in enumerate(zip(a.samples, e.samples)):
+            ga, ge = sa.get("GT", "."), se.get("GT", ".")
+            if args.ignore_genotype_phasing:
+                norm = lambda g: sorted(g.replace("|", "/").split("/"))  # noqa: E731
+                same_gt = norm(ga) == norm(ge)
+            else:
+                same_gt = ga == ge
+            if not same_gt:
+                errors.append(f"{loc}: sample {si} GT {ga} vs {ge}")
+            elif not args.ignore_genotype_annotations:
+                for k in sorted((set(sa) | set(se)) - {"GT"}):
+                    if sa.get(k) != se.get(k):
+                        errors.append(f"{loc}: sample {si} {k} {sa.get(k)} vs {se.get(k)}")
+    if errors:
+        for e_ in errors[:50]:
+            print(e_)
+        if args.warn_on_errors:
+            print(f"WARNING: {len(errors)} differences")
+            return 0
+        raise UserError(f"{len(errors)} differences between VCFs")
+    print("VCFs are equivalent")
+    return 0

@@ -214,3 +214,67 @@ def test_analyze_covariates(tmp_path):
     text = out.read_text().splitlines()
     assert text[0].startswith("Recalibration,ReadGroup,QualityScore")
     assert len(text) > 1
+
+
+def test_callable_loci(tmp_path):
+    out = tmp_path / "c.bed"
+    summ = tmp_path / "c.summary"
+    assert TOOL_REGISTRY["CallableLoci"]([
+        "-I", BAM, "-R", FASTA, "-L", "chrM:1-2000",
+        "-O", str(out), "--summary", str(summ)]) == 0
+    rows = [l.split("\t") for l in out.read_text().strip().splitlines()]
+    states = {r[3] for r in rows}
+    # mito: deep coverage through ~900, none after
+    assert "CALLABLE" in states and "NO_COVERAGE" in states
+    # runs tile the interval exactly
+    assert rows[0][1] == "0" and rows[-1][2] == "2000"
+    for a, b in zip(rows, rows[1:]):
+        assert a[2] == b[1]
+    text = summ.read_text()
+    assert "CALLABLE" in text and "NO_COVERAGE" in text
+
+
+def test_local_assembler(tmp_path):
+    fa = tmp_path / "a.fa"
+    gfa = tmp_path / "a.gfa"
+    assert TOOL_REGISTRY["LocalAssembler"]([
+        "-I", BAM, "-R", FASTA, "-L", "chrM:100-400",
+        "--fasta-file", str(fa), "--gfa-file", str(gfa),
+        "--assembly-name", "mito"]) == 0
+    text = fa.read_text()
+    names = [l[1:] for l in text.splitlines() if l.startswith(">")]
+    assert len(names) >= 2  # ref contig + at least one variant haplotype
+    assert names[0].startswith("mito_chrM_")
+    gfa_text = gfa.read_text().splitlines()
+    assert gfa_text[0].startswith("H\t")
+    assert sum(1 for l in gfa_text if l.startswith("S\t")) == len(names)
+
+
+def test_vcf_comparator(tmp_path):
+    def write(name, qual, gt, dp="30"):
+        p = tmp_path / name
+        p.write_text(
+            "##fileformat=VCFv4.2\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+            f"chrM\t100\t.\tA\tG\t{qual}\tPASS\tDP={dp}\tGT\t{gt}\n")
+        return str(p)
+
+    a = write("a.vcf", "50.0", "0/1")
+    e = write("e.vcf", "50.0", "0/1")
+    assert TOOL_REGISTRY["VCFComparator"](["-V", a, "-V", e]) == 0
+    e2 = write("e2.vcf", "55.0", "0/1")
+    with pytest.raises(UserError):
+        TOOL_REGISTRY["VCFComparator"](["-V", a, "-V", e2])
+    assert TOOL_REGISTRY["VCFComparator"](["-V", a, "-V", e2, "--ignore-quals"]) == 0
+    # phasing-insensitive genotype match
+    e3 = write("e3.vcf", "50.0", "1|0")
+    with pytest.raises(UserError):
+        TOOL_REGISTRY["VCFComparator"](["-V", a, "-V", e3])
+    assert TOOL_REGISTRY["VCFComparator"](
+        ["-V", a, "-V", e3, "--ignore-genotype-phasing"]) == 0
+    # DP tolerance
+    e4 = write("e4.vcf", "50.0", "0/1", dp="32")
+    with pytest.raises(UserError):
+        TOOL_REGISTRY["VCFComparator"](["-V", a, "-V", e4])
+    assert TOOL_REGISTRY["VCFComparator"](
+        ["-V", a, "-V", e4, "--dp-change-allowed", "5"]) == 0
