@@ -786,3 +786,104 @@ def vcf_comparator(argv):
         raise UserError(f"{len(errors)} differences between VCFs")
     print("VCFs are equivalent")
     return 0
+
+
+@register_tool("CompareReferences")
+def compare_references(argv):
+    """Compare reference FASTAs: per-contig MD5/length table plus a summary of
+    which references contain each sequence (tools/reference/
+    CompareReferences.java; FIND_SNPS_ONLY base comparison supported)."""
+    p = argparse.ArgumentParser(description="CompareReferences")
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-refcomp", "--references-to-compare", action="append",
+                   required=True)
+    p.add_argument("-O", "--output", default=None)
+    p.add_argument("--display-only-differing-sequences", action="store_true")
+    p.add_argument("--base-comparison", default="OFF",
+                   choices=["OFF", "FIND_SNPS_ONLY"])
+    args = p.parse_args(argv)
+    import hashlib
+
+    from ..io import fasta
+
+    paths = [args.reference] + args.references_to_compare
+    refs = [fasta.FastaReference(pth) for pth in paths]
+    names = [pth.split("/")[-1] for pth in paths]
+    # md5 per (ref, contig) of the uppercase sequence (the dictionary MD5)
+    table = {}
+    all_contigs = []
+    for ri, ref in enumerate(refs):
+        for contig in ref.index:
+            if contig not in all_contigs:
+                all_contigs.append(contig)
+            seq = bytes(ref.fetch_bytes(contig)).upper()
+            table[(ri, contig)] = (hashlib.md5(seq).hexdigest(), len(seq))
+    lines = ["\t".join(["MD5", "Length"] + names)]
+    n_diff = 0
+    for contig in all_contigs:
+        entries = [table.get((ri, contig)) for ri in range(len(refs))]
+        md5s = {e[0] for e in entries if e}
+        differing = len(md5s) > 1 or any(e is None for e in entries)
+        if differing:
+            n_diff += 1
+        if args.display_only_differing_sequences and not differing:
+            continue
+        md5 = next(e[0] for e in entries if e)
+        length = next(e[1] for e in entries if e)
+        cols = [contig if e and e[0] == md5 else
+                (f"{contig}*" if e else "---") for e in entries]
+        lines.append("\t".join([md5, str(length)] + cols))
+    out_text = "\n".join(lines) + "\n"
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(out_text)
+    else:
+        print(out_text, end="")
+    if args.base_comparison == "FIND_SNPS_ONLY":
+        for contig in all_contigs:
+            entries = [table.get((ri, contig)) for ri in range(len(refs))]
+            if None in entries or len({e[0] for e in entries}) == 1:
+                continue
+            if len({e[1] for e in entries}) != 1:
+                continue  # SNP scan needs equal lengths
+            base0 = np.frombuffer(bytes(refs[0].fetch_bytes(contig)).upper(), np.uint8)
+            for ri in range(1, len(refs)):
+                basei = np.frombuffer(bytes(refs[ri].fetch_bytes(contig)).upper(), np.uint8)
+                for pos in np.nonzero(base0 != basei)[0][:100]:
+                    print(f"SNP {contig}:{pos + 1} {chr(base0[pos])}->{chr(basei[pos])}"
+                          f" ({names[0]} vs {names[ri]})")
+    print(f"{n_diff} differing sequences" if n_diff else "References match")
+    return 0
+
+
+@register_tool("FlowPairHMMAlignReadsToHaplotypes")
+def flow_pairhmm_align_reads_to_haplotypes(argv):
+    """Score every read against every haplotype with the flow-based PairHMM
+    and write the likelihood matrix as TSV
+    (FlowPairHMMAlignReadsToHaplotypes.java)."""
+    p = argparse.ArgumentParser(description="FlowPairHMMAlignReadsToHaplotypes")
+    p.add_argument("-I", "--input", required=True, help="reads BAM")
+    p.add_argument("-H", "--haplotypes", required=True,
+                   help="haplotypes FASTA (each contig is one haplotype)")
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--flow-order", default="TGCA")
+    args = p.parse_args(argv)
+    from ..io import fasta
+    from ..io.cram import open_reads
+    from ..ops import flow, flow_pairhmm
+
+    hap_ref = fasta.FastaReference(args.haplotypes)
+    hap_names = list(hap_ref.index)
+    fhaps = [flow.FlowBasedHaplotype(
+        np.frombuffer(bytes(hap_ref.fetch_bytes(n)), np.uint8), args.flow_order)
+        for n in hap_names]
+    reads = [r for r in open_reads(args.input) if len(r.bases)]
+    freads = [flow.flow_read_from_sam(r, args.flow_order) for r in reads]
+    mat = flow_pairhmm.compute_flow_likelihood_matrix(fhaps, freads)
+    with open(args.output, "w") as fh:
+        fh.write("read\t" + "\t".join(hap_names) + "\n")
+        for ri, r in enumerate(reads):
+            fh.write(r.name + "\t" + "\t".join(
+                f"{mat[ri, hi]:.4f}" for hi in range(len(hap_names))) + "\n")
+    print(f"scored {len(reads)} reads x {len(hap_names)} haplotypes")
+    return 0

@@ -278,3 +278,40 @@ def test_vcf_comparator(tmp_path):
         TOOL_REGISTRY["VCFComparator"](["-V", a, "-V", e4])
     assert TOOL_REGISTRY["VCFComparator"](
         ["-V", a, "-V", e4, "--dp-change-allowed", "5"]) == 0
+
+
+def test_compare_references(tmp_path, capsys):
+    a = tmp_path / "a.fa"
+    b = tmp_path / "b.fa"
+    a.write_text(">chr1\nACGTACGT\n>chr2\nGGGG\n")
+    b.write_text(">chr1\nACGTACGT\n>chr2\nGGCG\n")
+    out = tmp_path / "t.tsv"
+    assert TOOL_REGISTRY["CompareReferences"](
+        ["-R", str(a), "-refcomp", str(b), "-O", str(out),
+         "--base-comparison", "FIND_SNPS_ONLY"]) == 0
+    txt = capsys.readouterr().out
+    assert "SNP chr2:3 G->C" in txt and "1 differing sequences" in txt
+    rows = out.read_text().strip().splitlines()
+    assert rows[0].startswith("MD5\tLength")
+    assert len(rows) == 3
+
+
+def test_flow_pairhmm_align_reads_to_haplotypes(tmp_path):
+    haps = tmp_path / "h.fa"
+    seq = "ACGTTTGCAAGGCATCG"
+    alt = "ACGTTTGCATGGCATCG"
+    haps.write_text(f">hap1\n{seq}\n>hap2\n{alt}\n")
+    reads = [Read(name="r1", flag=0, ref_id=0, pos=0, mapq=60,
+                  cigar_ops=np.array([0], np.uint8),
+                  cigar_lens=np.array([len(seq)], np.int32),
+                  bases=np.frombuffer(seq.encode(), np.uint8).copy(),
+                  quals=np.full(len(seq), 30, np.uint8))]
+    bam = _mini_bam(tmp_path, reads, "flow.bam")
+    out = tmp_path / "m.tsv"
+    assert TOOL_REGISTRY["FlowPairHMMAlignReadsToHaplotypes"](
+        ["-I", bam, "-H", str(haps), "-O", str(out)]) == 0
+    rows = out.read_text().strip().splitlines()
+    assert rows[0] == "read\thap1\thap2"
+    vals = rows[1].split("\t")
+    # read matches hap1 exactly -> higher likelihood than hap2
+    assert float(vals[1]) > float(vals[2])
