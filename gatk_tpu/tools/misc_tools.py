@@ -887,3 +887,126 @@ def flow_pairhmm_align_reads_to_haplotypes(argv):
                 f"{mat[ri, hi]:.4f}" for hi in range(len(hap_names))) + "\n")
     print(f"scored {len(reads)} reads x {len(hap_names)} haplotypes")
     return 0
+
+
+@register_tool("RevertBaseQualityScores")
+def revert_base_quality_scores(argv):
+    """Restore original base qualities from the OQ tag
+    (RevertBaseQualityScores.java)."""
+    p = argparse.ArgumentParser(description="RevertBaseQualityScores")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    from ..io.cram import open_reads
+
+    src = open_reads(args.input)
+    w = bamio.BamWriter(args.output, src.header)
+    n = n_reverted = 0
+    for r in src:
+        oq = r.tags.get("OQ")
+        if isinstance(oq, str):
+            r.quals = (np.frombuffer(oq.encode(), np.uint8) - 33).astype(np.uint8)
+            del r.tags["OQ"]
+            n_reverted += 1
+        w.write(r)
+        n += 1
+    w.close()
+    print(f"reverted {n_reverted} of {n} reads")
+    return 0
+
+
+@register_tool("TransferReadTags")
+def transfer_read_tags(argv):
+    """Copy tags (e.g. RX/UMI) from an unmapped BAM onto the name-matched
+    reads of an aligned BAM (TransferReadTags.java)."""
+    p = argparse.ArgumentParser(description="TransferReadTags")
+    p.add_argument("-I", "--input", required=True, help="aligned BAM")
+    p.add_argument("--unmapped-sam", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--read-tags", action="append", default=["RX"])
+    args = p.parse_args(argv)
+    from ..io.cram import open_reads
+
+    tag_src: dict = {}
+    for r in open_reads(args.unmapped_sam):
+        tag_src[r.name] = {t: r.tags[t] for t in args.read_tags if t in r.tags}
+    src = open_reads(args.input)
+    w = bamio.BamWriter(args.output, src.header)
+    n = 0
+    for r in src:
+        extra = tag_src.get(r.name)
+        if extra:
+            r.tags.update(extra)
+        w.write(r)
+        n += 1
+    w.close()
+    print(f"transferred tags onto {n} reads")
+    return 0
+
+
+@register_tool("ReadAnonymizer")
+def read_anonymizer(argv):
+    """Replace read bases with the reference bases they align to (and quals
+    with a constant), de-identifying the sample (ReadAnonymizer.java)."""
+    p = argparse.ArgumentParser(description="ReadAnonymizer")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    from ..io import fasta, sam
+    from ..io.cram import open_reads
+
+    ref = fasta.FastaReference(args.reference)
+    src = open_reads(args.input, reference=ref)
+    names = [s.name for s in src.header.sequences]
+    w = bamio.BamWriter(args.output, src.header)
+    n = 0
+    for r in src:
+        if not r.is_unmapped and 0 <= r.ref_id < len(names):
+            ref_seg = ref.fetch_bytes(names[r.ref_id], r.pos, r.end)
+            new_bases = r.bases.copy()
+            read_i = 0
+            ref_i = 0
+            for op, ln in zip(r.cigar_ops, r.cigar_lens):
+                ln = int(ln)
+                if op in (sam.OP_M, sam.OP_EQ, sam.OP_X):
+                    new_bases[read_i : read_i + ln] = np.frombuffer(
+                        bytes(ref_seg[ref_i : ref_i + ln]), np.uint8)
+                    read_i += ln
+                    ref_i += ln
+                elif sam.CONSUMES_READ[op]:
+                    read_i += ln
+                elif sam.CONSUMES_REF[op]:
+                    ref_i += ln
+            r.bases = new_bases
+            r.quals = np.full(len(new_bases), 60, np.uint8)
+        w.write(r)
+        n += 1
+    w.close()
+    print(f"anonymized {n} reads")
+    return 0
+
+
+@register_tool("PrintDistantMates")
+def print_distant_mates(argv):
+    """Emit reads whose mate maps to another contig or far away
+    (PrintDistantMates.java)."""
+    p = argparse.ArgumentParser(description="PrintDistantMates")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--distance", type=int, default=2_000_000)
+    args = p.parse_args(argv)
+    from ..io.cram import open_reads
+
+    src = open_reads(args.input)
+    w = bamio.BamWriter(args.output, src.header)
+    n = 0
+    for r in src:
+        if r.is_unmapped or not r.is_paired or r.mate_is_unmapped:
+            continue
+        if r.mate_ref_id != r.ref_id or abs(r.mate_pos - r.pos) >= args.distance:
+            w.write(r)
+            n += 1
+    w.close()
+    print(f"wrote {n} distant-mate reads")
+    return 0

@@ -315,3 +315,61 @@ def test_flow_pairhmm_align_reads_to_haplotypes(tmp_path):
     vals = rows[1].split("\t")
     # read matches hap1 exactly -> higher likelihood than hap2
     assert float(vals[1]) > float(vals[2])
+
+
+def test_revert_base_quality_scores(tmp_path):
+    r = _read(quals=np.full(10, 20, np.uint8))
+    r.tags["OQ"] = "".join(chr(33 + 35) for _ in range(10))
+    src = _mini_bam(tmp_path, [r], "oq.bam")
+    out = tmp_path / "rev.bam"
+    assert TOOL_REGISTRY["RevertBaseQualityScores"](["-I", src, "-O", str(out)]) == 0
+    rr = next(iter(bamio.BamReader(str(out))))
+    assert rr.quals.tolist() == [35] * 10 and "OQ" not in rr.tags
+
+
+def test_transfer_read_tags(tmp_path):
+    aligned = _mini_bam(tmp_path, [_read(name="q1")], "al.bam")
+    un = _read(name="q1")
+    un.tags["RX"] = "AACCGG"
+    unmapped = _mini_bam(tmp_path, [un], "un.bam")
+    out = tmp_path / "tagged.bam"
+    assert TOOL_REGISTRY["TransferReadTags"](
+        ["-I", aligned, "--unmapped-sam", unmapped, "-O", str(out)]) == 0
+    rr = next(iter(bamio.BamReader(str(out))))
+    assert rr.tags["RX"] == "AACCGG"
+
+
+def test_read_anonymizer(tmp_path):
+    out = tmp_path / "anon.bam"
+    assert TOOL_REGISTRY["ReadAnonymizer"](
+        ["-I", BAM, "-R", FASTA, "-O", str(out)]) == 0
+    from gatk_tpu.io import fasta as fio
+
+    ref = fio.FastaReference(FASTA)
+    for i, r in enumerate(bamio.BamReader(str(out))):
+        if r.is_unmapped:
+            continue
+        # M-aligned bases now equal the reference
+        seg = ref.fetch_bytes("chrM", r.pos, r.end)
+        import gatk_tpu.io.sam as sam
+
+        if (r.cigar_ops == sam.OP_M).all() and len(r.bases) == len(seg):
+            assert bytes(r.bases) == bytes(seg)
+        if i > 50:
+            break
+
+
+def test_print_distant_mates(tmp_path):
+    near = _read(name="n")
+    near.flag = 0x1 | 0x2
+    near.mate_ref_id = 0
+    near.mate_pos = 200
+    far = _read(name="f", pos=100)
+    far.flag = 0x1
+    far.mate_ref_id = 0
+    far.mate_pos = 3_000_000
+    src = _mini_bam(tmp_path, [near, far], "dm.bam")
+    out = tmp_path / "dm_out.bam"
+    assert TOOL_REGISTRY["PrintDistantMates"](["-I", src, "-O", str(out)]) == 0
+    got = [r.name for r in bamio.BamReader(str(out))]
+    assert got == ["f"]
