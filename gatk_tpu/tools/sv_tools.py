@@ -811,3 +811,118 @@ def joint_germline_cnv_segmentation(argv):
     print(f"combined {len(flat)} segments from {len(samples)} samples into "
           f"{len(out)} CNV records -> {args.output}")
     return 0
+
+
+@register_tool("SiteDepthtoBAF")
+def site_depth_to_baf(argv):
+    """Convert SiteDepth counts at biallelic SNP sites into BafEvidence:
+    chi-square goodness-of-fit to the biallelic het model, then
+    alt/(ref+alt) fraction (sv/SiteDepthtoBAF.java:171-190 calcBAF, exact
+    chi-square on ref/alt depths with min-total-depth 10 and
+    min-het-probability 0.5 defaults)."""
+    import argparse as _ap
+    import gzip as _gz
+    import math as _math
+
+    from ..io import vcf as vcfio
+
+    p = _ap.ArgumentParser(description="SiteDepthtoBAF")
+    p.add_argument("--site-depth", "-F", action="append", required=True,
+                   help="SiteDepth tsv(.gz): contig pos sample dA dC dG dT")
+    p.add_argument("--baf-sites-vcf", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--min-total-depth", type=int, default=10)
+    p.add_argument("--min-het-probability", type=float, default=0.5)
+    args = p.parse_args(argv)
+    base_idx = {b: i for i, b in enumerate("ACGT")}
+    sites = {}
+    for v in vcfio.VcfReader(args.baf_sites_vcf):
+        if len(v.alts) == 1 and len(v.ref) == 1 and len(v.alts[0]) == 1:
+            sites[(v.contig, v.pos + 1)] = (base_idx.get(v.ref.upper()),
+                                            base_idx.get(v.alts[0].upper()))
+    rows = []
+    for path in args.site_depth:
+        op = _gz.open if path.endswith(".gz") else open
+        with op(path, "rt") as fh:
+            for line in fh:
+                if line.startswith("#"):
+                    continue
+                f = line.split()
+                contig, pos, sample = f[0], int(f[1]), f[2]
+                depths = [int(x) for x in f[3:7]]
+                idx = sites.get((contig, pos))
+                if idx is None or idx[0] is None or idx[1] is None:
+                    continue
+                ri, ai = idx
+                total = sum(depths)
+                if total < args.min_total_depth:
+                    continue
+                expect = total / 2.0
+                chi_sq = ((depths[ri] - expect) ** 2 + (depths[ai] - expect) ** 2) / expect
+                fit_prob = _math.erfc(_math.sqrt(chi_sq / 2.0))
+                if fit_prob < args.min_het_probability:
+                    continue
+                rows.append((contig, pos, sample, depths[ai] / total))
+    rows.sort()
+    op = _gz.open if args.output.endswith(".gz") else open
+    with op(args.output, "wt") as fh:
+        for contig, pos, sample, baf in rows:
+            fh.write(f"{contig}\t{pos - 1}\t{sample}\t{baf:.6g}\n")
+    print(f"wrote {len(rows)} BAF records")
+    return 0
+
+
+@register_tool("CondenseDepthEvidence")
+def condense_depth_evidence(argv):
+    """Merge adjacent DepthEvidence bins into intervals up to
+    --max-interval-size, summing per-sample counts
+    (sv/CondenseDepthEvidence.java)."""
+    import argparse as _ap
+    import gzip as _gz
+
+    p = _ap.ArgumentParser(description="CondenseDepthEvidence")
+    p.add_argument("-F", "--depth-evidence", required=True,
+                   help="rd.txt(.gz): contig start end counts...")
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--max-interval-size", type=int, default=1000)
+    p.add_argument("--min-interval-size", type=int, default=0)
+    args = p.parse_args(argv)
+    if args.min_interval_size > args.max_interval_size:
+        raise UserError("Minimum interval length exceeds maximum interval length.")
+    op = _gz.open if args.depth_evidence.endswith(".gz") else open
+    header_lines = []
+    acc = None
+    out_rows = []
+
+    def flush():
+        nonlocal acc
+        if acc is not None and acc[2] - acc[1] >= args.min_interval_size:
+            out_rows.append(acc)
+        acc = None
+
+    with op(args.depth_evidence, "rt") as fh:
+        for line in fh:
+            if line.startswith("#"):
+                header_lines.append(line)
+                continue
+            f = line.split()
+            contig, start, end = f[0], int(f[1]), int(f[2])
+            counts = [int(x) for x in f[3:]]
+            if acc is not None and acc[0] == contig and acc[2] == start \
+                    and (end - acc[1]) <= args.max_interval_size \
+                    and len(counts) == len(acc[3]):
+                acc = (contig, acc[1], end,
+                       [a + b for a, b in zip(acc[3], counts)])
+            else:
+                flush()
+                acc = (contig, start, end, counts)
+    flush()
+    opw = _gz.open if args.output.endswith(".gz") else open
+    with opw(args.output, "wt") as fh:
+        for h in header_lines:
+            fh.write(h)
+        for contig, start, end, counts in out_rows:
+            fh.write("\t".join([contig, str(start), str(end)] +
+                               [str(c) for c in counts]) + "\n")
+    print(f"condensed to {len(out_rows)} intervals")
+    return 0

@@ -373,3 +373,40 @@ def test_print_distant_mates(tmp_path):
     assert TOOL_REGISTRY["PrintDistantMates"](["-I", src, "-O", str(out)]) == 0
     got = [r.name for r in bamio.BamReader(str(out))]
     assert got == ["f"]
+
+
+def test_site_depth_to_baf(tmp_path):
+    sd = tmp_path / "sd.tsv"
+    # het site: 15/15 -> fits; hom site: 28/2 -> fails chi-square
+    sd.write_text("chr1\t100\tS1\t15\t0\t15\t0\n"
+                  "chr1\t200\tS1\t28\t0\t2\t0\n"
+                  "chr1\t300\tS1\t3\t0\t4\t0\n")  # depth < 10 -> dropped
+    sites = tmp_path / "sites.vcf"
+    sites.write_text("##fileformat=VCFv4.2\n"
+                     "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                     "chr1\t100\t.\tA\tG\t.\tPASS\t.\n"
+                     "chr1\t200\t.\tA\tG\t.\tPASS\t.\n"
+                     "chr1\t300\t.\tA\tG\t.\tPASS\t.\n")
+    out = tmp_path / "baf.tsv"
+    assert TOOL_REGISTRY["SiteDepthtoBAF"](
+        ["-F", str(sd), "--baf-sites-vcf", str(sites), "-O", str(out)]) == 0
+    rows = out.read_text().strip().splitlines()
+    assert len(rows) == 1
+    contig, pos, sample, baf = rows[0].split("\t")
+    assert (contig, pos, sample) == ("chr1", "99", "S1") and float(baf) == 0.5
+
+
+def test_condense_depth_evidence(tmp_path):
+    rd = tmp_path / "rd.txt"
+    rd.write_text("#Chr\tStart\tEnd\tS1\tS2\n"
+                  "chr1\t0\t100\t5\t7\n"
+                  "chr1\t100\t200\t3\t1\n"
+                  "chr1\t200\t300\t2\t2\n"      # would exceed 200 max -> new acc
+                  "chr1\t500\t600\t9\t9\n")     # gap -> separate
+    out = tmp_path / "m.txt"
+    assert TOOL_REGISTRY["CondenseDepthEvidence"](
+        ["-F", str(rd), "-O", str(out), "--max-interval-size", "200"]) == 0
+    rows = [l for l in out.read_text().splitlines() if not l.startswith("#")]
+    assert rows[0] == "chr1\t0\t200\t8\t8"
+    assert rows[1] == "chr1\t200\t300\t2\t2"
+    assert rows[2] == "chr1\t500\t600\t9\t9"
