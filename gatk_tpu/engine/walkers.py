@@ -49,7 +49,7 @@ class GATKTool:
 
     def __init__(self, reads_path=None, reference_path=None, intervals=None,
                  variant_path=None, read_filters=(), disable_read_filters=(),
-                 min_mapping_quality=None):
+                 min_mapping_quality=None, read_transformers=()):
         self.reads_path = reads_path
         self.reference_path = reference_path
         self.variant_path = variant_path
@@ -60,6 +60,16 @@ class GATKTool:
         self.filter_stack = filterlib.build_filter_stack(
             self.default_read_filters, enable=read_filters,
             disable=disable_read_filters, min_mapping_quality=min_mapping_quality)
+        # --read-transformer NAME plugins applied before the filter stack
+        # (GATKTool.makePreReadFilterTransformer + the transformer registry)
+        if read_transformers:
+            from . import transformers as trlib
+
+            self.transformer = trlib.compose(
+                *[trlib.TRANSFORMER_REGISTRY[n]() if n in trlib.TRANSFORMER_REGISTRY
+                  else _unknown_transformer(n) for n in read_transformers])
+        else:
+            self.transformer = None
         self.progress = ProgressMeter(self.tool_name, unit=self.progress_unit)
 
     # ---- data-source init (GATKTool.onStartup order :726-751) ----
@@ -121,8 +131,18 @@ class GATKTool:
     def _reads_over_targets(self):
         for target in self.targets:
             for read in self.reads.query(target.contig, target.start, target.end):
+                if self.transformer is not None:
+                    read = self.transformer(read)
+                    if read is None:
+                        continue
                 if self.filter_stack(read):
                     yield target, read
+
+
+def _unknown_transformer(name):
+    from ..utils.errors import UserError
+
+    raise UserError(f"unknown read transformer: {name}")
 
 
 class ReadWalker(GATKTool):

@@ -206,3 +206,20 @@ def test_reference_walker_windows():
 
     W(reference_path=MITO_FA, intervals=["chrM:1-10000"]).run()
     assert windows == [(0, 4000, 4000), (4000, 8000, 4000), (8000, 10000, 2000)]
+
+
+def test_read_walker_with_transformer(tmp_path):
+    from gatk_tpu.utils.errors import UserError as UE
+
+    r = _read("q/1", 100)
+    path = _bam(tmp_path, [r])
+    names = []
+
+    class W(ReadWalker):
+        def apply(self, read, ctx):
+            names.append(read.name)
+
+    W(reads_path=path, read_transformers=["StripMateNumberTransformer"]).run()
+    assert names == ["q"]
+    with pytest.raises(UE):
+        W(reads_path=path, read_transformers=["NoSuchTransformer"])
