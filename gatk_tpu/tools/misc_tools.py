@@ -1010,3 +1010,45 @@ def print_distant_mates(argv):
     w.close()
     print(f"wrote {n} distant-mate reads")
     return 0
+
+
+@register_tool("GenerateToolDocs")
+def generate_tool_docs(argv):
+    """Render per-tool help and an index into a docs directory — the Barclay
+    gatkDoc equivalent over the argparse registry (Main.java doc-gen task;
+    help text comes from each tool's parser like Barclay's @Argument docs)."""
+    p = argparse.ArgumentParser(description="GenerateToolDocs")
+    p.add_argument("-O", "--output-dir", required=True)
+    args = p.parse_args(argv)
+    import contextlib
+    import io
+    import os
+
+    from ..cli import TOOL_REGISTRY
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    index = ["# gatk_tpu tool documentation", ""]
+    n = 0
+    for name in sorted(TOOL_REGISTRY):
+        if name == "GenerateToolDocs":
+            continue
+        fn = TOOL_REGISTRY[name]
+        summary = (fn.__doc__ or "").strip().splitlines()
+        summary = summary[0] if summary else ""
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                fn(["--help"])
+        except SystemExit:
+            pass
+        except Exception:  # tools without argparse help
+            pass
+        help_text = buf.getvalue()
+        with open(os.path.join(args.output_dir, f"{name}.md"), "w") as fh:
+            fh.write(f"# {name}\n\n{summary}\n\n```\n{help_text}\n```\n")
+        index.append(f"- [{name}]({name}.md) — {summary}")
+        n += 1
+    with open(os.path.join(args.output_dir, "index.md"), "w") as fh:
+        fh.write("\n".join(index) + "\n")
+    print(f"documented {n} tools in {args.output_dir}")
+    return 0

@@ -410,3 +410,12 @@ def test_condense_depth_evidence(tmp_path):
     assert rows[0] == "chr1\t0\t200\t8\t8"
     assert rows[1] == "chr1\t200\t300\t2\t2"
     assert rows[2] == "chr1\t500\t600\t9\t9"
+
+
+def test_generate_tool_docs(tmp_path):
+    out = tmp_path / "docs"
+    assert TOOL_REGISTRY["GenerateToolDocs"](["-O", str(out)]) == 0
+    index = (out / "index.md").read_text()
+    assert "[HaplotypeCaller](HaplotypeCaller.md)" in index
+    hc = (out / "HaplotypeCaller.md").read_text()
+    assert "usage:" in hc and "--output" in hc
