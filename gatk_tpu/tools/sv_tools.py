@@ -926,3 +926,191 @@ def condense_depth_evidence(argv):
                                [str(c) for c in counts]) + "\n")
     print(f"condensed to {len(out_rows)} intervals")
     return 0
+
+
+def _load_strata(config_path, tracks):
+    """Parse the stratification config TSV: NAME SVTYPE MIN_SIZE MAX_SIZE
+    TRACKS (sv/stratify/SVStratificationEngine.java:140-155). tracks: dict
+    name -> list[(contig, start, end)]."""
+    strata = []
+    with open(config_path) as fh:
+        header = None
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if header is None:
+                header = [c.upper() for c in f]
+                continue
+            if not line.strip():
+                continue
+            row = dict(zip(header, f))
+            min_size = row.get("MIN_SIZE", "")
+            max_size = row.get("MAX_SIZE", "")
+            track_names = [t for t in row.get("TRACKS", "").split(",") if t and t != "NULL"]
+            for t in track_names:
+                if t not in tracks:
+                    from ..cli import UserError
+
+                    raise UserError(f"stratification track {t} not provided")
+            strata.append(dict(
+                name=row["NAME"],
+                svtype=row.get("SVTYPE") or None,
+                min_size=int(min_size) if min_size not in ("", "-1", "NULL") else None,
+                max_size=int(max_size) if max_size not in ("", "-1", "NULL") else None,
+                tracks=track_names))
+    return strata
+
+
+def _stratum_matches(stratum, contig, start, end, svtype, tracks,
+                     overlap_fraction=0.0):
+    """Stratum.matches (SVStratificationEngine.java:116-125): type, size range
+    [min, max), and minimum overlap fraction with every named track."""
+    if stratum["svtype"] is not None and svtype != stratum["svtype"]:
+        return False
+    size = max(0, end - start)
+    if stratum["min_size"] is not None and size < stratum["min_size"]:
+        return False
+    if stratum["max_size"] is not None and size >= stratum["max_size"]:
+        return False
+    for t in stratum["tracks"]:
+        spans = [s for s in tracks[t] if s[0] == contig]
+        cov = sum(max(0, min(end, e) - max(start, s)) for _c, s, e in spans)
+        denom = max(1, size)
+        if cov / denom < max(overlap_fraction, 1e-9):
+            return False
+    return True
+
+
+@register_tool("SVStratify")
+def sv_stratify(argv):
+    """Annotate SV records with stratification-group names (STRAT INFO key)
+    from a NAME/SVTYPE/MIN_SIZE/MAX_SIZE/TRACKS config, optionally splitting
+    one VCF per group (walkers/sv/SVStratify.java)."""
+    from ..cli import UserError
+    from ..engine import intervals as iv
+    from ..io import vcf as vcfio
+
+    p = argparse.ArgumentParser(description="SVStratify")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--stratify-config", required=True)
+    p.add_argument("--track-name", action="append", default=[])
+    p.add_argument("--track-intervals", action="append", default=[])
+    p.add_argument("--stratify-overlap-fraction", type=float, default=0.0)
+    p.add_argument("--split-output", action="store_true")
+    p.add_argument("--output-prefix", default="stratified")
+    args = p.parse_args(argv)
+    if len(args.track_name) != len(args.track_intervals):
+        raise UserError("--track-name and --track-intervals must pair up")
+    tracks = {}
+    for name, path in zip(args.track_name, args.track_intervals):
+        tracks[name] = [(t.contig, t.start, t.end)
+                        for t in iv.load_interval_file(path)]
+    strata = _load_strata(args.stratify_config, tracks)
+    reader = vcfio.VcfReader(args.variant)
+    headers = list(reader.header_lines) + [
+        '##INFO=<ID=STRAT,Number=.,Type=String,Description="Stratification groups">']
+    writers = {}
+    if args.split_output:
+        import os
+
+        os.makedirs(args.output, exist_ok=True)
+        for st in strata + [dict(name="default")]:
+            writers[st["name"]] = vcfio.VcfWriter(
+                f"{args.output}/{args.output_prefix}.{st['name']}.vcf",
+                reader.samples, extra_header_lines=headers)
+    else:
+        writers[None] = vcfio.VcfWriter(args.output, reader.samples,
+                                        extra_header_lines=headers)
+    n = 0
+    for v in reader:
+        svtype = str(v.info.get("SVTYPE", "BND"))
+        end = int(v.info.get("END", v.pos + len(v.ref)))
+        groups = [st["name"] for st in strata
+                  if _stratum_matches(st, v.contig, v.pos, end, svtype, tracks,
+                                      args.stratify_overlap_fraction)]
+        if not groups:
+            groups = ["default"]
+        info = dict(v.info)
+        info["STRAT"] = ",".join(groups)
+        v.info = info
+        if args.split_output:
+            for g in groups:
+                writers[g].write(v)
+        else:
+            writers[None].write(v)
+        n += 1
+    for w in writers.values():
+        w.close()
+    print(f"stratified {n} records into {len(strata)} groups (+default)")
+    return 0
+
+
+@register_tool("GroupedSVCluster")
+def grouped_sv_cluster(argv):
+    """Cluster SVs separately within each stratification group
+    (walkers/sv/GroupedSVCluster.java): records are stratified as in
+    SVStratify, then each group is clustered with SVCluster and the results
+    merged in coordinate order."""
+    import os
+    import tempfile
+
+    from ..cli import TOOL_REGISTRY
+    from ..engine import intervals as iv
+    from ..io import vcf as vcfio
+
+    p = argparse.ArgumentParser(description="GroupedSVCluster")
+    p.add_argument("-V", "--variant", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--stratify-config", required=True)
+    p.add_argument("--track-name", action="append", default=[])
+    p.add_argument("--track-intervals", action="append", default=[])
+    p.add_argument("--depth-interval-overlap", type=float, default=0.8)
+    p.add_argument("--pesr-interval-overlap", type=float, default=0.5)
+    p.add_argument("--pesr-breakend-window", type=int, default=500)
+    args = p.parse_args(argv)
+    tracks = {}
+    for name, path in zip(args.track_name, args.track_intervals):
+        tracks[name] = [(t.contig, t.start, t.end)
+                        for t in iv.load_interval_file(path)]
+    strata = _load_strata(args.stratify_config, tracks)
+    # bucket records per group
+    groups: dict = {st["name"]: [] for st in strata}
+    groups["default"] = []
+    samples = None
+    headers = None
+    for path in args.variant:
+        reader = vcfio.VcfReader(path)
+        samples = samples or reader.samples
+        headers = headers or reader.header_lines
+        for v in reader:
+            svtype = str(v.info.get("SVTYPE", "BND"))
+            end = int(v.info.get("END", v.pos + len(v.ref)))
+            matched = [st["name"] for st in strata
+                       if _stratum_matches(st, v.contig, v.pos, end, svtype, tracks)]
+            groups[matched[0] if matched else "default"].append(v)
+    out_records = []
+    with tempfile.TemporaryDirectory() as td:
+        for gname, records in groups.items():
+            if not records:
+                continue
+            gin = os.path.join(td, f"{gname}.vcf")
+            gout = os.path.join(td, f"{gname}.out.vcf")
+            w = vcfio.VcfWriter(gin, samples, extra_header_lines=headers)
+            for v in records:
+                w.write(v)
+            w.close()
+            TOOL_REGISTRY["SVCluster"]([
+                "-V", gin, "-O", gout,
+                "--depth-interval-overlap", str(args.depth_interval_overlap),
+                "--pesr-interval-overlap", str(args.pesr_interval_overlap),
+                "--pesr-breakend-window", str(args.pesr_breakend_window),
+                "--variant-prefix", f"SV_{gname}_"])
+            out_records.extend(vcfio.VcfReader(gout))
+    out_records.sort(key=lambda v: (v.contig, v.pos))
+    w = vcfio.VcfWriter(args.output, samples or [], extra_header_lines=headers or [])
+    for v in out_records:
+        w.write(v)
+    w.close()
+    print(f"clustered {sum(len(g) for g in groups.values())} records "
+          f"-> {len(out_records)} across {len(groups)} strata")
+    return 0

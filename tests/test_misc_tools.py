@@ -419,3 +419,64 @@ def test_generate_tool_docs(tmp_path):
     assert "[HaplotypeCaller](HaplotypeCaller.md)" in index
     hc = (out / "HaplotypeCaller.md").read_text()
     assert "usage:" in hc and "--output" in hc
+
+
+def _sv_vcf(tmp_path, name, rows):
+    p = tmp_path / name
+    with open(p, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n")
+        for pos, end, svtype in rows:
+            fh.write(f"chr1\t{pos}\t.\tN\t<{svtype}>\t.\tPASS\t"
+                     f"END={end};SVTYPE={svtype};ALGORITHMS=pesr\tGT\t0/1\n")
+    return str(p)
+
+
+def test_sv_stratify(tmp_path):
+    vcf_path = _sv_vcf(tmp_path, "sv.vcf", [
+        (1000, 1200, "DEL"),      # small DEL
+        (5000, 95000, "DEL"),     # large DEL
+        (2000, 2300, "DUP")])     # DUP -> default
+    cfg = tmp_path / "strata.tsv"
+    cfg.write_text("NAME\tSVTYPE\tMIN_SIZE\tMAX_SIZE\tTRACKS\n"
+                   "DEL_small\tDEL\t0\t1000\t\n"
+                   "DEL_large\tDEL\t1000\t-1\t\n")
+    out = tmp_path / "strat.vcf"
+    assert TOOL_REGISTRY["SVStratify"](
+        ["-V", vcf_path, "-O", str(out), "--stratify-config", str(cfg)]) == 0
+    recs = list(vcfio.VcfReader(str(out)))
+    assert [r.info["STRAT"] for r in recs] == ["DEL_small", "DEL_large", "default"]
+
+
+def test_sv_stratify_with_track(tmp_path):
+    vcf_path = _sv_vcf(tmp_path, "sv.vcf", [(1000, 1500, "DEL"),
+                                            (9000, 9500, "DEL")])
+    track = tmp_path / "sd.bed"
+    track.write_text("chr1\t900\t1600\n")  # covers only the first record
+    cfg = tmp_path / "strata.tsv"
+    cfg.write_text("NAME\tSVTYPE\tMIN_SIZE\tMAX_SIZE\tTRACKS\n"
+                   "DEL_SD\tDEL\t-1\t-1\tSD\n")
+    out = tmp_path / "strat.vcf"
+    assert TOOL_REGISTRY["SVStratify"](
+        ["-V", vcf_path, "-O", str(out), "--stratify-config", str(cfg),
+         "--track-name", "SD", "--track-intervals", str(track),
+         "--stratify-overlap-fraction", "0.5"]) == 0
+    recs = list(vcfio.VcfReader(str(out)))
+    assert recs[0].info["STRAT"] == "DEL_SD"
+    assert recs[1].info["STRAT"] == "default"
+
+
+def test_grouped_sv_cluster(tmp_path):
+    # two small DELs that overlap (cluster together) + one large DEL
+    a = _sv_vcf(tmp_path, "a.vcf", [(1000, 1400, "DEL"), (5000, 90000, "DEL")])
+    b = _sv_vcf(tmp_path, "b.vcf", [(1050, 1420, "DEL")])
+    cfg = tmp_path / "strata.tsv"
+    cfg.write_text("NAME\tSVTYPE\tMIN_SIZE\tMAX_SIZE\tTRACKS\n"
+                   "DEL_small\tDEL\t0\t5000\t\n"
+                   "DEL_large\tDEL\t5000\t-1\t\n")
+    out = tmp_path / "cl.vcf"
+    assert TOOL_REGISTRY["GroupedSVCluster"](
+        ["-V", a, "-V", b, "-O", str(out), "--stratify-config", str(cfg)]) == 0
+    recs = list(vcfio.VcfReader(str(out)))
+    # 3 input records -> 2 clusters (the overlapping small DELs merge)
+    assert len(recs) == 2
