@@ -1052,3 +1052,55 @@ def generate_tool_docs(argv):
         fh.write("\n".join(index) + "\n")
     print(f"documented {n} tools in {args.output_dir}")
     return 0
+
+
+@register_tool("SplitCRAM")
+def split_cram(argv):
+    """Split a CRAM (or BAM) into shards of at least --shard-records records
+    (tools/SplitCRAM.java; output template must contain %d)."""
+    p = argparse.ArgumentParser(description="SplitCRAM")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True,
+                   help="template containing %%d, e.g. shard_%%04d.cram")
+    p.add_argument("--shard-records", type=int, default=10_000_000)
+    p.add_argument("--shard-max-output-count", type=int, default=0)
+    p.add_argument("-R", "--reference", default=None)
+    args = p.parse_args(argv)
+    if "%" not in args.output:
+        raise UserError("output template must contain %d")
+    from ..io.cram import open_reads
+    from ..io.cram_writer import CramWriter
+
+    ref = None
+    if args.reference:
+        from ..io import fasta
+
+        ref = fasta.FastaReference(args.reference)
+    src = open_reads(args.input, reference=ref)
+
+    def make_writer(idx):
+        path = args.output % idx
+        if path.endswith(".cram"):
+            return path, CramWriter(path, src.header)
+        return path, bamio.BamWriter(path, src.header)
+
+    shard = 0
+    in_shard = 0
+    total = 0
+    path, w = make_writer(shard)
+    paths = [path]
+    for r in src:
+        if in_shard >= args.shard_records:
+            w.close()
+            if args.shard_max_output_count and shard + 1 >= args.shard_max_output_count:
+                break
+            shard += 1
+            in_shard = 0
+            path, w = make_writer(shard)
+            paths.append(path)
+        w.write(r)
+        in_shard += 1
+        total += 1
+    w.close()
+    print(f"split {total} records into {len(paths)} shards")
+    return 0

@@ -480,3 +480,15 @@ def test_grouped_sv_cluster(tmp_path):
     recs = list(vcfio.VcfReader(str(out)))
     # 3 input records -> 2 clusters (the overlapping small DELs merge)
     assert len(recs) == 2
+
+
+def test_split_cram(tmp_path):
+    reads = [_read(name=f"r{i}", pos=100 + i) for i in range(10)]
+    src = _mini_bam(tmp_path, reads, "all.bam")
+    tmpl = str(tmp_path / "shard_%02d.bam")
+    assert TOOL_REGISTRY["SplitCRAM"](
+        ["-I", src, "-O", tmpl, "--shard-records", "4"]) == 0
+    counts = []
+    for i in range(3):
+        counts.append(sum(1 for _ in bamio.BamReader(tmpl % i)))
+    assert counts == [4, 4, 2]
