@@ -1104,3 +1104,156 @@ def split_cram(argv):
     w.close()
     print(f"split {total} records into {len(paths)} shards")
     return 0
+
+
+@register_tool("MethylationTypeCaller")
+def methylation_type_caller(argv):
+    """Call methylation-state coverage from a bisulfite BAM: at reference C
+    sites, unconverted=C / converted=T on forward-strand reads (alt T); at
+    reference G sites, unconverted=G / converted=A on reverse-strand reads
+    (alt A); emits sites with any methylation coverage with
+    UNCONVERTED_BASE_COV / CONVERTED_BASE_COV / REFERENCE_CONTEXT INFO
+    (walkers/MethylationTypeCaller.java:92-150, exact keys)."""
+    p = argparse.ArgumentParser(description="MethylationTypeCaller")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    args = p.parse_args(argv)
+    from ..engine import pileup as pileup_mod
+    from ..io import fasta
+    from ..io.cram import open_reads
+
+    ref = fasta.FastaReference(args.reference)
+    src = open_reads(args.input, reference=ref)
+    lengths = {s.name: s.length for s in src.header.sequences}
+    targets = (iv.parse_intervals_arg(args.intervals, lengths) if args.intervals
+               else [iv.Interval(n, l and 0, l) for n, l in lengths.items()])
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    w = vcfio.VcfWriter(args.output, [], extra_header_lines=[
+        '##INFO=<ID=UNCONVERTED_BASE_COV,Number=1,Type=Integer,Description="Count of reads supporting methylation that are unconverted">',
+        '##INFO=<ID=CONVERTED_BASE_COV,Number=1,Type=Integer,Description="Count of reads supporting methylation that are converted">',
+        '##INFO=<ID=REFERENCE_CONTEXT,Number=1,Type=String,Description="Forward Strand Reference context">'])
+    n = 0
+    for t in targets:
+        span = t.end - t.start
+        fwd = {b: np.zeros(span, np.int32) for b in "ACGT"}
+        rev = {b: np.zeros(span, np.int32) for b in "ACGT"}
+        for r in src.query(t.contig, t.start, t.end):
+            if r.is_unmapped or r.is_duplicate or r.is_secondary:
+                continue
+            pos, base, _q, flags = pileup_mod.expand_read(r)
+            sel = (pos >= t.start) & (pos < t.end) & \
+                  ((flags & pileup_mod.F_DELETION) == 0)
+            tgt = rev if r.is_reverse else fwd
+            idx = (pos[sel] - t.start).astype(np.int64)
+            bs = base[sel]
+            for b in "ACGT":
+                np.add.at(tgt[b], idx[bs == ord(b)], 1)
+        ref_seq = bytes(ref.fetch_bytes(t.contig, t.start,
+                                        min(t.end + 2, ref.contig_length(t.contig))))
+        for i in range(span):
+            rb = chr(ref_seq[i]).upper()
+            if rb == "C":
+                unconv, conv = int(fwd["C"][i]), int(fwd["T"][i])
+                alt = "T"
+                context = ref_seq[i : i + 2].decode().upper()
+            elif rb == "G":
+                unconv, conv = int(rev["G"][i]), int(rev["A"][i])
+                alt = "A"
+                raw = ref_seq[max(0, i - 1) : i + 1].decode().upper()
+                context = "".join(comp.get(c, "N") for c in raw[::-1])
+            else:
+                continue
+            if unconv + conv == 0:
+                continue
+            w.write(vcfio.Variant(
+                t.contig, t.start + i, rb, (alt,),
+                info={"UNCONVERTED_BASE_COV": str(unconv),
+                      "CONVERTED_BASE_COV": str(conv),
+                      "REFERENCE_CONTEXT": context}))
+            n += 1
+    w.close()
+    print(f"wrote {n} methylation records")
+    return 0
+
+
+@register_tool("EvaluateInfoFieldConcordance")
+def evaluate_info_field_concordance(argv):
+    """Compare a numeric INFO field between matched records of two VCFs:
+    SNP/indel mean difference + std (walkers/vqsr/
+    EvaluateInfoFieldConcordance.java)."""
+    p = argparse.ArgumentParser(description="EvaluateInfoFieldConcordance")
+    p.add_argument("--eval", required=True)
+    p.add_argument("--truth", required=True)
+    p.add_argument("--eval-info-key", required=True)
+    p.add_argument("--truth-info-key", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--epsilon", type=float, default=1e-7)
+    args = p.parse_args(argv)
+    truth = {(v.contig, v.pos, v.ref, tuple(v.alts)): v
+             for v in vcfio.VcfReader(args.truth)}
+    snp_d, indel_d = [], []
+    for v in vcfio.VcfReader(args.eval):
+        tv = truth.get((v.contig, v.pos, v.ref, tuple(v.alts)))
+        if tv is None:
+            continue
+        a, b = v.info.get(args.eval_info_key), tv.info.get(args.truth_info_key)
+        if a is None or b is None:
+            continue
+        try:
+            d = abs(float(str(a).split(",")[0]) - float(str(b).split(",")[0]))
+        except ValueError:
+            continue
+        is_snp = len(v.ref) == 1 and all(len(x) == 1 for x in v.alts)
+        (snp_d if is_snp else indel_d).append(d)
+    with open(args.output, "w") as fh:
+        fh.write("type\tcount\tmean_abs_diff\tstd\n")
+        for name, vals in (("SNP", snp_d), ("INDEL", indel_d)):
+            if vals:
+                fh.write(f"{name}\t{len(vals)}\t{np.mean(vals):.6f}\t{np.std(vals):.6f}\n")
+            else:
+                fh.write(f"{name}\t0\tNA\tNA\n")
+    bad = [d for d in snp_d + indel_d if d > args.epsilon]
+    print(f"{len(snp_d)} SNPs, {len(indel_d)} indels compared; "
+          f"{len(bad)} above epsilon")
+    return 0
+
+
+@register_tool("CountFalsePositives")
+def count_false_positives(argv):
+    """Count PASS variants outside truth intervals, per type, normalized by
+    callable territory (walkers/validation/CountFalsePositives.java)."""
+    p = argparse.ArgumentParser(description="CountFalsePositives")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-L", "--intervals", required=True,
+                   help="callable intervals file")
+    p.add_argument("--truth", default=None, help="truth VCF; sites in it are TP")
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    targets = iv.load_interval_file(args.intervals)
+    territory = sum(t.end - t.start for t in targets)
+    truth_keys = set()
+    if args.truth:
+        truth_keys = {(v.contig, v.pos, v.ref, tuple(v.alts))
+                      for v in vcfio.VcfReader(args.truth)}
+    snp_fp = indel_fp = 0
+    for v in vcfio.VcfReader(args.variant):
+        if v.filters and v.filters != ("PASS",):
+            continue
+        if (v.contig, v.pos, v.ref, tuple(v.alts)) in truth_keys:
+            continue
+        if not any(v.contig == t.contig and t.start <= v.pos < t.end
+                   for t in targets):
+            continue
+        if len(v.ref) == 1 and all(len(a) == 1 for a in v.alts):
+            snp_fp += 1
+        else:
+            indel_fp += 1
+    with open(args.output, "w") as fh:
+        fh.write("type\tfalse_positives\tterritory_bp\tfp_per_mb\n")
+        for name, c in (("SNP", snp_fp), ("INDEL", indel_fp)):
+            rate = c / (territory / 1e6) if territory else 0.0
+            fh.write(f"{name}\t{c}\t{territory}\t{rate:.3f}\n")
+    print(f"SNP FP {snp_fp}, INDEL FP {indel_fp} over {territory} bp")
+    return 0

@@ -492,3 +492,66 @@ def test_split_cram(tmp_path):
     for i in range(3):
         counts.append(sum(1 for _ in bamio.BamReader(tmpl % i)))
     assert counts == [4, 4, 2]
+
+
+def test_methylation_type_caller(tmp_path):
+    # ref: ..C at idx5 (CG context), G at idx6..
+    fa = tmp_path / "m.fa"
+    fa.write_text(">chrM\n" + "AAAAACGAAAA" + "A" * 100 + "\n")
+    # forward read with converted T at idx5; reverse read with unconverted G at idx6
+    fwd = _read(name="f", pos=0, n=11)
+    fwd.bases = np.frombuffer(b"AAAAATGAAAA", np.uint8).copy()
+    rev = _read(name="r", pos=0, n=11)
+    rev.flag = 0x10
+    rev.bases = np.frombuffer(b"AAAAACGAAAA", np.uint8).copy()
+    bam = _mini_bam(tmp_path, [fwd, rev], "meth.bam")
+    out = tmp_path / "meth.vcf"
+    assert TOOL_REGISTRY["MethylationTypeCaller"](
+        ["-I", bam, "-R", str(fa), "-O", str(out), "-L", "chrM:1-11"]) == 0
+    recs = {v.pos: v for v in vcfio.VcfReader(str(out))}
+    c_site = recs[5]
+    assert c_site.ref == "C" and c_site.alts == ("T",)
+    assert c_site.info["CONVERTED_BASE_COV"] == "1"
+    assert c_site.info["UNCONVERTED_BASE_COV"] == "0"
+    assert c_site.info["REFERENCE_CONTEXT"] == "CG"
+    g_site = recs[6]
+    assert g_site.ref == "G" and g_site.alts == ("A",)
+    assert g_site.info["UNCONVERTED_BASE_COV"] == "1"
+    assert g_site.info["CONVERTED_BASE_COV"] == "0"
+    assert g_site.info["REFERENCE_CONTEXT"] == "CG"  # revcomp of CG
+
+
+def test_evaluate_info_field_concordance(tmp_path):
+    def write(name, qd):
+        p = tmp_path / name
+        p.write_text("##fileformat=VCFv4.2\n"
+                     "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                     f"chr1\t100\t.\tA\tG\t50\tPASS\tQD={qd}\n")
+        return str(p)
+
+    e = write("e.vcf", "12.5")
+    t = write("t.vcf", "12.0")
+    out = tmp_path / "c.tsv"
+    assert TOOL_REGISTRY["EvaluateInfoFieldConcordance"](
+        ["--eval", e, "--truth", t, "--eval-info-key", "QD",
+         "--truth-info-key", "QD", "-O", str(out)]) == 0
+    rows = out.read_text().strip().splitlines()
+    snp = rows[1].split("\t")
+    assert snp[0] == "SNP" and snp[1] == "1" and abs(float(snp[2]) - 0.5) < 1e-9
+
+
+def test_count_false_positives(tmp_path):
+    v = tmp_path / "v.vcf"
+    v.write_text("##fileformat=VCFv4.2\n"
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                 "chr1\t100\t.\tA\tG\t50\tPASS\t.\n"       # FP SNP
+                 "chr1\t200\t.\tAT\tA\t50\tPASS\t.\n"      # FP indel
+                 "chr1\t300\t.\tC\tT\t50\tartifact\t.\n"   # filtered -> skip
+                 "chr1\t9999\t.\tC\tT\t50\tPASS\t.\n")     # outside territory
+    bed = tmp_path / "c.bed"
+    bed.write_text("chr1\t0\t1000\n")
+    out = tmp_path / "fp.tsv"
+    assert TOOL_REGISTRY["CountFalsePositives"](
+        ["-V", str(v), "-L", str(bed), "-O", str(out)]) == 0
+    rows = [l.split("\t") for l in out.read_text().strip().splitlines()[1:]]
+    assert rows[0][:2] == ["SNP", "1"] and rows[1][:2] == ["INDEL", "1"]
