@@ -1257,3 +1257,96 @@ def count_false_positives(argv):
             fh.write(f"{name}\t{c}\t{territory}\t{rate:.3f}\n")
     print(f"SNP FP {snp_fp}, INDEL FP {indel_fp} over {territory} bp")
     return 0
+
+
+@register_tool("CheckReferenceCompatibility")
+def check_reference_compatibility(argv):
+    """Check a BAM/VCF sequence dictionary against a reference: name/length
+    (and MD5 where present) per contig
+    (tools/reference/CheckReferenceCompatibility.java)."""
+    p = argparse.ArgumentParser(description="CheckReferenceCompatibility")
+    p.add_argument("-refcomp", "--references-to-compare", required=True)
+    p.add_argument("-I", "--input", default=None, help="BAM with @SQ dictionary")
+    p.add_argument("-V", "--variant", default=None, help="VCF with ##contig lines")
+    p.add_argument("-O", "--output", default=None)
+    args = p.parse_args(argv)
+    from ..io import fasta
+
+    ref = fasta.FastaReference(args.references_to_compare)
+    dict_entries = []
+    if args.input:
+        from ..io.cram import open_reads
+
+        for s in open_reads(args.input).header.sequences:
+            dict_entries.append((s.name, s.length))
+    elif args.variant:
+        for line in vcfio.VcfReader(args.variant).header_lines:
+            if line.startswith("##contig="):
+                body = line[len("##contig=<"):].rstrip(">")
+                kv = dict(x.split("=", 1) for x in body.split(",") if "=" in x)
+                if "ID" in kv:
+                    dict_entries.append((kv["ID"], int(kv.get("length", -1))))
+    else:
+        raise UserError("provide -I or -V")
+    lines = ["contig\tstatus"]
+    compatible = True
+    for name, length in dict_entries:
+        if name not in ref.index:
+            lines.append(f"{name}\tMISSING_FROM_REFERENCE")
+            compatible = False
+        elif length >= 0 and ref.contig_length(name) != length:
+            lines.append(f"{name}\tLENGTH_MISMATCH "
+                         f"({length} vs {ref.contig_length(name)})")
+            compatible = False
+        else:
+            lines.append(f"{name}\tCOMPATIBLE")
+    text = "\n".join(lines) + ("\nCOMPATIBLE\n" if compatible else "\nINCOMPATIBLE\n")
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(text)
+    print(text, end="")
+    return 0 if compatible else 1
+
+
+@register_tool("PrintReadCounts")
+def print_read_counts(argv):
+    """Split a multi-sample DepthEvidence rd.txt (or pass through a counts
+    tsv) into per-sample counts files named {prefix}{sample}.counts.tsv
+    (sv/PrintReadCounts.java)."""
+    import gzip as _gz
+
+    p = argparse.ArgumentParser(description="PrintReadCounts")
+    p.add_argument("--input-counts", "-F", required=True)
+    p.add_argument("--output-prefix", required=True)
+    args = p.parse_args(argv)
+    path = args.input_counts
+    op = _gz.open if path.endswith(".gz") else open
+    with op(path, "rt") as fh:
+        lines = fh.read().splitlines()
+    if ".counts.tsv" in path:
+        out = f"{args.output_prefix}SAMPLE.counts.tsv"
+        with open(out, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        print(f"wrote {out}")
+        return 0
+    samples = None
+    rows = []
+    for line in lines:
+        if line.startswith("#"):
+            f = line.lstrip("#").split("\t")
+            if len(f) > 3:
+                samples = f[3:]
+            continue
+        rows.append(line.split("\t"))
+    if samples is None:
+        samples = [f"S{i}" for i in range(len(rows[0]) - 3)] if rows else []
+    outs = []
+    for si, sample in enumerate(samples):
+        out = f"{args.output_prefix}{sample}.counts.tsv"
+        with open(out, "w") as fh:
+            fh.write("CONTIG\tSTART\tEND\tCOUNT\n")
+            for f in rows:
+                fh.write(f"{f[0]}\t{int(f[1]) + 1}\t{f[2]}\t{f[3 + si]}\n")
+        outs.append(out)
+    print(f"wrote {len(outs)} counts files")
+    return 0

@@ -555,3 +555,29 @@ def test_count_false_positives(tmp_path):
         ["-V", str(v), "-L", str(bed), "-O", str(out)]) == 0
     rows = [l.split("\t") for l in out.read_text().strip().splitlines()[1:]]
     assert rows[0][:2] == ["SNP", "1"] and rows[1][:2] == ["INDEL", "1"]
+
+
+def test_check_reference_compatibility(tmp_path, capsys):
+    rc = TOOL_REGISTRY["CheckReferenceCompatibility"](
+        ["-refcomp", FASTA, "-I", BAM])
+    assert rc == 0
+    assert "COMPATIBLE" in capsys.readouterr().out
+    other = tmp_path / "o.fa"
+    other.write_text(">chrZ\nACGT\n")
+    rc = TOOL_REGISTRY["CheckReferenceCompatibility"](
+        ["-refcomp", str(other), "-I", BAM])
+    assert rc == 1
+
+
+def test_print_read_counts(tmp_path):
+    rd = tmp_path / "m.rd.txt"
+    rd.write_text("#Chr\tStart\tEnd\tS1\tS2\n"
+                  "chr1\t0\t100\t5\t7\n"
+                  "chr1\t100\t200\t3\t1\n")
+    prefix = str(tmp_path / "pc_")
+    assert TOOL_REGISTRY["PrintReadCounts"](
+        ["-F", str(rd), "--output-prefix", prefix]) == 0
+    s1 = (tmp_path / "pc_S1.counts.tsv").read_text().splitlines()
+    assert s1[1] == "chr1\t1\t100\t5" and s1[2] == "chr1\t101\t200\t3"
+    s2 = (tmp_path / "pc_S2.counts.tsv").read_text().splitlines()
+    assert s2[1].endswith("\t7")
