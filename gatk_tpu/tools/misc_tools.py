@@ -1350,3 +1350,113 @@ def print_read_counts(argv):
         outs.append(out)
     print(f"wrote {len(outs)} counts files")
     return 0
+
+
+@register_tool("DownsampleByDuplicateSet")
+def downsample_by_duplicate_set(argv):
+    """Drop a fraction of UMI duplicate sets (molecules) from a
+    UMI-grouped BAM, keeping whole molecules
+    (walkers/consensus/DownsampleByDuplicateSet.java). Molecules are keyed by
+    the MI tag when present, else (start, UMI from RX)."""
+    p = argparse.ArgumentParser(description="DownsampleByDuplicateSet")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--fraction-to-keep", type=float, required=True)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+    if not 0.0 <= args.fraction_to_keep <= 1.0:
+        raise UserError("fraction-to-keep must be in [0, 1]")
+    import hashlib
+
+    from ..io.cram import open_reads
+
+    src = open_reads(args.input)
+    w = bamio.BamWriter(args.output, src.header)
+    kept_sets = set()
+    dropped_sets = set()
+    n_reads = 0
+    for r in src:
+        key = r.tags.get("MI") or f"{min(r.pos, r.mate_pos)}:{r.tags.get('RX', '')}"
+        if key in dropped_sets:
+            continue
+        if key not in kept_sets:
+            h = hashlib.sha1(f"{args.seed}:{key}".encode()).digest()
+            if int.from_bytes(h[:8], "big") / 2**64 < args.fraction_to_keep:
+                kept_sets.add(key)
+            else:
+                dropped_sets.add(key)
+                continue
+        w.write(r)
+        n_reads += 1
+    w.close()
+    print(f"kept {len(kept_sets)} of {len(kept_sets) + len(dropped_sets)} "
+          f"duplicate sets ({n_reads} reads)")
+    return 0
+
+
+@register_tool("TagGermlineEvents")
+def tag_germline_events(argv):
+    """Tag tumor segments that match a normal's segments as
+    POSSIBLE_GERMLINE (copynumber/utils/TagGermlineEvents.java: reciprocal
+    match within --padding bp of both endpoints and same CALL)."""
+    p = argparse.ArgumentParser(description="TagGermlineEvents")
+    p.add_argument("--segments", "-S", required=True, help="tumor called .seg")
+    p.add_argument("--called-matched-normal-seg-file", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--germline-tag-padding", type=int, default=1000)
+    args = p.parse_args(argv)
+
+    def read_seg(path):
+        header = []
+        cols = None
+        rows = []
+        with open(path) as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if line.startswith("@"):
+                    header.append(line)
+                elif cols is None:
+                    cols = line.split("\t")
+                else:
+                    rows.append(line.split("\t"))
+        return header, cols, rows
+
+    header, cols, rows = read_seg(args.segments)
+    _h2, cols_n, rows_n = read_seg(args.called_matched_normal_seg_file)
+
+    def col(cs, *names):
+        for n in names:
+            if n in cs:
+                return cs.index(n)
+        return None
+
+    ci, si, ei = (col(cols, "CONTIG", "Chromosome"), col(cols, "START", "Start"),
+                  col(cols, "END", "End"))
+    calli = col(cols, "CALL", "Call")
+    ci_n, si_n, ei_n = (col(cols_n, "CONTIG", "Chromosome"),
+                        col(cols_n, "START", "Start"), col(cols_n, "END", "End"))
+    calli_n = col(cols_n, "CALL", "Call")
+    pad = args.germline_tag_padding
+    with open(args.output, "w") as fh:
+        for h in header:
+            fh.write(h + "\n")
+        fh.write("\t".join(cols + ["POSSIBLE_GERMLINE"]) + "\n")
+        n_tagged = 0
+        for row in rows:
+            tag = "0"
+            call = row[calli] if calli is not None else "0"
+            if call not in ("0", "", "."):
+                for rn in rows_n:
+                    if rn[ci_n] != row[ci]:
+                        continue
+                    call_n = rn[calli_n] if calli_n is not None else "0"
+                    if call_n != call:
+                        continue
+                    if abs(int(rn[si_n]) - int(row[si])) <= pad and \
+                            abs(int(rn[ei_n]) - int(row[ei])) <= pad:
+                        tag = "1"
+                        n_tagged += 1
+                        break
+            fh.write("\t".join(row + [tag]) + "\n")
+    print(f"tagged {n_tagged} segments as POSSIBLE_GERMLINE")
+    return 0

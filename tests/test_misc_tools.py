@@ -581,3 +581,39 @@ def test_print_read_counts(tmp_path):
     assert s1[1] == "chr1\t1\t100\t5" and s1[2] == "chr1\t101\t200\t3"
     s2 = (tmp_path / "pc_S2.counts.tsv").read_text().splitlines()
     assert s2[1].endswith("\t7")
+
+
+def test_downsample_by_duplicate_set(tmp_path):
+    reads = []
+    for mi in range(20):
+        for dup in range(3):
+            r = _read(name=f"m{mi}_{dup}", pos=100 + mi)
+            r.tags["MI"] = f"Z{mi}"
+            reads.append(r)
+    src = _mini_bam(tmp_path, reads, "umi.bam")
+    out = tmp_path / "ds.bam"
+    assert TOOL_REGISTRY["DownsampleByDuplicateSet"](
+        ["-I", src, "-O", str(out), "--fraction-to-keep", "0.5"]) == 0
+    got = list(bamio.BamReader(str(out)))
+    # whole molecules kept: read count divisible by 3
+    assert len(got) % 3 == 0 and 0 < len(got) < 60
+    kept_mis = {r.tags["MI"] for r in got}
+    assert all(sum(1 for r in got if r.tags["MI"] == mi) == 3 for mi in kept_mis)
+
+
+def test_tag_germline_events(tmp_path):
+    tumor = tmp_path / "t.seg"
+    tumor.write_text("CONTIG\tSTART\tEND\tCALL\n"
+                     "chr1\t1000\t5000\t+\n"
+                     "chr1\t10000\t20000\t-\n"
+                     "chr1\t30000\t40000\t0\n")
+    normal = tmp_path / "n.seg"
+    normal.write_text("CONTIG\tSTART\tEND\tCALL\n"
+                      "chr1\t1200\t5100\t+\n"       # within 1000 of tumor seg 1
+                      "chr1\t50000\t60000\t-\n")
+    out = tmp_path / "o.seg"
+    assert TOOL_REGISTRY["TagGermlineEvents"](
+        ["-S", str(tumor), "--called-matched-normal-seg-file", str(normal),
+         "-O", str(out)]) == 0
+    rows = [l.split("\t") for l in out.read_text().strip().splitlines()[1:]]
+    assert [r[-1] for r in rows] == ["1", "0", "0"]
