@@ -1460,3 +1460,89 @@ def tag_germline_events(argv):
             fh.write("\t".join(row + [tag]) + "\n")
     print(f"tagged {n_tagged} segments as POSSIBLE_GERMLINE")
     return 0
+
+
+@register_tool("AnnotateVcfWithExpectedAlleleFraction")
+def annotate_vcf_with_expected_allele_fraction(argv):
+    """Annotate a multi-sample VCF with the expected pooled allele fraction:
+    sum over samples of mixing_fraction * {0 hom-ref, 0.5 het, 1.0 hom-var}
+    (walkers/validation/AnnotateVcfWithExpectedAlleleFraction.java:38)."""
+    p = argparse.ArgumentParser(description="AnnotateVcfWithExpectedAlleleFraction")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--mixing-fractions", required=True,
+                   help="CalculateMixingFractions output table")
+    args = p.parse_args(argv)
+    fractions = {}
+    with open(args.mixing_fractions) as fh:
+        for i, line in enumerate(fh):
+            f = line.strip().split("\t")
+            if i == 0 or len(f) < 2:
+                continue
+            fractions[f[0]] = float(f[1])
+    reader = vcfio.VcfReader(args.variant)
+    headers = list(reader.header_lines) + [
+        '##INFO=<ID=AF_EXP,Number=1,Type=Float,Description="expected allele fraction in pooled bam">']
+    w = vcfio.VcfWriter(args.output, reader.samples, extra_header_lines=headers)
+    n = 0
+    for v in reader:
+        af = 0.0
+        for name, s in zip(reader.samples, v.samples):
+            gt = s.get("GT", "./.").replace("|", "/").split("/")
+            alts = sum(1 for t in gt if t not in ("0", ".", ""))
+            called = sum(1 for t in gt if t not in (".", ""))
+            if called:
+                af += fractions.get(name, 0.0) * (alts / called)
+        info = dict(v.info)
+        info["AF_EXP"] = f"{af:.6g}"
+        v.info = info
+        w.write(v)
+        n += 1
+    w.close()
+    print(f"annotated {n} variants with AF_EXP")
+    return 0
+
+
+@register_tool("MergeAnnotatedRegions")
+def merge_annotated_regions(argv):
+    """Merge touching/overlapping segments with identical annotation values
+    (copynumber/utils/MergeAnnotatedRegions.java)."""
+    p = argparse.ArgumentParser(description="MergeAnnotatedRegions")
+    p.add_argument("--segments", "-S", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--max-merge-distance", type=int, default=0)
+    args = p.parse_args(argv)
+    header = []
+    cols = None
+    rows = []
+    with open(args.segments) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if line.startswith("@"):
+                header.append(line)
+            elif cols is None:
+                cols = line.split("\t")
+            else:
+                rows.append(line.split("\t"))
+    ci, si, ei = cols.index("CONTIG"), cols.index("START"), cols.index("END")
+    ann_idx = [i for i in range(len(cols)) if i not in (ci, si, ei)]
+    rows.sort(key=lambda r: (r[ci], int(r[si])))
+    merged = []
+    for r in rows:
+        if merged:
+            m = merged[-1]
+            touching = (m[ci] == r[ci]
+                        and int(r[si]) <= int(m[ei]) + 1 + args.max_merge_distance)
+            same_ann = all(m[i] == r[i] for i in ann_idx)
+            if touching and same_ann:
+                m[ei] = str(max(int(m[ei]), int(r[ei])))
+                continue
+        merged.append(list(r))
+    with open(args.output, "w") as fh:
+        for h in header:
+            fh.write(h + "\n")
+        fh.write("\t".join(cols) + "\n")
+        for m in merged:
+            fh.write("\t".join(m) + "\n")
+    print(f"merged {len(rows)} segments into {len(merged)}")
+    return 0

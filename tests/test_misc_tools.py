@@ -617,3 +617,34 @@ def test_tag_germline_events(tmp_path):
          "-O", str(out)]) == 0
     rows = [l.split("\t") for l in out.read_text().strip().splitlines()[1:]]
     assert [r[-1] for r in rows] == ["1", "0", "0"]
+
+
+def test_annotate_vcf_with_expected_allele_fraction(tmp_path):
+    v = tmp_path / "v.vcf"
+    v.write_text("##fileformat=VCFv4.2\n"
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n"
+                 "chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT\t0/1\t1/1\n")
+    mix = tmp_path / "mix.table"
+    mix.write_text("SAMPLE\tMIXING_FRACTION\nS1\t0.4\nS2\t0.6\n")
+    out = tmp_path / "o.vcf"
+    assert TOOL_REGISTRY["AnnotateVcfWithExpectedAlleleFraction"](
+        ["-V", str(v), "-O", str(out), "--mixing-fractions", str(mix)]) == 0
+    rec = next(iter(vcfio.VcfReader(str(out))))
+    # 0.4*0.5 + 0.6*1.0 = 0.8
+    assert abs(float(rec.info["AF_EXP"]) - 0.8) < 1e-9
+
+
+def test_merge_annotated_regions(tmp_path):
+    seg = tmp_path / "s.seg"
+    seg.write_text("CONTIG\tSTART\tEND\tCALL\n"
+                   "chr1\t1\t100\t+\n"
+                   "chr1\t101\t200\t+\n"      # touching, same ann -> merge
+                   "chr1\t201\t300\t-\n"      # different ann -> separate
+                   "chr2\t1\t50\t+\n")
+    out = tmp_path / "m.seg"
+    assert TOOL_REGISTRY["MergeAnnotatedRegions"](
+        ["-S", str(seg), "-O", str(out)]) == 0
+    rows = [l.split("\t") for l in out.read_text().strip().splitlines()[1:]]
+    assert rows[0] == ["chr1", "1", "200", "+"]
+    assert rows[1] == ["chr1", "201", "300", "-"]
+    assert rows[2][0] == "chr2"
