@@ -1546,3 +1546,136 @@ def merge_annotated_regions(argv):
             fh.write("\t".join(m) + "\n")
     print(f"merged {len(rows)} segments into {len(merged)}")
     return 0
+
+
+@register_tool("CombineSegmentBreakpoints")
+def combine_segment_breakpoints(argv):
+    """Union the breakpoints of two segment files into non-overlapping
+    intervals carrying the selected annotation columns from each input
+    (suffixes applied on collision)
+    (copynumber/utils/CombineSegmentBreakpoints.java)."""
+    p = argparse.ArgumentParser(description="CombineSegmentBreakpoints")
+    p.add_argument("--segments", "-S", action="append", required=True)
+    p.add_argument("--labels", action="append", default=None)
+    p.add_argument("--columns-of-interest", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    if len(args.segments) != 2:
+        raise UserError("exactly two --segments inputs required")
+    labels = args.labels or ["1", "2"]
+
+    def read_seg(path):
+        cols = None
+        rows = []
+        with open(path) as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if line.startswith("@") or not line.strip():
+                    continue
+                if cols is None:
+                    cols = line.split("\t")
+                else:
+                    rows.append(dict(zip(cols, line.split("\t"))))
+        return cols, rows
+
+    cols_a, segs_a = read_seg(args.segments[0])
+    cols_b, segs_b = read_seg(args.segments[1])
+    interest = args.columns_of_interest
+    # output column names, suffixing collisions
+    out_cols = []
+    col_map = []  # (source_index, source_col, out_name)
+    for src_i, cols in ((0, cols_a), (1, cols_b)):
+        for c in interest:
+            if c not in cols:
+                continue
+            other = cols_b if src_i == 0 else cols_a
+            name = f"{c}_{labels[src_i]}" if c in other else c
+            out_cols.append(name)
+            col_map.append((src_i, c, name))
+    # breakpoint union per contig
+    contigs = sorted({s["CONTIG"] for s in segs_a + segs_b})
+    out_rows = []
+    for contig in contigs:
+        bps = set()
+        for s in segs_a + segs_b:
+            if s["CONTIG"] == contig:
+                bps.add(int(s["START"]))
+                bps.add(int(s["END"]) + 1)
+        bps = sorted(bps)
+        for lo, hi in zip(bps, bps[1:]):
+            start, end = lo, hi - 1
+            if end < start:
+                continue
+            row = {"CONTIG": contig, "START": str(start), "END": str(end)}
+            keep = False
+            for src_i, c, name in col_map:
+                segs = segs_a if src_i == 0 else segs_b
+                val = ""
+                for s in segs:
+                    if s["CONTIG"] == contig and int(s["START"]) <= start \
+                            and end <= int(s["END"]):
+                        val = s.get(c, "")
+                        keep = keep or bool(val)
+                        break
+                row[name] = val
+            if keep:
+                out_rows.append(row)
+    with open(args.output, "w") as fh:
+        hdr = ["CONTIG", "START", "END"] + out_cols
+        fh.write("\t".join(hdr) + "\n")
+        for row in out_rows:
+            fh.write("\t".join(row.get(c, "") for c in hdr) + "\n")
+    print(f"wrote {len(out_rows)} combined segments")
+    return 0
+
+
+@register_tool("FuncotateSegments")
+def funcotate_segments(argv):
+    """Annotate copy-number segments with the genes they overlap using the
+    GENCODE data source (funcotator/FuncotateSegments.java: genes column =
+    comma-separated gene list, gene_start/gene_end columns)."""
+    p = argparse.ArgumentParser(description="FuncotateSegments")
+    p.add_argument("--segments", "-S", required=True)
+    p.add_argument("--gtf", required=True, help="GENCODE GTF")
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    from ..funcotator.gencode import load_gtf
+
+    transcripts = load_gtf(args.gtf)
+    genes = {}
+    for t in transcripts.values():
+        key = (t.contig, t.gene_name)
+        if key in genes:
+            s, e = genes[key]
+            genes[key] = (min(s, t.start), max(e, t.end))
+        else:
+            genes[key] = (t.start, t.end)
+    header = []
+    cols = None
+    out = []
+    with open(args.segments) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if line.startswith("@"):
+                header.append(line)
+            elif cols is None:
+                cols = line.split("\t")
+            else:
+                f = dict(zip(cols, line.split("\t")))
+                contig, start, end = f["CONTIG"], int(f["START"]), int(f["END"])
+                hit = sorted(
+                    (gs, ge, name) for (c, name), (gs, ge) in genes.items()
+                    if c == contig and gs <= end and ge >= start)
+                f["genes"] = ",".join(n for _s, _e, n in hit)
+                f["gene_start"] = str(hit[0][0]) if hit else ""
+                f["gene_end"] = str(hit[-1][1]) if hit else ""
+                out.append(f)
+    with open(args.output, "w") as fh:
+        for h in header:
+            fh.write(h + "\n")
+        hdr = cols + ["genes", "gene_start", "gene_end"]
+        fh.write("\t".join(hdr) + "\n")
+        for f in out:
+            fh.write("\t".join(f.get(c, "") for c in hdr) + "\n")
+    print(f"funcotated {len(out)} segments")
+    return 0

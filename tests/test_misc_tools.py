@@ -648,3 +648,44 @@ def test_merge_annotated_regions(tmp_path):
     assert rows[0] == ["chr1", "1", "200", "+"]
     assert rows[1] == ["chr1", "201", "300", "-"]
     assert rows[2][0] == "chr2"
+
+
+def test_combine_segment_breakpoints(tmp_path):
+    a = tmp_path / "a.seg"
+    a.write_text("CONTIG\tSTART\tEND\tMEAN_LOG2_COPY_RATIO\n"
+                 "chr1\t100\t500\t0.5\n")
+    b = tmp_path / "b.seg"
+    b.write_text("CONTIG\tSTART\tEND\tCALL\n"
+                 "chr1\t300\t800\t+\n")
+    out = tmp_path / "c.seg"
+    assert TOOL_REGISTRY["CombineSegmentBreakpoints"](
+        ["-S", str(a), "-S", str(b),
+         "--columns-of-interest", "MEAN_LOG2_COPY_RATIO",
+         "--columns-of-interest", "CALL", "-O", str(out)]) == 0
+    rows = [l.split("\t") for l in out.read_text().strip().splitlines()]
+    assert rows[0] == ["CONTIG", "START", "END", "MEAN_LOG2_COPY_RATIO", "CALL"]
+    # 100-299 (a only), 300-500 (both), 501-800 (b only)
+    assert rows[1] == ["chr1", "100", "299", "0.5", ""]
+    assert rows[2] == ["chr1", "300", "500", "0.5", "+"]
+    assert rows[3] == ["chr1", "501", "800", "", "+"]
+
+
+def test_funcotate_segments(tmp_path):
+    gtf = tmp_path / "g.gtf"
+    gtf.write_text(
+        'chr1\tHAVANA\ttranscript\t150\t400\t.\t+\t.\tgene_name "TP53"; transcript_id "T1"; tag "basic";\n'
+        'chr1\tHAVANA\texon\t150\t400\t.\t+\t.\tgene_name "TP53"; transcript_id "T1";\n'
+        'chr1\tHAVANA\ttranscript\t600\t900\t.\t-\t.\tgene_name "EGFR"; transcript_id "T2"; tag "basic";\n'
+        'chr1\tHAVANA\texon\t600\t900\t.\t-\t.\tgene_name "EGFR"; transcript_id "T2";\n')
+    seg = tmp_path / "s.seg"
+    seg.write_text("CONTIG\tSTART\tEND\tCALL\n"
+                   "chr1\t100\t700\t+\n"
+                   "chr1\t1000\t2000\t0\n")
+    out = tmp_path / "f.seg"
+    assert TOOL_REGISTRY["FuncotateSegments"](
+        ["-S", str(seg), "--gtf", str(gtf), "-O", str(out)]) == 0
+    rows = [l.split("\t") for l in out.read_text().splitlines() if l]
+    hdr = rows[0]
+    gi = hdr.index("genes")
+    assert rows[1][gi] == "TP53,EGFR"
+    assert rows[2][gi] == ""
