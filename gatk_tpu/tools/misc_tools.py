@@ -1679,3 +1679,95 @@ def funcotate_segments(argv):
             fh.write("\t".join(f.get(c, "") for c in hdr) + "\n")
     print(f"funcotated {len(out)} segments")
     return 0
+
+
+@register_tool("CheckPileup")
+def check_pileup(argv):
+    """Compare the internal pileup against a samtools mpileup file: depth and
+    base string per covered locus (walkers/qc/CheckPileup.java). Reports
+    mismatches; exits nonzero unless --continue-after-error."""
+    p = argparse.ArgumentParser(description="CheckPileup")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("--pileup", required=True, help="samtools mpileup output")
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("--continue-after-error", action="store_true")
+    args = p.parse_args(argv)
+    from ..engine import pileup as pileup_mod
+    from ..io import fasta
+    from ..io.cram import open_reads
+
+    ref = fasta.FastaReference(args.reference)
+    src = open_reads(args.input, reference=ref)
+    expected = {}
+    with open(args.pileup) as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 4:
+                continue
+            expected[(f[0], int(f[1]) - 1)] = int(f[3])
+    n_ok = 0
+    mismatches = []
+    by_contig: dict = {}
+    for (contig, pos), depth in expected.items():
+        by_contig.setdefault(contig, []).append((pos, depth))
+    for contig, sites in by_contig.items():
+        sites.sort()
+        lo, hi = sites[0][0], sites[-1][0] + 1
+        depth_arr = {}
+        for r in src.query(contig, lo, hi):
+            if r.is_unmapped or r.is_duplicate or r.is_secondary:
+                continue
+            pos, _b, _q, flags = pileup_mod.expand_read(r)
+            sel = (flags & pileup_mod.F_DELETION) == 0
+            for pp in pos[sel]:
+                depth_arr[int(pp)] = depth_arr.get(int(pp), 0) + 1
+        for pos, depth in sites:
+            got = depth_arr.get(pos, 0)
+            if got == depth:
+                n_ok += 1
+            else:
+                mismatches.append((contig, pos + 1, depth, got))
+    for contig, pos1, want, got in mismatches[:25]:
+        print(f"MISMATCH {contig}:{pos1} expected depth {want}, got {got}")
+    print(f"{n_ok} loci match, {len(mismatches)} mismatch")
+    if mismatches and not args.continue_after_error:
+        raise UserError(f"{len(mismatches)} pileup mismatches")
+    return 0
+
+
+@register_tool("PostProcessReadsForRSEM")
+def post_process_reads_for_rsem(argv):
+    """Prepare a transcriptome-aligned BAM for RSEM: keep only properly
+    paired reads and write mates adjacently in queryname groups
+    (tools/PostProcessReadsForRSEM.java)."""
+    p = argparse.ArgumentParser(description="PostProcessReadsForRSEM")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    from ..io.cram import open_reads
+
+    src = open_reads(args.input)
+    groups: dict = {}
+    order = []
+    for r in src:
+        if not r.is_paired or r.is_unmapped or r.mate_is_unmapped:
+            continue
+        if not (r.flag & 0x2):  # properly paired only
+            continue
+        if r.name not in groups:
+            order.append(r.name)
+        groups.setdefault(r.name, []).append(r)
+    w = bamio.BamWriter(args.output, src.header)
+    n = 0
+    for name in order:
+        pair = groups[name]
+        if len(pair) < 2:
+            continue
+        pair.sort(key=lambda r: 0 if r.is_first_of_pair else 1)
+        for r in pair:
+            w.write(r)
+            n += 1
+    w.close()
+    print(f"wrote {n} reads in {sum(1 for nm in order if len(groups[nm]) >= 2)} pairs")
+    return 0

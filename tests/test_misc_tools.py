@@ -689,3 +689,32 @@ def test_funcotate_segments(tmp_path):
     gi = hdr.index("genes")
     assert rows[1][gi] == "TP53,EGFR"
     assert rows[2][gi] == ""
+
+
+def test_check_pileup(tmp_path):
+    reads = [_read(name=f"p{i}", pos=100) for i in range(5)]
+    src = _mini_bam(tmp_path, reads, "cp.bam")
+    pl = tmp_path / "mp.txt"
+    # samtools mpileup: 1-based positions; depth 5 at 101..110
+    pl.write_text("".join(f"chrM\t{101 + i}\tA\t5\t.....\tIIIII\n" for i in range(10)))
+    assert TOOL_REGISTRY["CheckPileup"](
+        ["-I", src, "-R", FASTA, "--pileup", str(pl)]) == 0
+    pl.write_text("chrM\t101\tA\t7\t.......\tIIIIIII\n")
+    with pytest.raises(UserError):
+        TOOL_REGISTRY["CheckPileup"](["-I", src, "-R", FASTA, "--pileup", str(pl)])
+
+
+def test_post_process_reads_for_rsem(tmp_path):
+    r1 = _read(name="q", pos=100)
+    r1.flag = 0x1 | 0x2 | 0x40
+    r2 = _read(name="q", pos=300)
+    r2.flag = 0x1 | 0x2 | 0x80
+    lone = _read(name="solo", pos=200)
+    lone.flag = 0x1 | 0x2 | 0x40  # mate missing from file
+    improper = _read(name="imp", pos=400)
+    improper.flag = 0x1  # not properly paired
+    src = _mini_bam(tmp_path, [r2, improper, r1, lone], "rsem.bam")
+    out = tmp_path / "rsem_out.bam"
+    assert TOOL_REGISTRY["PostProcessReadsForRSEM"](["-I", src, "-O", str(out)]) == 0
+    got = [(r.name, bool(r.flag & 0x40)) for r in bamio.BamReader(str(out))]
+    assert got == [("q", True), ("q", False)]
