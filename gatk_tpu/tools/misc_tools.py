@@ -1771,3 +1771,104 @@ def post_process_reads_for_rsem(argv):
     w.close()
     print(f"wrote {n} reads in {sum(1 for nm in order if len(groups[nm]) >= 2)} pairs")
     return 0
+
+
+@register_tool("CalculateAverageCombinedAnnotations")
+def calculate_average_combined_annotations(argv):
+    """Divide GenomicsDB-summed INFO annotations by the number of called
+    non-ref samples to approximate their average
+    (tools/CalculateAverageCombinedAnnotations.java). The divided value is
+    written as <KEY>_AVERAGE alongside the original."""
+    p = argparse.ArgumentParser(description="CalculateAverageCombinedAnnotations")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--summed-annotation-to-divide", "-A", action="append",
+                   required=True)
+    args = p.parse_args(argv)
+    reader = vcfio.VcfReader(args.variant)
+    headers = list(reader.header_lines) + [
+        f'##INFO=<ID={k}_AVERAGE,Number=1,Type=Float,Description="average of {k}">'
+        for k in args.summed_annotation_to_divide]
+    w = vcfio.VcfWriter(args.output, reader.samples, extra_header_lines=headers)
+    n = 0
+    for v in reader:
+        n_nonref = 0
+        for s in v.samples:
+            gt = s.get("GT", "./.").replace("|", "/").split("/")
+            if any(t not in ("0", ".", "") for t in gt):
+                n_nonref += 1
+        if n_nonref:
+            info = dict(v.info)
+            for k in args.summed_annotation_to_divide:
+                raw = info.get(k)
+                if raw is None:
+                    continue
+                try:
+                    info[f"{k}_AVERAGE"] = f"{float(str(raw).split(',')[0]) / n_nonref:.5g}"
+                except ValueError:
+                    pass
+            v.info = info
+        w.write(v)
+        n += 1
+    w.close()
+    print(f"processed {n} variants")
+    return 0
+
+
+@register_tool("ReferenceBlockConcordance")
+def reference_block_concordance(argv):
+    """GVCF reference-block concordance histograms: per-GVCF
+    (confidence, length) block histograms plus a per-base
+    truth-vs-eval confidence concordance histogram
+    (walkers/validation/ReferenceBlockConcordance.java)."""
+    p = argparse.ArgumentParser(description="ReferenceBlockConcordance")
+    p.add_argument("--eval", required=True)
+    p.add_argument("--truth", required=True)
+    p.add_argument("--truth-block-histogram", required=True)
+    p.add_argument("--eval-block-histogram", required=True)
+    p.add_argument("--confidence-concordance-histogram", required=True)
+    args = p.parse_args(argv)
+
+    def ref_blocks(path):
+        """[(contig, start, end1_incl, gq)] for <NON_REF>-only records."""
+        out = []
+        for v in vcfio.VcfReader(path):
+            if tuple(v.alts) not in (("<NON_REF>",), ()):
+                continue
+            end = int(v.info.get("END", v.pos + len(v.ref)))
+            gq = v.samples[0].get("GQ", "0") if v.samples else "0"
+            out.append((v.contig, v.pos, end, int(gq)))
+        return out
+
+    truth_blocks = ref_blocks(args.truth)
+    eval_blocks = ref_blocks(args.eval)
+
+    def write_block_hist(path, blocks):
+        hist: dict = {}
+        for _c, start, end, gq in blocks:
+            key = (gq, end - start)
+            hist[key] = hist.get(key, 0) + 1
+        with open(path, "w") as fh:
+            fh.write("confidence,length\tcount\n")
+            for (gq, ln), c in sorted(hist.items()):
+                fh.write(f"{gq},{ln}\t{c}\n")
+
+    write_block_hist(args.truth_block_histogram, truth_blocks)
+    write_block_hist(args.eval_block_histogram, eval_blocks)
+    # per-base joint confidence histogram
+    joint: dict = {}
+    by_contig: dict = {}
+    for c, s, e, gq in eval_blocks:
+        by_contig.setdefault(c, []).append((s, e, gq))
+    for c, ts, te, tgq in truth_blocks:
+        for es, ee, egq in by_contig.get(c, ()):
+            ov = min(te, ee) - max(ts, es)
+            if ov > 0:
+                key = (tgq, egq)
+                joint[key] = joint.get(key, 0) + ov
+    with open(args.confidence_concordance_histogram, "w") as fh:
+        fh.write("truth_confidence,eval_confidence\tcount\n")
+        for (tgq, egq), c in sorted(joint.items()):
+            fh.write(f"{tgq},{egq}\t{c}\n")
+    print(f"truth blocks {len(truth_blocks)}, eval blocks {len(eval_blocks)}")
+    return 0

@@ -718,3 +718,44 @@ def test_post_process_reads_for_rsem(tmp_path):
     assert TOOL_REGISTRY["PostProcessReadsForRSEM"](["-I", src, "-O", str(out)]) == 0
     got = [(r.name, bool(r.flag & 0x40)) for r in bamio.BamReader(str(out))]
     assert got == [("q", True), ("q", False)]
+
+
+def test_calculate_average_combined_annotations(tmp_path):
+    v = tmp_path / "v.vcf"
+    v.write_text("##fileformat=VCFv4.2\n"
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\n"
+                 "chr1\t100\t.\tA\tG\t50\tPASS\tRAW_GT_COUNT=6.0\tGT\t0/1\t1/1\t0/0\n")
+    out = tmp_path / "o.vcf"
+    assert TOOL_REGISTRY["CalculateAverageCombinedAnnotations"](
+        ["-V", str(v), "-O", str(out), "-A", "RAW_GT_COUNT"]) == 0
+    rec = next(iter(vcfio.VcfReader(str(out))))
+    # two non-ref samples -> 6.0 / 2 = 3
+    assert float(rec.info["RAW_GT_COUNT_AVERAGE"]) == 3.0
+
+
+def test_reference_block_concordance(tmp_path):
+    def gvcf(name, blocks):
+        p = tmp_path / name
+        with open(p, "w") as fh:
+            fh.write("##fileformat=VCFv4.2\n"
+                     "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+            for pos, end, gq in blocks:
+                fh.write(f"chrM\t{pos}\t.\tA\t<NON_REF>\t.\t.\tEND={end}\t"
+                         f"GT:GQ\t0/0:{gq}\n")
+        return str(p)
+
+    truth = gvcf("t.g.vcf", [(1, 100, 99), (101, 200, 50)])
+    ev = gvcf("e.g.vcf", [(1, 150, 99), (151, 200, 40)])
+    th = tmp_path / "th.tsv"
+    eh = tmp_path / "eh.tsv"
+    ch = tmp_path / "cc.tsv"
+    assert TOOL_REGISTRY["ReferenceBlockConcordance"](
+        ["--eval", ev, "--truth", truth,
+         "--truth-block-histogram", str(th),
+         "--eval-block-histogram", str(eh),
+         "--confidence-concordance-histogram", str(ch)]) == 0
+    assert "99,100\t1" in th.read_text()
+    cc = dict(l.split("\t") for l in ch.read_text().splitlines()[1:])
+    assert cc["99,99"] == "100"   # truth block1 x eval block1 overlap
+    assert cc["50,99"] == "50"    # truth block2 x eval block1
+    assert cc["50,40"] == "50"
