@@ -1872,3 +1872,32 @@ def reference_block_concordance(argv):
             fh.write(f"{tgq},{egq}\t{c}\n")
     print(f"truth blocks {len(truth_blocks)}, eval blocks {len(eval_blocks)}")
     return 0
+
+
+@register_tool("ConvertCountsToDepthFile")
+def convert_counts_to_depth_file(argv):
+    """Convert a counts.tsv (CollectReadCounts) into a single-sample
+    DepthEvidence rd.txt file (sv/ConvertCountsToDepthFile.java)."""
+    import gzip as _gz
+
+    p = argparse.ArgumentParser(description="ConvertCountsToDepthFile")
+    p.add_argument("-F", "--counts-file", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--sample-name", default="SAMPLE")
+    args = p.parse_args(argv)
+    rows = []
+    op = _gz.open if args.counts_file.endswith(".gz") else open
+    with op(args.counts_file, "rt") as fh:
+        for line in fh:
+            if line.startswith(("@", "#", "CONTIG")):
+                continue
+            f = line.split()
+            if len(f) >= 4:
+                rows.append((f[0], int(f[1]) - 1, int(f[2]), f[3]))
+    opw = _gz.open if args.output.endswith(".gz") else open
+    with opw(args.output, "wt") as fh:
+        fh.write(f"#Chr\tStart\tEnd\t{args.sample_name}\n")
+        for contig, start, end, count in rows:
+            fh.write(f"{contig}\t{start}\t{end}\t{count}\n")
+    print(f"wrote {len(rows)} depth records")
+    return 0

@@ -759,3 +759,20 @@ def test_reference_block_concordance(tmp_path):
     assert cc["99,99"] == "100"   # truth block1 x eval block1 overlap
     assert cc["50,99"] == "50"    # truth block2 x eval block1
     assert cc["50,40"] == "50"
+
+
+def test_convert_counts_to_depth_file(tmp_path):
+    c = tmp_path / "c.counts.tsv"
+    c.write_text("CONTIG\tSTART\tEND\tCOUNT\nchr1\t1\t100\t5\nchr1\t101\t200\t3\n")
+    out = tmp_path / "o.rd.txt"
+    assert TOOL_REGISTRY["ConvertCountsToDepthFile"](
+        ["-F", str(c), "-O", str(out), "--sample-name", "S9"]) == 0
+    rows = out.read_text().splitlines()
+    assert rows[0] == "#Chr\tStart\tEnd\tS9"
+    assert rows[1] == "chr1\t0\t100\t5"
+    # round-trips through PrintReadCounts
+    prefix = str(tmp_path / "rt_")
+    assert TOOL_REGISTRY["PrintReadCounts"](
+        ["-F", str(out), "--output-prefix", prefix]) == 0
+    back = (tmp_path / "rt_S9.counts.tsv").read_text().splitlines()
+    assert back[1] == "chr1\t1\t100\t5"
