@@ -486,14 +486,32 @@ def variant_annotator(argv):
     p.add_argument("-O", "--output", required=True)
     p.add_argument("-L", "--intervals", action="append", default=None)
     p.add_argument("-A", "--annotation", action="append", default=[])
+    p.add_argument("-G", "--annotation-group", action="append", default=[])
     p.add_argument("-AX", "--annotations-to-exclude", action="append", default=[])
+    p.add_argument("--pedigree", default=None,
+                   help="PED file for family annotations (PossibleDeNovo, "
+                        "TransmittedSingleton)")
+    p.add_argument("--flow-order-for-annotations", default="TGCA")
     args = p.parse_args(argv)
 
     from ..calling.annotations import (ANNOTATION_REGISTRY, STANDARD_SET,
                                        VariantAnnotatorEngine)
 
+    trios = []
+    if args.pedigree:
+        # PED: family individual father mother sex phenotype (tab/space)
+        by_id = {}
+        for line in open(args.pedigree):
+            f = line.split()
+            if len(f) >= 4 and not line.startswith("#"):
+                by_id[f[1]] = (f[3], f[2])  # (mother, father)
+        for child, (mother, father) in by_id.items():
+            if mother != "0" and father != "0":
+                trios.append((mother, father, child))
+
     engine = VariantAnnotatorEngine(
-        STANDARD_SET, extra=args.annotation, exclude=args.annotations_to_exclude)
+        list(args.annotation_group) or STANDARD_SET, extra=args.annotation,
+        exclude=args.annotations_to_exclude)
     reference = None
     if args.reference:
         from ..io import fasta
@@ -520,11 +538,16 @@ def variant_annotator(argv):
         if reads_src is not None:
             reads = [r for r in reads_src.query(v.contig, v.pos, v.pos + max(1, len(v.ref)))
                      if not r.is_unmapped and not r.is_duplicate and r.mapq > 0]
-        new_info = engine.annotate(v, reads, reference)
+        genotypes = dict(zip(reader.samples, v.samples)) if v.samples else None
+        new_info, new_fmt = engine.annotate_split(
+            v, reads, reference, genotypes=genotypes, trios=trios,
+            flow_order=args.flow_order_for_annotations)
         merged = dict(v.info)
         for k, val in new_info.items():
             merged[k] = True if val is None else val
         v.info = merged
+        if new_fmt and v.samples:
+            v.samples[0].update(new_fmt)
         w.write(v)
         n += 1
     w.close()

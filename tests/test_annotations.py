@@ -96,3 +96,142 @@ def test_variant_annotator_tool_on_mito(tmp_path):
         assert "MQ0" in r.info and "UNIQ_ALT_READ_COUNT" in r.info
     # site 152 is a real het/hom alt: most reads support C
     assert int(recs[0].info["UNIQ_ALT_READ_COUNT"]) > 50
+
+
+def test_qual_by_depth_and_excess_het():
+    v = Variant("chr1", 110, "A", ("G",), qual=250.0,
+                samples=[{"GT": "0/1", "AD": "10,15", "DP": "25"}])
+    eng = VariantAnnotatorEngine(("QualByDepth", "ExcessHet"))
+    info = eng.annotate(v, genotypes={"s1": {"GT": "0/1", "AD": "10,15", "DP": "25"},
+                                      "s2": {"GT": "0/0", "DP": "30"},
+                                      "s3": {"GT": "1/1", "AD": "0,20"}})
+    # depth counts only variant genotypes: s1 AD 25 + s3 AD 20 = 45
+    assert info["QD"] == f"{250.0/45:.2f}"
+    assert "ExcessHet" in info
+    # all-hom callset: het excess is maximally non-significant (phred ~ >0)
+    info2 = eng.annotate(v, genotypes={f"s{i}": {"GT": "1/1", "AD": "0,20"}
+                                       for i in range(4)})
+    assert float(info2["ExcessHet"]) <= 0.01
+
+
+def test_mmq_possd_bqhist():
+    v = Variant("chr1", 110, "A", ("G",))
+    reads = [_read(100, "A", mapq=60), _read(100, "G", mapq=20),
+             _read(100, "G", mapq=40), _read(100, "A", mapq=50)]
+    eng = VariantAnnotatorEngine(("MappingQuality", "ReadPositionSD",
+                                  "BaseQualityHistogram"))
+    info = eng.annotate(v, reads)
+    assert info["MMQ"] == "55,30"  # median ref (50,60)=55, alt (20,40)=30
+    assert info["POSSD"] == "0"    # both alt reads at distance 9: MAD 0
+    # BQHIST: all quals are 30 -> one bucket with 2 ref / 2 alt
+    assert info["BQHIST"] == "30,2,2"
+
+
+def test_format_annotations_ad_dp_af_fad_orientation():
+    v = Variant("chr1", 110, "A", ("G",))
+    r1, r2 = _read(100, "G"), _read(100, "G", rev=True)
+    r2.name = r1.name  # same fragment, consistent alt vote
+    r3 = _read(100, "A")
+    r1.flag |= 0x40  # first of pair, forward -> F1R2
+    eng = VariantAnnotatorEngine(("DepthPerAlleleBySample", "DepthPerSampleHC",
+                                  "AlleleFraction", "FragmentDepthPerAlleleBySample",
+                                  "OrientationBiasReadCounts", "AllelePseudoDepth"))
+    info, fmt = eng.annotate_split(v, [r1, r2, r3])
+    assert fmt["AD"] == "1,2"
+    assert fmt["DP"] == "3"
+    assert fmt["AF"] == "0.667"
+    assert fmt["FAD"] == "1,1"  # fragment-level: r1+r2 collapse to one alt vote
+    f1r2 = [int(x) for x in fmt["F1R2"].split(",")]
+    f2r1 = [int(x) for x in fmt["F2R1"].split(",")]
+    assert sum(f1r2) + sum(f2r1) == 2  # two fragments pass quality gates
+    assert fmt["DD"] == "1,2"
+
+
+def test_pedigree_annotations():
+    v = Variant("chr1", 110, "A", ("G",))
+    gts = {"mom": {"GT": "0/0", "GQ": "60", "DP": "30"},
+           "dad": {"GT": "0/0", "GQ": "60", "DP": "30"},
+           "kid": {"GT": "0/1", "GQ": "60", "DP": "30"}}
+    eng = VariantAnnotatorEngine(("PossibleDeNovo", "RawGtCount"))
+    info = eng.annotate(v, genotypes=gts, trios=[("mom", "dad", "kid")])
+    assert info["hiConfDeNovo"] == "kid"
+    assert info["RAW_GT_COUNT"] == ".,1,0"
+    # transmitted singleton: AC==2 het parent + het child
+    gts2 = {"mom": {"GT": "0/1", "GQ": "60", "DP": "30"},
+            "dad": {"GT": "0/0", "GQ": "60", "DP": "30"},
+            "kid": {"GT": "0/1", "GQ": "60", "DP": "30"}}
+    eng2 = VariantAnnotatorEngine(("TransmittedSingleton",))
+    info2 = eng2.annotate(v, genotypes=gts2, trios=[("mom", "dad", "kid")])
+    assert info2["transmittedSingleton"] == "mom"
+
+
+def test_flow_annotations(tmp_path):
+    from gatk_tpu.io.fasta import FastaReference
+
+    fa = tmp_path / "r.fa"
+    #            0         1         2         3
+    #            0123456789012345678901234567890123456789
+    seq =       "ACGTACGTACGTAAAAACGTACGTACGTACGTACGTACGT"
+    fa.write_text(">chr1\n" + seq + "\n")
+    ref = FastaReference(str(fa))
+    eng = VariantAnnotatorEngine(("IndelClassify", "IndelLength", "HmerIndelLength",
+                                  "HmerIndelNuc", "GcContent", "CycleSkipStatus",
+                                  "VariantType", "HmerMotifs"))
+    # hmer indel: insert an extra A into the AAAAA run at pos 12-16
+    v = Variant("chr1", 11, "TA", ("T",))  # deletes one A of the hmer
+    info = eng.annotate(v, reference=ref)
+    assert info["X_IC"] == "del"
+    assert info["X_IL"] == "1"
+    assert info["X_HIL"] == "5" and info["X_HIN"] == "A"
+    assert info["VARIANT_TYPE"] == "h-indel"
+    assert "X_LM" in info and "X_RM" in info
+    # SNP at pos 20 (C>G)
+    v2 = Variant("chr1", 20, "C", ("G",))
+    info2 = eng.annotate(v2, reference=ref)
+    assert info2["X_IC"] == "NA"
+    assert info2["VARIANT_TYPE"] == "snp"
+    assert info2["X_CSS"] in ("cycle-skip", "possible-cycle-skip", "non-skip")
+    assert float(info2["X_GCC"]) == pytest.approx(0.5, abs=0.21)
+
+
+def test_assembly_complexity_and_hap_filtering():
+    from gatk_tpu.calling.annotations import AnnotationContext
+
+    class Ev:
+        def __init__(self, start, ref, alt):
+            self.start, self.ref, self.alt = start, ref, alt
+
+        def __hash__(self):
+            return hash((self.start, self.ref, self.alt))
+
+        def __eq__(self, o):
+            return (self.start, self.ref, self.alt) == (o.start, o.ref, o.alt)
+
+    class Hap:
+        def __init__(self, bases, events):
+            self.bases, self.events = bases, events
+
+    v = Variant("chr1", 110, "A", ("G",))
+    h_ref = Hap(b"AAAA", [])
+    h_alt = Hap(b"AAGA", [Ev(110, "A", "G")])
+    h_alt2 = Hap(b"CAGA", [Ev(110, "A", "G"), Ev(100, "A", "C")])
+    eng = VariantAnnotatorEngine(("AssemblyComplexity", "HaplotypeFilteringAnnotation"))
+    ctx_kwargs = dict(haplotypes=[h_ref, h_alt, h_alt2],
+                      haplotype_support=np.array([10, 6, 2]),
+                      n_filtered_haplotypes=1)
+    ctx = AnnotationContext(v, **ctx_kwargs)
+    info = {}
+    for a in eng.annotations:
+        info.update(a.annotate(ctx))
+    assert info["HEC"] == "16,2"  # ref+alt share empty signature (10+6), alt2=2
+    assert info["HAPCOMP"] == "0"  # best alt hap == germline-adjacent (0 edits)
+    assert info["HAPDOM"] == "0.750"  # 6/(6+2)
+    assert info["ASSEMBLED_HAPS"] == "3" and info["FILTERED_HAPS"] == "1"
+
+
+def test_annotation_groups_expand():
+    eng = VariantAnnotatorEngine(("StandardHCAnnotation",))
+    names = {type(a).__name__ for a in eng.annotations}
+    assert "QualByDepth" in names and "Coverage" in names
+    eng2 = VariantAnnotatorEngine(("StandardFlowBasedAnnotation",))
+    assert len(eng2.annotations) == 8
