@@ -177,6 +177,11 @@ def _hc_wallclock():
     from gatk_tpu.utils.stopwatch import STAGES
 
     n_reads = sum(1 for _ in bam_mod.BamReader(bam_path).query("chrM", 0, 1200))
+    # the pooled PairHMM program was prewarmed at bench start; block here until
+    # its (10-400s, shared-service) remote compile is done so the measurement
+    # below is the pipeline, not the compile queue
+    from gatk_tpu.ops import pairhmm_tpu
+    pairhmm_tpu.prewarm_wait()
     STAGES.reset()
     t0 = time.time()
     TOOL_REGISTRY["HaplotypeCaller"](

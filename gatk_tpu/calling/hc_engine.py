@@ -67,9 +67,11 @@ class HCArgs:
     # --genotype-assignment-method (GenotypeAssignmentMethod.java)
     output_mode: str = "EMIT_VARIANTS_ONLY"
     genotype_assignment_method: str = "USE_PLS_TO_ASSIGN"
-    # trim-to-variation after assembly (AssemblyRegionTrimmer.java; GATK
-    # default on, here opt-in pending default-path revalidation)
-    assembly_region_trimming: bool = False
+    # trim-to-variation after assembly (AssemblyRegionTrimmer.java;
+    # HaplotypeCallerEngine.java:811 runs the trimmer on every region —
+    # default ON to match GATK's default path; --dont-trim-active-regions
+    # equivalent turns it off)
+    assembly_region_trimming: bool = True
     # flow-mode long-homopolymer uncollapsing
     # (--flow-assembly-collapse-hmer-size;
     # LongHomopolymerHaplotypeCollapsingEngine.java). 0 = off.
@@ -188,7 +190,11 @@ def _read_index_at(read, ref_pos):
 
 
 def finalize_region_reads(region_reads, padded: Interval, args: HCArgs):
-    """AssemblyBasedCallerUtils.finalizeRegion equivalent."""
+    """AssemblyBasedCallerUtils.finalizeRegion equivalent.
+
+    Clip operations return new Read objects only when they change something;
+    reads that pass through untouched are shallow-copied so the overlapping-mate
+    qual correction (which reassigns .quals) never leaks across regions."""
     out = []
     for r in region_reads:
         rr = (
@@ -201,7 +207,7 @@ def finalize_region_reads(region_reads, padded: Interval, args: HCArgs):
             continue
         rr = clipping.hard_clip_to_interval(rr, padded.start, padded.end)
         if len(rr.bases) > 0 and rr.pos < rr.end and rr.pos < padded.end and rr.end > padded.start:
-            out.append(rr)
+            out.append(rr if rr is not r else r.copy())
     out.sort(key=lambda r: (r.pos, r.name))
     correct_overlapping_pairs(out)
     return out
@@ -294,18 +300,20 @@ class HaplotypeCallerEngine:
         overlap the interval. Returns (variants, region_summaries)."""
         usable, spans = self.plan_interval(reads, interval)
 
-        # phase 1: host assembly + non-blocking PairHMM dispatch per region;
-        # phase 2: fetch each region's likelihoods and genotype. Device compute
-        # for region i overlaps host assembly of regions i+1.. (and hides
-        # remote-device round-trip latency).
+        # phase 1: host assembly + pooled PairHMM dispatch (regions' pairs are
+        # aggregated into large pooled launches; the batcher auto-flushes as
+        # dispatch groups fill, overlapping device compute with host assembly);
+        # phase 2: fetch each region's likelihoods and genotype.
+        batcher = pairhmm_tpu.PoolBatcher()
         pending = []
         summaries = []
         for region_span in spans:
-            prep = self.prepare_region(usable, region_span)
+            prep = self.prepare_region(usable, region_span, batcher=batcher)
             if prep is not None:
                 pending.append(prep)
             else:
                 summaries.append(AssemblyRegionCall(region_span, region_span, 0, 0))
+        batcher.flush()
 
         all_variants = []
         for prep in pending:
@@ -315,8 +323,12 @@ class HaplotypeCallerEngine:
         all_variants = [v for v in all_variants if interval.start <= v.pos < interval.end]
         return all_variants, summaries
 
-    def prepare_region(self, reads, span: Interval, device=None):
-        """Host-side assembly + non-blocking PairHMM launch for one region."""
+    def prepare_region(self, reads, span: Interval, device=None, batcher=None):
+        """Host-side assembly + non-blocking PairHMM launch for one region.
+
+        batcher: a pairhmm_tpu.PoolBatcher aggregating many regions' pairs into
+        pooled device launches (the VectorLoglessPairHMM.java:90 per-region
+        marshaling, batched across regions instead)."""
         args = self.args
         contig_len = self.ref.contig_length(span.contig)
         padded = span.expand(REGION_PADDING, contig_len)
@@ -385,8 +397,11 @@ class HaplotypeCallerEngine:
         with STAGES.stage("read_prep"):
             prepped = read_prep.prepare_reads_for_pairhmm(final_reads)
         with STAGES.stage("pack_dispatch"):
-            handle = pairhmm_tpu.start_likelihood_matrix(
-                prepped, [h.bases for h in haplotypes], device=device)
+            if batcher is not None:
+                handle = batcher.add_region(prepped, [h.bases for h in haplotypes])
+            else:
+                handle = pairhmm_tpu.start_likelihood_matrix(
+                    prepped, [h.bases for h in haplotypes], device=device)
         return dict(span=span, padded=padded, final_reads=final_reads, prepped=prepped,
                     haplotypes=haplotypes, ref_bases=ref_bases, handle=handle)
 

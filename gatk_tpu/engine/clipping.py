@@ -196,10 +196,13 @@ def revert_soft_clipped_bases(read: Read) -> Read:
     before position 0 (htsjdk clips at contig start via extra soft clip — here we
     keep the soft clip if reverting would go negative).
     """
+    n_ops = len(read.cigar_ops)
+    if n_ops == 0:
+        return read
+    if read.cigar_ops[0] != sam.OP_S and read.cigar_ops[n_ops - 1] != sam.OP_S:
+        return read  # fast path: nothing to revert
     ops = list(read.cigar_ops)
     lens = list(read.cigar_lens)
-    if not ops:
-        return read
     new_start = read.pos
     if ops[0] == sam.OP_S:
         if read.pos - int(lens[0]) >= 0:
@@ -236,14 +239,19 @@ def hard_clip_soft_clipped_bases(read: Read) -> Read:
 
 def hard_clip_low_qual_ends(read: Read, min_qual: int) -> Read:
     """Clip trailing/leading bases with qual <= min_qual (clipLowQualEnds)."""
-    q = read.quals
+    q = np.asarray(read.quals)
     n = len(q)
-    lo = 0
-    while lo < n and q[lo] <= min_qual:
-        lo += 1
-    hi = n - 1
-    while hi >= lo and q[hi] <= min_qual:
-        hi -= 1
+    if n == 0:
+        return read
+    # vectorized end scan (the per-base python loop dominated finalizeRegion)
+    if q[0] > min_qual and q[n - 1] > min_qual:
+        return read
+    ok = q > min_qual
+    if not ok.any():
+        lo, hi = 0, -1
+    else:
+        lo = int(np.argmax(ok))
+        hi = n - 1 - int(np.argmax(ok[::-1]))
     if lo == 0 and hi == n - 1:
         return read
     if lo > hi:

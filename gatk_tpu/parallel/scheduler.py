@@ -63,11 +63,16 @@ class ShardedCaller:
     def __init__(self, engine, devices=None, host_threads: int = 4):
         self.engine = engine
         self.devices = list(devices) if devices is not None else jax.local_devices()
-        # compile/load the canonical PairHMM program ladder in the background
-        # while the host reads BAM / plans regions (compiles through the remote
-        # TPU path cost 10-200s; see ops/pairhmm_tpu.py CARTESIAN_SHAPES)
-        from ..ops.pairhmm_tpu import prewarm
+        # compile/load the canonical PairHMM programs in the background while
+        # the host reads BAM / plans regions (compiles through the remote TPU
+        # path cost 10-200s; see ops/pairhmm_tpu.py prewarm)
+        from ..ops.pairhmm_tpu import PoolBatcher, prewarm
         prewarm(device=self.devices[0] if devices is not None else None)
+        # one pooled cross-region dispatcher per device: regions' read x hap
+        # pairs aggregate into large pooled launches (int8 pools resident on
+        # device, on-device gather), round-robined across the local mesh
+        self.batchers = [PoolBatcher(device=d if devices is not None else None)
+                         for d in self.devices]
         # host assembly threads: regions assemble concurrently on CPU while
         # earlier regions' PairHMM batches run on device (SURVEY §7 hard part d
         # — host assembly must hide behind device compute). finish_region stays
@@ -76,7 +81,8 @@ class ShardedCaller:
         self.host_threads = max(1, host_threads)
 
     def call_interval(self, reads, interval):
-        """Full pipeline on one interval with per-region device round-robin.
+        """Full pipeline on one interval: parallel host prepare feeding pooled
+        per-device PairHMM dispatch, then in-order genotyping.
         Returns (variants, summaries) identical to engine.call_interval."""
         from concurrent.futures import ThreadPoolExecutor
 
@@ -85,31 +91,23 @@ class ShardedCaller:
         usable, spans = self.engine.plan_interval(reads, interval)
         variants = []
         summaries = []
-        window = 2 * len(self.devices) + self.host_threads  # bound in-flight HBM
         with ThreadPoolExecutor(max_workers=self.host_threads) as pool:
-            futures = []
-            next_span = 0
-
-            def submit_more():
-                nonlocal next_span
-                while next_span < len(spans) and len(futures) < window:
-                    span = spans[next_span]
-                    dev = self.devices[next_span % len(self.devices)]
-                    futures.append((span, pool.submit(
-                        self.engine.prepare_region, usable, span, device=dev)))
-                    next_span += 1
-
-            submit_more()
-            while futures:
-                span, fut = futures.pop(0)
-                prep = fut.result()
-                submit_more()
-                if prep is None:
-                    summaries.append(AssemblyRegionCall(span, span, 0, 0))
-                    continue
-                v, summary = self.engine.finish_region(prep)
-                variants.extend(v)
-                summaries.append(summary)
+            futures = [
+                (span, pool.submit(
+                    self.engine.prepare_region, usable, span,
+                    batcher=self.batchers[i % len(self.batchers)]))
+                for i, span in enumerate(spans)
+            ]
+            preps = [(span, fut.result()) for span, fut in futures]
+        for b in self.batchers:
+            b.flush()
+        for span, prep in preps:
+            if prep is None:
+                summaries.append(AssemblyRegionCall(span, span, 0, 0))
+                continue
+            v, summary = self.engine.finish_region(prep)
+            variants.extend(v)
+            summaries.append(summary)
         variants = [v for v in variants if interval.start <= v.pos < interval.end]
         return variants, summaries
 

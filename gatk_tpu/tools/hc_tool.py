@@ -73,10 +73,15 @@ def haplotype_caller(argv):
                    help="uncollapse reference homopolymers longer than this "
                         "against the reference (flow mode; 0=off; "
                         "LongHomopolymerHaplotypeCollapsingEngine)")
+    # GATK runs the AssemblyRegionTrimmer by default (HaplotypeCallerEngine.java:811);
+    # --dont-trim-active-regions (AssemblyRegionTrimmerArgumentCollection) disables
+    p.add_argument("--dont-trim-active-regions", dest="trimming",
+                   action="store_false", default=True,
+                   help="don't trim the genotyping region to the variation span "
+                        "(AssemblyRegionTrimmer trim-to-variation; default trims)")
     p.add_argument("--enable-assembly-region-trimming", dest="trimming",
                    action="store_true",
-                   help="trim the genotyping region to the variation span "
-                        "(AssemblyRegionTrimmer trim-to-variation)")
+                   help="(back-compat alias; trimming is on by default)")
     p.add_argument("--apply-bqd", action="store_true",
                    help="DRAGEN base-quality-dropout genotyping model")
     p.add_argument("--apply-frd", action="store_true",

@@ -75,3 +75,83 @@ def test_kernel_extreme_underflow():
     got = pairhmm_tpu.compute_log10_likelihoods(reads, [hap], np.array([0]), np.array([0]))
     expected = pairhmm_host.compute_log10_likelihood(hap, rb, rq, iq, dq, gcp)
     np.testing.assert_allclose(got[0], expected, atol=1e-3 * abs(expected), rtol=0)
+
+
+def _random_region(rng, n_reads, n_haps, hlen_range=(120, 400)):
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    hlen = int(rng.integers(*hlen_range))
+    ref = bases[rng.integers(0, 4, hlen)]
+    haps = []
+    for _ in range(n_haps):
+        h = ref.copy()
+        h[rng.integers(0, hlen, 2)] = bases[rng.integers(0, 4, 2)]
+        haps.append(h.tobytes())
+    reads = []
+    for _ in range(n_reads):
+        rlen = int(rng.integers(20, min(100, hlen)))
+        start = int(rng.integers(0, hlen - rlen + 1))
+        rb = bytearray(ref[start : start + rlen].tobytes())
+        rb[int(rng.integers(0, rlen))] = int(bases[int(rng.integers(0, 4))])
+        reads.append(dict(
+            bases=bytes(rb),
+            rq=rng.integers(10, 50, rlen).astype(np.uint8),
+            iq=np.full(rlen, 45, np.uint8),
+            dq=np.full(rlen, 45, np.uint8),
+            gcp=np.full(rlen, 10, np.uint8),
+        ))
+    return reads, haps
+
+
+def _host_matrix(reads, haps):
+    out = np.empty((len(haps), len(reads)))
+    for j, h in enumerate(haps):
+        for i, r in enumerate(reads):
+            out[j, i] = pairhmm_host.compute_log10_likelihood(
+                h, r["bases"], r["rq"], r["iq"], r["dq"], r["gcp"])
+    return out
+
+
+def test_pool_batcher_matches_host():
+    """PoolBatcher (pooled cross-region dispatch) vs host f64 reference,
+    exercising multi-region packing, read-chunk splitting, and multi-flush."""
+    rng = np.random.default_rng(7)
+    # small caps force: region B split across read chunks; pool flush between
+    batcher = pairhmm_tpu.PoolBatcher(rp=160, hmax=512, interpret=True,
+                                      nr_cap=33, nh_cap=9, pool_n=256, pool_k=2)
+    regions = [
+        _random_region(rng, 5, 3),
+        _random_region(rng, 40, 2),   # > nr_cap-1: split into chunks
+        _random_region(rng, 8, 4),
+    ]
+    handles = [batcher.add_region(reads, haps) for reads, haps in regions]
+    batcher.flush()
+    for (reads, haps), handle in zip(regions, handles):
+        got = np.asarray(handle, np.float64)
+        expected = _host_matrix(reads, haps)
+        ok = expected > pairhmm_tpu.MIN_ACCEPTED_LOG10
+        np.testing.assert_allclose(got[ok], expected[ok], atol=2e-4, rtol=0)
+
+
+def test_pool_batcher_fetch_before_flush():
+    rng = np.random.default_rng(11)
+    batcher = pairhmm_tpu.PoolBatcher(rp=160, hmax=512, interpret=True,
+                                      nr_cap=64, nh_cap=9, pool_n=256, pool_k=2)
+    reads, haps = _random_region(rng, 6, 2)
+    handle = batcher.add_region(reads, haps)
+    got = np.asarray(handle, np.float64)  # must self-flush
+    expected = _host_matrix(reads, haps)
+    ok = expected > pairhmm_tpu.MIN_ACCEPTED_LOG10
+    np.testing.assert_allclose(got[ok], expected[ok], atol=2e-4, rtol=0)
+
+
+def test_pool_batcher_cpu_fallback():
+    """Default CPU-backend path (no interpret): per-region scan fallback."""
+    rng = np.random.default_rng(13)
+    batcher = pairhmm_tpu.PoolBatcher()
+    reads, haps = _random_region(rng, 4, 2)
+    handle = batcher.add_region(reads, haps)
+    batcher.flush()
+    got = np.asarray(handle, np.float64)[: len(haps), : len(reads)]
+    expected = _host_matrix(reads, haps)
+    ok = expected > pairhmm_tpu.MIN_ACCEPTED_LOG10
+    np.testing.assert_allclose(got[ok], expected[ok], atol=2e-4, rtol=0)
