@@ -173,3 +173,54 @@ class SeedExtendAligner:
         mapq = int(min(60, max(0, (aln.score - second) * 60 / max(aln.score, 1))))
         return Alignment(ci, int(cpos), is_rev, aln.cigar_ops, aln.cigar_lens,
                          int(aln.score), mapq, nm)
+
+    def align_all(self, bases: np.ndarray, min_score_frac: float = 0.5):
+        """All candidate alignments (both strands, every supported diagonal),
+        score-filtered and position-deduped — the BwaMemAligner MEM_F_ALL mode
+        used by the realignment filter (RealignmentEngine.realign,
+        realignmentfilter/RealignmentEngine.java:106-113)."""
+        from ..ops import smith_waterman as sw
+
+        bases = np.asarray(bases, np.uint8)
+        n = len(bases)
+        out = []
+        seen = set()
+        pad = 16
+        max_score = n * sw.NEW_SW_PARAMETERS.match
+        for is_rev, seq in ((False, bases), (True, revcomp(bases))):
+            diags, _ = self._seed_positions(seq)
+            for diag, _support in self._best_diagonals(diags, top_n=8):
+                lo = max(diag - pad, 0)
+                hi = min(diag + n + pad, len(self.ref))
+                if hi - lo < self.k:
+                    continue
+                aln = sw.align(self.ref[lo:hi], seq, sw.NEW_SW_PARAMETERS, sw.SOFTCLIP)
+                if aln.score < min_score_frac * max_score:
+                    continue
+                gpos = lo + aln.offset
+                ci = int(np.searchsorted(self.offsets[1:], gpos, side="right"))
+                cpos = gpos - int(self.offsets[ci])
+                key = (ci, cpos // 16, is_rev)
+                if key in seen:
+                    continue
+                seen.add(key)
+                nm = 0
+                ri, qi = gpos, 0
+                for op, ln in zip(aln.cigar_ops, aln.cigar_lens):
+                    op, ln = int(op), int(ln)
+                    if op in (sam.OP_M, sam.OP_EQ, sam.OP_X):
+                        nm += int(np.count_nonzero(self.ref[ri:ri + ln] != seq[qi:qi + ln]))
+                        ri += ln
+                        qi += ln
+                    elif op == sam.OP_I:
+                        nm += ln
+                        qi += ln
+                    elif op == sam.OP_D:
+                        nm += ln
+                        ri += ln
+                    elif op == sam.OP_S:
+                        qi += ln
+                out.append(Alignment(ci, int(cpos), is_rev, aln.cigar_ops,
+                                     aln.cigar_lens, int(aln.score), 0, nm))
+        out.sort(key=lambda a: -a.score)
+        return out

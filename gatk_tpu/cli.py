@@ -97,6 +97,13 @@ def _register_builtin_tools():
     from .tools import fasta_tools  # noqa: F401
     from .tools import plotting_tools  # noqa: F401
     from .tools import featuremapping_tools  # noqa: F401
+    from .tools import realignment_tools  # noqa: F401
+    from .tools import ramped_hc_tool  # noqa: F401
+    from .tools import validation_tools  # noqa: F401
+    from .tools import groundtruth_tools  # noqa: F401
+    from .tools import sv_discovery_tool  # noqa: F401
+    from .tools import variant_recalling_tool  # noqa: F401
+    from .tools import saturation_mutagenesis_tool  # noqa: F401
     from .tools import misc_tools  # noqa: F401
 
 

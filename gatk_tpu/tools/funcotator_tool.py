@@ -9,6 +9,7 @@ from __future__ import annotations
 import argparse
 
 from ..cli import UserError, register_tool
+from ..io import vcf as vcfio
 
 FIELDS = ["hugoSymbol", "ncbiBuild", "chromosome", "start", "end",
           "variantClassification", "secondaryVariantClassification", "variantType",
@@ -126,4 +127,136 @@ def funcotator(argv):
                         f.variant_type, v.ref, v.ref, alt, f.transcript_id,
                         f.cdna_change, f.codon_change, f.protein_change]) + "\n")
     print(f"annotated {len(annotated)} variants -> {args.output}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# FilterFuncotations (tools/funcotator/FilterFuncotations.java + filtrationRules/)
+# ---------------------------------------------------------------------------
+
+# filtrationRules/AutosomalRecessiveConstants.java:8
+AUTOSOMAL_RECESSIVE_GENES = ("ATP7B", "MUTYH")
+CLINVAR_SIGNIFICANCE_MATCHING = ("Pathogenic", "Likely_pathogenic",
+                                 "Pathogenic/Likely_pathogenic")
+CLINVAR_MAX_MAF = 0.05
+LOF_MAX_MAF = 0.01
+LOF_CLASSIFICATIONS = ("FRAME_SHIFT_DEL", "FRAME_SHIFT_INS", "NONSENSE",
+                       "START_CODON_DEL", "SPLICE_SITE")
+
+
+def _parse_funcotation_map(v, keys):
+    """FUNCOTATION INFO '[a|b|c],[...]' -> per-alt {key: value} dicts."""
+    raw = v.info.get("FUNCOTATION", "")
+    if not raw or raw is True:
+        return []
+    out = []
+    for part in str(raw).split("],["):
+        vals = part.strip("[]").split("|")
+        out.append(dict(zip(keys, vals)))
+    return out
+
+
+def _get_suffix(fmap, suffix, default=""):
+    """Match a funcotation field by exact name or `Gencode_NN_`-style suffix."""
+    for k, val in fmap.items():
+        if k == suffix or k.endswith("_" + suffix):
+            return val or default
+    return default
+
+
+def _max_maf(fmap, af_source):
+    """Max sub-population allele frequency from ExAC/gnomAD funcotation fields
+    (filtrationRules/AlleleFrequency{Exac,Gnomad}Utils.java)."""
+    prefix = "ExAC_AF_" if af_source == "exac" else "gnomAD"
+    best = 0.0
+    for k, val in fmap.items():
+        if (af_source == "exac" and k.startswith("ExAC_") and "_AF_" in "_" + k) or \
+           (af_source == "gnomad" and k.startswith("gnomAD") and "_AF_" in k):
+            try:
+                best = max(best, max(float(x) for x in str(val).split("_")
+                                     if x not in ("", ".")))
+            except ValueError:
+                continue
+    return best
+
+
+@register_tool("FilterFuncotations")
+def filter_funcotations(argv):
+    """Filter variants on clinically-significant funcotations
+    (tools/funcotator/FilterFuncotations.java): CLINVAR, LOF, LMM and
+    autosomal-recessive two-hit rules; non-matching records get NOT_CLINSIG."""
+    p = argparse.ArgumentParser(description="FilterFuncotations")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--ref-version", default="hg38", choices=["b37", "hg19", "hg38"])
+    p.add_argument("--allele-frequency-data-source", default="gnomad",
+                   choices=["exac", "gnomad"])
+    args = p.parse_args(argv)
+
+    reader = vcfio.VcfReader(args.variant)
+    keys = None
+    for line in reader.header_lines:
+        if line.startswith("##INFO=<ID=FUNCOTATION") and "fields are: " in line:
+            keys = line.split("fields are: ")[1].split('"')[0].split("|")
+    if keys is None:
+        raise UserError("input VCF has no FUNCOTATION INFO header "
+                        "(run Funcotator first)")
+
+    records = list(reader)
+    # first pass (ArHetvarFilter): count het calls per AR gene
+    ar_het_counts = {}
+    for v in records:
+        fmaps = _parse_funcotation_map(v, keys)
+        for fmap in fmaps:
+            gene = _get_suffix(fmap, "hugoSymbol")
+            if gene in AUTOSOMAL_RECESSIVE_GENES:
+                for g in v.samples:
+                    gt = sorted(g.get("GT", "./.").replace("|", "/").split("/"))
+                    if len(gt) == 2 and gt[0] != gt[1] and "." not in gt:
+                        ar_het_counts[gene] = ar_het_counts.get(gene, 0) + 1
+
+    headers = list(reader.header_lines) + [
+        '##FILTER=<ID=NOT_CLINSIG,Description="Filter for clinically insignificant variants">',
+        '##INFO=<ID=CLINSIG,Number=1,Type=String,Description="Rule(s) which caused this annotation to be flagged as clinically significant.">']
+    w = vcfio.VcfWriter(args.output, reader.samples, extra_header_lines=headers,
+                        write_format=bool(reader.samples))
+    n_sig = 0
+    for v in records:
+        matched = set()
+        for fmap in _parse_funcotation_map(v, keys):
+            maf = _max_maf(fmap, args.allele_frequency_data_source)
+            # ClinVarFilter: ACMG disease + pathogenic significance + MAF<=0.05
+            if (_get_suffix(fmap, "ACMG_recommendation_Disease_Name")
+                    and any(s in _get_suffix(fmap, "ClinVar_VCF_CLNSIG")
+                            for s in CLINVAR_SIGNIFICANCE_MATCHING)
+                    and maf <= CLINVAR_MAX_MAF):
+                matched.add("CLINVAR")
+            # LofFilter: LoF classification + LOF mechanism + MAF<=0.01
+            if (_get_suffix(fmap, "variantClassification") in LOF_CLASSIFICATIONS
+                    and _get_suffix(fmap, "ACMGLMMLof_LOF_Mechanism") == "YES"
+                    and maf <= LOF_MAX_MAF):
+                matched.add("LOF")
+            # LmmFilter: flagged by LMM
+            if _get_suffix(fmap, "LMMKnown_LMM_FLAGGED").lower() == "true":
+                matched.add("LMM")
+            # AR two-hit: hom-var in an AR gene, or >=2 hets in the same AR gene
+            gene = _get_suffix(fmap, "hugoSymbol")
+            if gene in AUTOSOMAL_RECESSIVE_GENES:
+                homvar = any(
+                    len(set(g.get("GT", "./.").replace("|", "/").split("/"))) == 1
+                    and g.get("GT", "./.").split("/")[0] not in ("0", ".")
+                    for g in v.samples)
+                if homvar or ar_het_counts.get(gene, 0) >= 2:
+                    matched.add("AR")
+        info = dict(v.info)
+        if matched:
+            info["CLINSIG"] = ",".join(sorted(matched))
+            v.filters = ("PASS",)
+            n_sig += 1
+        else:
+            v.filters = ("NOT_CLINSIG",)
+        v.info = info
+        w.write(v)
+    w.close()
+    print(f"FilterFuncotations: {n_sig}/{len(records)} records clinically significant")
     return 0

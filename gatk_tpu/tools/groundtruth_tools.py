@@ -1,0 +1,170 @@
+"""Ultima flow-space ground-truth tooling.
+
+Reference behavior: tools/walkers/groundtruth/ — AddFlowBaseQuality.java
+(flow-matrix-derived per-base qualities written to XQ or into the quals),
+GroundTruthScorer.java (read-vs-truth scoring; subset here).
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..cli import register_tool
+
+ERROR_PROB_BAND_1LESS, ERROR_PROB_BAND_KEY, ERROR_PROB_BAND_1MORE = 0, 1, 2
+
+
+def _calc_flow_order_length(flow_order: str) -> int:
+    i = flow_order.find(flow_order[0], 1)
+    return len(flow_order) if i < 0 else i
+
+
+def _extract_error_prob_bands(fread, min_value: float) -> np.ndarray:
+    """3 x n_flows band matrix: P(key-1), P(key), P(key+1) per flow
+    (AddFlowBaseQuality.extractErrorProbBands)."""
+    key = fread.key
+    n = len(key)
+    bands = np.full((3, n), min_value)
+    for i in range(n):
+        bands[ERROR_PROB_BAND_KEY, i] = max(fread.get_prob(i, int(key[i])), min_value)
+        if key[i] > 0:
+            bands[ERROR_PROB_BAND_1LESS, i] = max(
+                fread.get_prob(i, int(key[i]) - 1), min_value)
+        if key[i] < fread.max_hmer:
+            bands[ERROR_PROB_BAND_1MORE, i] = max(
+                fread.get_prob(i, int(key[i]) + 1), min_value)
+    return bands
+
+
+def _slice_is_valid(s, flow_order_length):
+    run = 0
+    for k in s:
+        if k != 0:
+            run = 0
+        else:
+            run += 1
+            if run >= flow_order_length - 1:
+                return False
+    return True
+
+
+def _slice_prob(s, min_index, key, bands):
+    p = 1.0
+    for i, v in enumerate(s):
+        ki = key[i + min_index]
+        band = (ERROR_PROB_BAND_1LESS if v < ki
+                else ERROR_PROB_BAND_1MORE if v > ki else ERROR_PROB_BAND_KEY)
+        p *= bands[band, i + min_index]
+    return p
+
+
+def _sided_error_prob(key, bands, flow, side_incr, flow_order_length):
+    """AddFlowBaseQuality.generateSidedHmerBaseErrorProbability: probability
+    that the hmer boundary base is misplaced toward the given side."""
+    min_index = max(flow - flow_order_length + 1, 0)
+    max_index = min(flow + flow_order_length - 1, len(key) - 1)
+    base_slice = list(key[min_index : max_index + 1])
+    hmer_length = key[flow]
+    slices = []
+    incrs = (side_incr,) if hmer_length != 1 else (side_incr, -side_incr)
+    for incr in incrs:
+        side_flow = flow + incr
+        while 0 <= side_flow < len(key):
+            alt = list(base_slice)
+            if not (min_index <= side_flow <= max_index):
+                break
+            alt[side_flow - min_index] += 1
+            alt[flow - min_index] -= 1
+            if _slice_is_valid(alt, flow_order_length):
+                slices.append(alt)
+            if key[side_flow] != 0:
+                break
+            side_flow += incr
+    key_p = _slice_prob(base_slice, min_index, key, bands)
+    sum_p = key_p + sum(_slice_prob(s, min_index, key, bands) for s in slices)
+    return 1.0 - (key_p / sum_p)
+
+
+def generate_base_error_probability(fread, flow_order_length, min_error_rate):
+    """Per-base error probability from the flow matrix
+    (AddFlowBaseQuality.generateBaseErrorProbability)."""
+    key = [int(k) for k in fread.key]
+    bands = _extract_error_prob_bands(fread, min_error_rate)
+    n_bases = int(sum(key))
+    result = np.zeros(n_bases)
+    base = 0
+    for flow in range(len(key)):
+        if key[flow] == 0:
+            continue
+        hmer_length = key[flow]
+        left = _sided_error_prob(key, bands, flow, -1, flow_order_length)
+        right = (_sided_error_prob(key, bands, flow, 1, flow_order_length)
+                 if hmer_length != 1 else 0.0)
+        if base == 0:
+            result[base] = bands[ERROR_PROB_BAND_KEY, flow]
+            base += 1
+        else:
+            result[base] = left
+            base += 1
+        if hmer_length > 1:
+            base += hmer_length - 2
+            result[base] = right
+            base += 1
+        if base == n_bases:
+            result[base - 1] = bands[ERROR_PROB_BAND_KEY, flow]
+    return result
+
+
+@register_tool("AddFlowBaseQuality")
+def add_flow_base_quality(argv):
+    """Add flow-matrix-derived base qualities to reads
+    (groundtruth/AddFlowBaseQuality.java): per-hmer boundary error
+    probabilities from the flow key neighborhood, written as the XQ attribute
+    (or replacing quals, old quals to OQ)."""
+    p = argparse.ArgumentParser(description="AddFlowBaseQuality")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("--minimal-error-rate", type=float, default=1e-3)
+    p.add_argument("--maximal-quality-score", type=int, default=93)
+    p.add_argument("--replace-quality-mode", action="store_true")
+    p.add_argument("--flow-order", default="TGCA")
+    args = p.parse_args(argv)
+
+    from ..io import bam as bamio, fasta
+    from ..io.cram import open_reads
+    from ..ops import flow as flow_mod
+
+    ref = fasta.FastaReference(args.reference) if args.reference else None
+    rd = open_reads(args.input, reference=ref)
+    flow_order = args.flow_order
+    for rg in rd.header.read_groups:
+        if "FO" in rg:
+            flow_order = rg["FO"][: len(args.flow_order)] or flow_order
+            break
+    fol = _calc_flow_order_length(flow_order)
+    w = bamio.BamWriter(args.output, rd.header)
+    n = 0
+    for r in rd:
+        fread = flow_mod.flow_read_from_sam(r, flow_order)
+        err = generate_base_error_probability(fread, fol, args.minimal_error_rate)
+        phred = np.where(err <= 0, args.maximal_quality_score,
+                         np.minimum(args.maximal_quality_score,
+                                    (-10 * np.log10(np.maximum(err, 1e-30))).astype(int)))
+        phred = phred.astype(np.uint8)[: len(r.bases)]
+        if len(phred) < len(r.bases):
+            phred = np.pad(phred, (0, len(r.bases) - len(phred)),
+                           constant_values=args.maximal_quality_score)
+        tags = dict(getattr(r, "tags", None) or {})
+        if args.replace_quality_mode:
+            tags["OQ"] = "".join(chr(q + 33) for q in r.quals)
+            r.quals = phred
+        else:
+            tags["XQ"] = "".join(chr(q + 33) for q in phred)
+        r.tags = tags
+        w.write(r)
+        n += 1
+    w.close()
+    print(f"AddFlowBaseQuality: wrote {n} reads to {args.output}")
+    return 0

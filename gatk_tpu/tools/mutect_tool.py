@@ -794,3 +794,26 @@ def get_normal_artifact_data(argv):
             fh.write(f"{row[0]}\t{row[1]}\t{row[2]}\t{row[3]}\t{row[4]:.3f}\t{row[5]}\n")
     print(f"{len(rows)} normal artifact records -> {args.output}")
     return 0
+
+
+@register_tool("GatherNormalArtifactData")
+def gather_normal_artifact_data(argv):
+    """Concatenate per-shard GetNormalArtifactData tables
+    (mutect/GatherNormalArtifactData.java: header from the first table, data
+    rows from all, in argument order)."""
+    p = argparse.ArgumentParser(description="GatherNormalArtifactData")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    n = 0
+    with open(args.output, "w") as out:
+        for i, path in enumerate(args.input):
+            with open(path) as fh:
+                header = fh.readline()
+                if i == 0:
+                    out.write(header)
+                for line in fh:
+                    out.write(line)
+                    n += 1
+    print(f"gathered {n} normal artifact records from {len(args.input)} tables")
+    return 0

@@ -348,3 +348,111 @@ def pathseq_align(argv):
     w.close()
     print(f"aligned {n_aligned}/{n} reads -> {args.output}")
     return 0
+
+
+@register_tool("PathSeqBuildReferenceTaxonomy")
+def pathseq_build_reference_taxonomy(argv):
+    """Build the annotated taxonomy datafile for a microbe reference
+    (tools/spark/pathseq/PathSeqBuildReferenceTaxonomy.java + PSBuildReferenceTaxonomyUtils):
+    map each reference contig accession to a tax id via the RefSeq/GenBank
+    catalog, prune the NCBI taxonomy dump to the referenced taxa plus their
+    ancestors, and write the PathSeqScore taxonomy TSV (.db):
+    tax_id<TAB>parent<TAB>rank<TAB>name<TAB>length<TAB>accessions."""
+    p = argparse.ArgumentParser(description="PathSeqBuildReferenceTaxonomy")
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--refseq-catalog", default=None,
+                   help="catalog TSV(.gz): taxid, name, accession[.version], ...")
+    p.add_argument("--genbank-catalog", default=None)
+    p.add_argument("--tax-dump", required=True,
+                   help="taxdump.tar.gz (nodes.dmp + names.dmp) or a directory")
+    p.add_argument("--min-non-virus-contig-length", type=int, default=0)
+    args = p.parse_args(argv)
+    if not args.refseq_catalog and not args.genbank_catalog:
+        from ..utils.errors import UserError
+        raise UserError("at least one of --refseq-catalog or --genbank-catalog "
+                        "must be specified")
+
+    import gzip
+    import os
+    import tarfile
+
+    from ..io import fasta as fasta_mod
+
+    ref = fasta_mod.FastaReference(args.reference)
+    contig_len = {name: ref.contig_length(name) for name in ref.contigs()}
+    # accession = first whitespace token of the contig name, version-stripped
+    acc_of = {name: name.split()[0].split("|")[-1] for name in contig_len}
+    acc_base = {a.split(".")[0]: n for n, a in acc_of.items()}
+
+    # catalog: accession -> taxid
+    acc_to_tax = {}
+    for cat in (args.refseq_catalog, args.genbank_catalog):
+        if not cat:
+            continue
+        op = gzip.open if cat.endswith(".gz") else open
+        with op(cat, "rt") as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 3:
+                    continue
+                try:
+                    taxid = int(parts[0])
+                except ValueError:
+                    continue
+                for tok in parts[1:]:
+                    base = tok.split(".")[0]
+                    if base in acc_base:
+                        acc_to_tax[acc_base[base]] = taxid  # keyed by contig name
+
+    # taxdump: nodes.dmp (taxid | parent | rank), names.dmp (scientific names)
+    def _dmp_lines(member):
+        if os.path.isdir(args.tax_dump):
+            with open(os.path.join(args.tax_dump, member)) as fh:
+                yield from fh
+        else:
+            with tarfile.open(args.tax_dump, "r:*") as tar:
+                fh = tar.extractfile(member)
+                for line in fh.read().decode().splitlines():
+                    yield line
+
+    parent, rank, names = {}, {}, {}
+    for line in _dmp_lines("nodes.dmp"):
+        f = [x.strip() for x in line.split("|")]
+        if len(f) >= 3:
+            parent[int(f[0])] = int(f[1])
+            rank[int(f[0])] = f[2]
+    for line in _dmp_lines("names.dmp"):
+        f = [x.strip() for x in line.split("|")]
+        if len(f) >= 4 and f[3] == "scientific name":
+            names[int(f[0])] = f[1]
+
+    # prune to referenced taxa + ancestors; accumulate per-taxon contig lists
+    keep = {}
+    for contig, taxid in acc_to_tax.items():
+        length = contig_len[contig]
+        # drop short non-virus contigs (virus lineages keep everything)
+        lineage = []
+        t = taxid
+        while t in parent and t not in lineage:
+            lineage.append(t)
+            if parent[t] == t:
+                break
+            t = parent[t]
+        is_virus = any(names.get(t, "") == "Viruses" for t in lineage)
+        if not is_virus and length < args.min_non_virus_contig_length:
+            continue
+        for t in lineage:
+            keep.setdefault(t, {"length": 0, "accs": []})
+        keep[taxid]["length"] += length
+        keep[taxid]["accs"].append(acc_of[contig])
+    with open(args.output, "w") as out:
+        out.write("#tax_id\tparent\trank\tname\tlength\taccessions\n")
+        for t in sorted(keep):
+            out.write(f"{t}\t{parent.get(t, t)}\t{rank.get(t, 'no rank')}\t"
+                      f"{names.get(t, str(t))}\t{keep[t]['length']}\t"
+                      f"{','.join(keep[t]['accs'])}\n")
+    n_mapped = len(acc_to_tax)
+    print(f"taxonomy: {len(keep)} taxa ({n_mapped}/{len(contig_len)} contigs mapped) "
+          f"-> {args.output}")
+    return 0

