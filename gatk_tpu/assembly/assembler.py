@@ -15,6 +15,7 @@ import numpy as np
 from ..ops import smith_waterman as sw
 from . import kbest, pruning
 from .haplotype import Haplotype, build_event_map
+from . import rtgraph
 from .rtgraph import ReadThreadingGraph
 
 DEFAULT_KMER_SIZES = (10, 25)
@@ -66,10 +67,11 @@ def assemble(
         return result
 
     seen = {ref_hap.bases}
+    runs = rtgraph.ReadRuns(reads, min_base_qual)  # shared across all attempts
     for base_k in kmer_sizes:
         graph = _try_kmer_sizes(reads, ref_hap.bases, base_k, min_base_qual,
                                 allow_non_unique_kmers_in_ref,
-                                allow_cycles=use_junction_trees)
+                                allow_cycles=use_junction_trees, runs=runs)
         if graph is None:
             continue
         result.graphs[graph.kmer_size] = graph
@@ -151,15 +153,18 @@ def _too_clipped(aln) -> bool:
 
 
 def _try_kmer_sizes(reads, ref_bases: bytes, base_k: int, min_base_qual: int,
-                    allow_non_unique_ref: bool, allow_cycles: bool = False):
+                    allow_non_unique_ref: bool, allow_cycles: bool = False,
+                    runs=None):
     """Build a graph at base_k, increasing kmer size on ref-non-uniqueness/cycles
     (ReadThreadingAssembler.createGraph retry loop)."""
     k = base_k
+    if runs is None:
+        runs = rtgraph.ReadRuns(reads, min_base_qual)  # shared across attempts
     for attempt in range(MAX_KMER_ITERATIONS):
         if k > MAX_ALLOWED_KMER or k >= len(ref_bases):
             return None
         g = _build_graph(reads, ref_bases, k, min_base_qual, allow_non_unique_ref,
-                         allow_cycles=allow_cycles)
+                         allow_cycles=allow_cycles, runs=runs)
         if g is not None:
             g.kmer_size = k
             return g
@@ -168,7 +173,8 @@ def _try_kmer_sizes(reads, ref_bases: bytes, base_k: int, min_base_qual: int,
 
 
 def _build_graph(reads, ref_bases: bytes, k: int, min_base_qual: int,
-                 allow_non_unique_ref: bool, allow_cycles: bool = False):
+                 allow_non_unique_ref: bool, allow_cycles: bool = False,
+                 runs=None):
     g = ReadThreadingGraph(k, min_base_qual)
     # reference kmers must be unique
     if not allow_non_unique_ref:
@@ -179,7 +185,7 @@ def _build_graph(reads, ref_bases: bytes, k: int, min_base_qual: int,
                 return None
             seen.add(km)
     g.add_sequence("ref", ref_bases, 0, len(ref_bases), 1, True)
-    g.add_reads(reads)
+    g.add_reads(reads, runs=runs)
     g.build()
     if g.has_cycles() and not allow_cycles:
         return None

@@ -64,6 +64,44 @@ class Edge:
     is_ref: bool = False
 
 
+class ReadRuns:
+    """K-independent usable-run decomposition of a read set (base != N and
+    qual >= min_base_qual), computed once and shared across the kmer-size
+    escalation attempts of ReadThreadingAssembler.createGraph."""
+
+    def __init__(self, reads, min_base_qual: int):
+        self.names = [r.name for r in reads]
+        self.seqs = [bytes(r.bases) for r in reads]
+        n_reads = len(reads)
+        lens = np.fromiter((len(s) for s in self.seqs), np.int64, n_reads) \
+            if n_reads else np.zeros(0, np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            self.read_idx = np.zeros(0, np.int64)
+            self.starts = np.zeros(0, np.int64)
+            self.ends = np.zeros(0, np.int64)
+            return
+        B = np.empty(total, np.uint8)
+        Q = np.empty(total, np.uint8)
+        offs = np.zeros(n_reads + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        for i, r in enumerate(reads):
+            B[offs[i]:offs[i + 1]] = r.bases
+            Q[offs[i]:offs[i + 1]] = r.quals
+        usable = (B != ord("N")) & (Q >= min_base_qual)
+        padded = np.zeros(total + n_reads + 1, np.int8)
+        rid = np.repeat(np.arange(n_reads), lens)
+        padded[np.arange(total) + rid + 1] = usable
+        d = np.diff(padded)
+        starts = np.nonzero(d == 1)[0]
+        ends = np.nonzero(d == -1)[0]
+        srid = np.searchsorted(offs[1:] + np.arange(n_reads), starts, side="right")
+        base = offs[srid] + srid
+        self.read_idx = srid
+        self.starts = starts - base
+        self.ends = ends - base
+
+
 @dataclass
 class SeqForKmers:
     name: str
@@ -115,9 +153,21 @@ class ReadThreadingGraph:
                 self.add_sequence(f"{name}_{st}_{en}", seq, int(st), int(en), 1, False)
         return self
 
-    def add_reads(self, reads):
+    def add_reads(self, reads, runs=None):
         """Batched add_read: one vectorized usable-run pass over ALL reads
-        (AbstractReadThreadingGraph.addRead quality runs :1040-1065)."""
+        (AbstractReadThreadingGraph.addRead quality runs :1040-1065).
+
+        runs: a precomputed ReadRuns (k-independent run decomposition) shared
+        across kmer-size escalation attempts, so the read concatenation isn't
+        re-done per attempt."""
+        if runs is not None:
+            k = self.kmer_size
+            keep = (runs.ends - runs.starts) >= k
+            for st, en, i in zip(runs.starts[keep], runs.ends[keep],
+                                 runs.read_idx[keep]):
+                self.add_sequence(f"{runs.names[i]}_{st}_{en}", runs.seqs[i],
+                                  int(st), int(en), 1, False)
+            return self
         if not reads:
             return self
         lens = np.fromiter((len(r.bases) for r in reads), np.int64, len(reads))

@@ -189,6 +189,58 @@ def _read_index_at(read, ref_pos):
     return None
 
 
+def _finalize_simple(r, padded: Interval, keep_soft: bool):
+    """Single-pass finalize for S?M?S? cigars (the vast majority of reads):
+    revert-or-drop soft clips, clip low-qual tails, clip to the padded interval
+    — composed into one slice + one rebuild instead of up to three
+    (AssemblyBasedCallerUtils.finalizeRegion, fused). Returns the finalized
+    Read, None (fully clipped), or False (cigar too complex — slow path)."""
+    from ..io import sam as _sam
+
+    ops = r.cigar_ops
+    n_ops = len(ops)
+    lead_s = tail_s = 0
+    m_len = 0
+    i = 0
+    if i < n_ops and ops[i] == _sam.OP_S:
+        lead_s = int(r.cigar_lens[i])
+        i += 1
+    if i < n_ops and ops[i] == _sam.OP_M:
+        m_len = int(r.cigar_lens[i])
+        i += 1
+    if i < n_ops and ops[i] == _sam.OP_S:
+        tail_s = int(r.cigar_lens[i])
+        i += 1
+    if i != n_ops or m_len == 0:
+        return False  # indels/other ops: take the generic clipping path
+    L = len(r.bases)
+    if keep_soft:
+        pos0 = r.pos - lead_s
+        if pos0 < 0:  # can't revert into negative coordinates; slow path
+            return False if lead_s else _finalize_simple(r, padded, False)
+        lo, hi = 0, L  # all bases aligned after revert
+    else:
+        pos0 = r.pos
+        lo, hi = lead_s, L - tail_s
+    q = r.quals
+    # low-qual end clip within the aligned window
+    while lo < hi and q[lo] <= MIN_TAIL_QUALITY:
+        lo += 1
+    while hi > lo and q[hi - 1] <= MIN_TAIL_QUALITY:
+        hi -= 1
+    # clip to the padded interval (read coords == ref offsets for pure M)
+    lo = max(lo, padded.start - pos0)
+    hi = min(hi, padded.end - pos0)
+    if hi <= lo:
+        return None
+    from ..io.reads import Read as _Read
+
+    return _Read(r.name, r.flag, r.ref_id, pos0 + lo, r.mapq,
+                 np.zeros(1, np.uint8), np.array([hi - lo], np.int32),
+                 r.bases[lo:hi].copy(), q[lo:hi].copy(),
+                 r.mate_ref_id, r.mate_pos, r.tlen, dict(r.tags))
+
+
 def finalize_region_reads(region_reads, padded: Interval, args: HCArgs):
     """AssemblyBasedCallerUtils.finalizeRegion equivalent.
 
@@ -197,15 +249,17 @@ def finalize_region_reads(region_reads, padded: Interval, args: HCArgs):
     qual correction (which reassigns .quals) never leaks across regions."""
     out = []
     for r in region_reads:
-        rr = (
-            clipping.hard_clip_soft_clipped_bases(r)
-            if args.dont_use_soft_clipped_bases or not _well_defined_fragment(r)
-            else clipping.revert_soft_clipped_bases(r)
-        )
-        rr = clipping.hard_clip_low_qual_ends(rr, MIN_TAIL_QUALITY)
-        if len(rr.bases) == 0 or rr.is_unmapped:
+        keep_soft = not (args.dont_use_soft_clipped_bases or not _well_defined_fragment(r))
+        rr = _finalize_simple(r, padded, keep_soft)
+        if rr is None:
             continue
-        rr = clipping.hard_clip_to_interval(rr, padded.start, padded.end)
+        if rr is False:
+            rr = (clipping.revert_soft_clipped_bases(r) if keep_soft
+                  else clipping.hard_clip_soft_clipped_bases(r))
+            rr = clipping.hard_clip_low_qual_ends(rr, MIN_TAIL_QUALITY)
+            if len(rr.bases) == 0 or rr.is_unmapped:
+                continue
+            rr = clipping.hard_clip_to_interval(rr, padded.start, padded.end)
         if len(rr.bases) > 0 and rr.pos < rr.end and rr.pos < padded.end and rr.end > padded.start:
             out.append(rr if rr is not r else r.copy())
     out.sort(key=lambda r: (r.pos, r.name))

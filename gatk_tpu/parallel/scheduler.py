@@ -60,7 +60,12 @@ class ShardedCaller:
     batches onto (defaults to all local devices).
     """
 
-    def __init__(self, engine, devices=None, host_threads: int = 4):
+    def __init__(self, engine, devices=None, host_threads: int | None = None):
+        if host_threads is None:
+            # prepare threads are partly GIL-bound (numpy clipping/packing):
+            # oversubscribing cores just thrashes; match the machine
+            import os
+            host_threads = max(2, min(4, os.cpu_count() or 2))
         self.engine = engine
         self.devices = list(devices) if devices is not None else jax.local_devices()
         # compile/load the canonical PairHMM programs in the background while

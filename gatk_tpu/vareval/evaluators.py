@@ -349,3 +349,277 @@ EVALUATOR_REGISTRY = {
 STANDARD_EVALUATORS = ("CompOverlap", "CountVariants", "TiTvVariantEvaluator",
                        "IndelSummary", "IndelLengthHistogram",
                        "MultiallelicSummary", "ValidationReport")
+
+
+class VariantAFEvaluator(VariantEvaluator):
+    """Per-genotype variant-allele-fraction census
+    (evaluators/VariantAFEvaluator.java)."""
+
+    name = "VariantAFEvaluator"
+    columns = (("avgVarAF", "%.8f"), ("totalCalledSites", "%d"),
+               ("totalHetSites", "%d"), ("totalHomVarSites", "%d"),
+               ("totalHomRefSites", "%d"))
+
+    def __init__(self):
+        self.sum_af = 0.0
+        self.called = self.het = self.homvar = self.homref = 0
+
+    def update(self, ctx):
+        v = ctx.variant
+        if not v.is_snp():
+            return
+        any_gt = False
+        for g in ctx.genotypes:
+            gt = g.get("GT", "./.").replace("|", "/")
+            if "." in gt:
+                continue
+            any_gt = True
+            alleles = gt.split("/")
+            n_ref = sum(1 for a in alleles if a == "0")
+            self.called += 1
+            self.sum_af += (2 - n_ref) / 2.0
+            self.het += n_ref == 1
+            self.homvar += n_ref == 0
+            self.homref += n_ref == 2
+        if not any_gt and not ctx.genotypes:
+            self.called += 1
+            try:
+                self.sum_af += float(str(v.info.get("AF", "0")).split(",")[0])
+            except ValueError:
+                pass
+
+    def row(self):
+        avg = self.sum_af / self.called if self.called else 0.0
+        return (f"{avg:.8f}", self.called, self.het, self.homvar, self.homref)
+
+
+class ThetaVariantEvaluator(VariantEvaluator):
+    """Watterson / pairwise theta estimates (evaluators/ThetaVariantEvaluator.java)."""
+
+    name = "ThetaVariantEvaluator"
+    columns = (("avgHet", "%.8f"), ("avgAvgDiffs", "%.8f"),
+               ("thetaRegionNumSites", "%.8f"))
+
+    def __init__(self):
+        self.n_sites = 0
+        self.total_het = 0.0
+        self.total_avg_diffs = 0.0
+        self.theta_num_sites = 0.0
+
+    def update(self, ctx):
+        v = ctx.variant
+        if not v.is_snp() or not ctx.genotypes:
+            return
+        allele_counts = {}
+        n_het = n_geno = n_inds = 0
+        for g in ctx.genotypes:
+            n_inds += 1
+            gt = g.get("GT", "./.").replace("|", "/")
+            if "." in gt:
+                continue
+            alleles = gt.split("/")
+            n_het += len(set(alleles)) > 1
+            n_geno += 1
+            for a in alleles:
+                allele_counts[a] = allele_counts.get(a, 0) + 1
+        if n_geno == 0:
+            return
+        self.n_sites += 1
+        self.total_het += n_het / n_geno
+        harmonic = sum(1.0 / i for i in range(1, n_inds + 1))
+        self.theta_num_sites += 1.0 / harmonic if harmonic else 0.0
+        num_pairwise = 0.0
+        num_diffs = 0
+        keys = list(allele_counts)
+        for i, a1 in enumerate(keys):
+            c1 = allele_counts[a1]
+            num_pairwise += c1 * (c1 - 1) * 0.5
+            for a2 in keys[i + 1:]:
+                c2 = allele_counts[a2]
+                num_pairwise += c1 * c2
+                num_diffs += c1 * c2
+        if num_pairwise > 0:
+            self.total_avg_diffs += num_diffs / num_pairwise
+
+    def row(self):
+        avg_het = self.total_het / self.n_sites if self.n_sites else 0.0
+        avg_diffs = self.total_avg_diffs / self.n_sites if self.n_sites else 0.0
+        return (f"{avg_het:.8f}", f"{avg_diffs:.8f}", f"{self.theta_num_sites:.8f}")
+
+
+class GenotypeFilterSummary(VariantEvaluator):
+    """Called vs no-call/filtered genotype counts
+    (evaluators/GenotypeFilterSummary.java)."""
+
+    name = "GenotypeFilterSummary"
+    columns = (("nCalledNotFiltered", "%d"), ("nNoCallOrFiltered", "%d"))
+
+    def __init__(self):
+        self.called = self.nocall = 0
+
+    def update(self, ctx):
+        for g in ctx.genotypes:
+            gt = g.get("GT", "./.")
+            ft = g.get("FT", "PASS")
+            if "." not in gt.replace("|", "/").split("/") and ft in ("PASS", "."):
+                self.called += 1
+            else:
+                self.nocall += 1
+
+    def row(self):
+        return (self.called, self.nocall)
+
+
+class VariantSummary(VariantEvaluator):
+    """Callset-level 1000G-style summary (evaluators/VariantSummary.java)."""
+
+    name = "VariantSummary"
+    columns = (("nSamples", "%d"), ("nSNPs", "%d"), ("TiTvRatio", "%.2f"),
+               ("nIndels", "%d"), ("nSVs", "%d"), ("SNPNoveltyRate", "%s"),
+               ("IndelNoveltyRate", "%s"))
+
+    def __init__(self):
+        self.samples = set()
+        self.n_snp = self.n_indel = self.n_sv = 0
+        self.n_snp_known = self.n_indel_known = 0
+        self.ti = self.tv = 0
+
+    def update(self, ctx):
+        v = ctx.variant
+        for i, g in enumerate(ctx.genotypes):
+            self.samples.add(i)
+        if ctx.vtype == "SNP":
+            self.n_snp += 1
+            self.n_snp_known += bool(ctx.is_known)
+            if is_transition(v.ref, v.alts[0]):
+                self.ti += 1
+            else:
+                self.tv += 1
+        elif ctx.vtype in ("INDEL", "MNP"):
+            self.n_indel += 1
+            self.n_indel_known += bool(ctx.is_known)
+        elif any(a.startswith("<") for a in v.alts) or len(v.ref) > 100:
+            self.n_sv += 1
+
+    def _novelty(self, known, total):
+        if not total:
+            return "NA"
+        return f"{(total - known) / total:.2f}"
+
+    def row(self):
+        titv = self.ti / self.tv if self.tv else 0.0
+        return (len(self.samples), self.n_snp, f"{titv:.2f}", self.n_indel,
+                self.n_sv, self._novelty(self.n_snp_known, self.n_snp),
+                self._novelty(self.n_indel_known, self.n_indel))
+
+
+class MendelianViolationEvaluator(VariantEvaluator):
+    """Trio mendelian-violation census (evaluators/MendelianViolationEvaluator.java,
+    core counts). Configure trios via set_trios([(momIdx, dadIdx, kidIdx)])."""
+
+    name = "MendelianViolationEvaluator"
+    columns = (("nVariants", "%d"), ("nViolations", "%d"),
+               ("KidHomRef_ParentHomVar", "%d"), ("KidHet_ParentsHomRefHomRef", "%d"),
+               ("KidHomVar_ParentHomRef", "%d"))
+
+    trio_indices: list = []
+
+    def __init__(self):
+        self.n_variants = 0
+        self.n_violations = 0
+        self.homref_parenthomvar = 0
+        self.het_refref = 0
+        self.homvar_parenthomref = 0
+
+    @staticmethod
+    def _cls(g):
+        gt = sorted(g.get("GT", "./.").replace("|", "/").split("/"))
+        if "." in gt or len(gt) != 2:
+            return None
+        if gt == ["0", "0"]:
+            return "ref"
+        return "hom" if gt[0] == gt[1] else "het"
+
+    def update(self, ctx):
+        if not self.trio_indices or not ctx.genotypes:
+            return
+        self.n_variants += 1
+        for mom_i, dad_i, kid_i in self.trio_indices:
+            try:
+                mom = self._cls(ctx.genotypes[mom_i])
+                dad = self._cls(ctx.genotypes[dad_i])
+                kid = self._cls(ctx.genotypes[kid_i])
+            except IndexError:
+                continue
+            if None in (mom, dad, kid):
+                continue
+            if kid == "het" and mom == "ref" and dad == "ref":
+                self.n_violations += 1
+                self.het_refref += 1
+            elif kid == "hom" and mom == "ref" and dad == "ref":
+                self.n_violations += 1
+                self.homvar_parenthomref += 1
+            elif kid == "ref" and mom == "hom" and dad == "hom":
+                self.n_violations += 1
+                self.homref_parenthomvar += 1
+
+    def row(self):
+        return (self.n_variants, self.n_violations, self.homref_parenthomvar,
+                self.het_refref, self.homvar_parenthomref)
+
+
+class PrintMissingComp(VariantEvaluator):
+    """Count of eval SNP sites missing from comp (evaluators/PrintMissingComp.java)."""
+
+    name = "PrintMissingComp"
+    columns = (("nMissing", "%d"),)
+
+    def __init__(self):
+        self.n_missing = 0
+
+    def update(self, ctx):
+        if ctx.variant.is_snp() and ctx.comp is None:
+            self.n_missing += 1
+
+    def row(self):
+        return (self.n_missing,)
+
+
+class MetricsCollection(VariantEvaluator):
+    """Cross-evaluator summary metrics (evaluators/MetricsCollection.java):
+    the key concordance/TiTv/indel-ratio numbers in one table."""
+
+    name = "MetricsCollection"
+    columns = (("nSNPs", "%d"), ("nIndels", "%d"), ("tiTvRatio", "%.2f"),
+               ("indelRatio", "%.2f"), ("concordantRate", "%.2f"))
+
+    def __init__(self):
+        self.n_snp = self.n_indel = 0
+        self.ti = self.tv = 0
+        self.ins = self.dels = 0
+        self.n_comp = self.n_concordant = 0
+
+    def update(self, ctx):
+        v = ctx.variant
+        if ctx.vtype == "SNP":
+            self.n_snp += 1
+            if is_transition(v.ref, v.alts[0]):
+                self.ti += 1
+            else:
+                self.tv += 1
+        elif ctx.vtype == "INDEL":
+            self.n_indel += 1
+            for a in v.alts:
+                if len(a) > len(v.ref):
+                    self.ins += 1
+                elif len(a) < len(v.ref):
+                    self.dels += 1
+        if ctx.comp is not None:
+            self.n_comp += 1
+            self.n_concordant += bool(ctx.comp_match)
+
+    def row(self):
+        titv = self.ti / self.tv if self.tv else 0.0
+        ir = self.ins / self.dels if self.dels else 0.0
+        conc = 100.0 * self.n_concordant / self.n_comp if self.n_comp else 0.0
+        return (self.n_snp, self.n_indel, f"{titv:.2f}", f"{ir:.2f}", f"{conc:.2f}")

@@ -195,3 +195,78 @@ STRATIFIER_REGISTRY = {
 # enabled by default (StandardStratification marker: Novelty; Filter is the
 # most-used optional and the prior tool's behavior — kept standard here)
 STANDARD_STRATIFICATIONS = ("Novelty",)
+
+
+class Family(VariantStratifier):
+    """Stratify by family (stratifications/Family.java); families configured
+    via set_families({name: [sample indices]})."""
+
+    name = "Family"
+    families: dict = {}
+
+    @property
+    def all_states(self):
+        return ("all",) + tuple(self.families)
+
+    def relevant_states(self, ctx):
+        states = ["all"]
+        for fam, idxs in self.families.items():
+            for i in idxs:
+                if i < len(ctx.genotypes):
+                    gt = ctx.genotypes[i].get("GT", "./.")
+                    if any(a not in ("0", ".") for a in
+                           gt.replace("|", "/").split("/")):
+                        states.append(fam)
+                        break
+        return tuple(states)
+
+
+class TandemRepeatStrat(VariantStratifier):
+    """Stratify indels by tandem-repeat context (stratifications/TandemRepeat.java):
+    'all', then 'is.repeat' or 'not.repeat' from STR/RU/RPA infos."""
+
+    name = "TandemRepeat"
+    all_states = ("all", "is.repeat", "not.repeat")
+
+    def relevant_states(self, ctx):
+        info = ctx.variant.info
+        is_str = ("STR" in info) or ("RU" in info and "RPA" in info)
+        return ("all", "is.repeat" if is_str else "not.repeat")
+
+
+class IntervalStratification(VariantStratifier):
+    """Stratify by overlap with supplied intervals
+    (stratifications/IntervalStratification.java); set `intervals` to a list of
+    engine Interval objects."""
+
+    name = "IntervalStratification"
+    all_states = ("all", "overlaps.intervals", "outside.intervals")
+    intervals: list = []
+
+    def relevant_states(self, ctx):
+        v = ctx.variant
+        inside = any(t.contig == v.contig and t.start <= v.pos < t.end
+                     for t in self.intervals)
+        return ("all", "overlaps.intervals" if inside else "outside.intervals")
+
+
+class FunctionalClass(VariantStratifier):
+    """Stratify by predicted functional class (stratifications/FunctionalClass.java,
+    SnpEff/Funcotator EFF-style info): silent/missense/nonsense."""
+
+    name = "FunctionalClass"
+    all_states = ("all", "silent", "missense", "nonsense")
+
+    def relevant_states(self, ctx):
+        info = ctx.variant.info
+        text = str(info.get("FUNCOTATION", "")) + str(info.get("EFF", "")) + \
+            str(info.get("ANN", ""))
+        text = text.upper()
+        states = ["all"]
+        if "SILENT" in text or "SYNONYMOUS" in text:
+            states.append("silent")
+        if "MISSENSE" in text:
+            states.append("missense")
+        if "NONSENSE" in text or "STOP_GAINED" in text:
+            states.append("nonsense")
+        return tuple(states)
