@@ -260,3 +260,59 @@ def filter_funcotations(argv):
     w.close()
     print(f"FilterFuncotations: {n_sig}/{len(records)} records clinically significant")
     return 0
+
+
+@register_tool("FuncotatorDataSourceDownloader")
+def funcotator_data_source_downloader(argv):
+    """Obtain and unpack Funcotator datasource bundles
+    (tools/funcotator/FuncotatorDataSourceDownloader.java). This runtime has no
+    network egress, so the tool operates on a local bundle archive
+    (--local-bundle, tar.gz as distributed by the Broad) — it extracts,
+    validates the per-datasource config layout, and prints the canonical
+    download URLs for the germline/somatic bundles when no bundle is given."""
+    p = argparse.ArgumentParser(description="FuncotatorDataSourceDownloader")
+    p.add_argument("--germline", action="store_true")
+    p.add_argument("--somatic", action="store_true")
+    p.add_argument("--local-bundle", default=None,
+                   help="local datasource .tar.gz to unpack instead of downloading")
+    p.add_argument("-O", "--output", default=None, help="extraction directory")
+    p.add_argument("--extract-after-download", action="store_true")
+    p.add_argument("--validate-integrity", action="store_true")
+    args = p.parse_args(argv)
+
+    kind = "somatic" if args.somatic else "germline"
+    urls = {
+        "germline": "gs://broad-public-datasets/funcotator/funcotator_dataSources.v1.8.hg38.20230908g.tar.gz",
+        "somatic": "gs://broad-public-datasets/funcotator/funcotator_dataSources.v1.8.hg38.20230908s.tar.gz",
+    }
+    if not args.local_bundle:
+        print(f"No network egress available in this runtime; fetch the {kind} "
+              f"bundle out-of-band and re-run with --local-bundle:")
+        print(f"  {urls[kind]}")
+        return 0
+    import os
+    import tarfile
+
+    out_dir = args.output or os.path.splitext(
+        os.path.splitext(os.path.basename(args.local_bundle))[0])[0]
+    os.makedirs(out_dir, exist_ok=True)
+    n_cfg = 0
+    with tarfile.open(args.local_bundle, "r:*") as tar:
+        tar.extractall(out_dir, filter="data")
+    for root, _dirs, files in os.walk(out_dir):
+        for f in files:
+            if f.endswith(".config"):
+                n_cfg += 1
+                if args.validate_integrity:
+                    cfg = {}
+                    for line in open(os.path.join(root, f)):
+                        if "=" in line:
+                            k, v = line.split("=", 1)
+                            cfg[k.strip()] = v.strip()
+                    for req in ("name", "type"):
+                        if req not in cfg:
+                            from ..cli import UserError
+                            raise UserError(
+                                f"datasource config {f} missing '{req}'")
+    print(f"extracted datasource bundle to {out_dir} ({n_cfg} datasource configs)")
+    return 0

@@ -168,3 +168,81 @@ def add_flow_base_quality(argv):
     w.close()
     print(f"AddFlowBaseQuality: wrote {n} reads to {args.output}")
     return 0
+
+
+@register_tool("GroundTruthScorer")
+def ground_truth_scorer(argv):
+    """Score flow-based reads against the reference ground truth
+    (groundtruth/GroundTruthScorer.java, core scoring): per read, compare the
+    read's flow key to the reference haplotype's flow key over the aligned
+    span; emit a per-read CSV (read name, span, key length, matched flows,
+    mismatched flows, score) and a report of observed-vs-declared quality
+    binned by base quality."""
+    p = argparse.ArgumentParser(description="GroundTruthScorer")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("--output-csv", required=True)
+    p.add_argument("--report-file", default=None)
+    p.add_argument("--flow-order", default="TGCA")
+    p.add_argument("--normalized-score-threshold", type=float, default=-0.1)
+    args = p.parse_args(argv)
+
+    from ..io import fasta
+    from ..io.cram import open_reads
+    from ..ops import flow as flow_mod
+
+    ref = fasta.FastaReference(args.reference)
+    rd = open_reads(args.input, reference=ref)
+    flow_order = args.flow_order
+    for rg in rd.header.read_groups:
+        if "FO" in rg:
+            flow_order = rg["FO"][:4] or flow_order
+            break
+    # observed-vs-declared quality accumulators per qual bin
+    qual_obs = {}  # qual -> [errors, total]
+    rows = []
+    for r in rd:
+        if r.is_unmapped or r.ref_id < 0:
+            continue
+        contig = rd.header.sequences[r.ref_id].name
+        gt = ref.fetch(contig, int(r.pos), int(r.end))
+        seq = r.bases
+        if r.is_reverse:
+            from ..align.seed_extend import revcomp
+            seq = revcomp(np.asarray(seq, np.uint8))
+            gt = revcomp(np.asarray(gt, np.uint8))
+        read_key = flow_mod.base_array_to_key(np.asarray(seq, np.uint8), flow_order)
+        truth_key = flow_mod.base_array_to_key(np.asarray(gt, np.uint8), flow_order)
+        n = min(len(read_key), len(truth_key))
+        matched = int(np.count_nonzero(read_key[:n] == truth_key[:n]))
+        mismatched = n - matched
+        # normalized score: 0 for a perfect read, more negative with errors
+        score = -mismatched / max(1, n)
+        rows.append(f"{r.name},{contig}:{int(r.pos) + 1}-{int(r.end)},"
+                    f"{len(read_key)},{matched},{mismatched},{score:.4f}")
+        # per-base observed error for the quality report (base-space compare)
+        m = min(len(seq), len(gt))
+        errs = np.asarray(seq[:m], np.uint8) != np.asarray(gt[:m], np.uint8)
+        for qv in np.unique(r.quals[:m]):
+            sel = r.quals[:m] == qv
+            acc = qual_obs.setdefault(int(qv), [0, 0])
+            acc[0] += int(errs[sel].sum())
+            acc[1] += int(sel.sum())
+    with open(args.output_csv, "w") as fh:
+        fh.write("ReadName,AlignedSpan,KeyLength,MatchedFlows,MismatchedFlows,"
+                 "NormalizedScore\n")
+        fh.write("\n".join(rows) + ("\n" if rows else ""))
+    if args.report_file:
+        import math
+        with open(args.report_file, "w") as fh:
+            fh.write("DeclaredQual\tObservedErrors\tBases\tObservedQual\n")
+            for qv in sorted(qual_obs):
+                e, t = qual_obs[qv]
+                oq = (60 if e == 0 else
+                      min(60, -10 * math.log10(e / t)))
+                fh.write(f"{qv}\t{e}\t{t}\t{oq:.1f}\n")
+    n_pass = sum(1 for row in rows
+                 if float(row.rsplit(",", 1)[1]) >= args.normalized_score_threshold)
+    print(f"GroundTruthScorer: scored {len(rows)} reads "
+          f"({n_pass} above threshold) -> {args.output_csv}")
+    return 0

@@ -1901,3 +1901,144 @@ def convert_counts_to_depth_file(argv):
             fh.write(f"{contig}\t{start}\t{end}\t{count}\n")
     print(f"wrote {len(rows)} depth records")
     return 0
+
+
+@register_tool("MergeAnnotatedRegionsByAnnotation")
+def merge_annotated_regions_by_annotation(argv):
+    """Merge neighboring segments whose given annotation values match exactly
+    (copynumber/utils/MergeAnnotatedRegionsByAnnotation.java): same contig,
+    within --max-merge-distance, all --annotations-to-match equal; other
+    columns keep conflicting values joined with '__'."""
+    p = argparse.ArgumentParser(description="MergeAnnotatedRegionsByAnnotation")
+    p.add_argument("--segments", required=True)
+    p.add_argument("--annotations-to-match", action="append", required=True)
+    p.add_argument("--max-merge-distance", type=int, default=1_000_000)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--output-contig-column", default="CONTIG")
+    p.add_argument("--output-start-column", default="START")
+    p.add_argument("--output-end-column", default="END")
+    args = p.parse_args(argv)
+
+    header_meta = []
+    rows = []
+    cols = None
+    for line in open(args.segments):
+        if line.startswith("@") or line.startswith("#"):
+            header_meta.append(line.rstrip("\n"))
+            continue
+        f = line.rstrip("\n").split("\t")
+        if cols is None:
+            cols = f
+            continue
+        rows.append(dict(zip(cols, f)))
+    ccol = "CONTIG" if "CONTIG" in (cols or []) else (cols or ["CONTIG"])[0]
+    scol = "START" if "START" in (cols or []) else None
+    ecol = "END" if "END" in (cols or []) else None
+    if not rows or scol is None or ecol is None:
+        raise UserError("segment file must have CONTIG/START/END columns")
+    merged = []
+    for row in rows:
+        if merged:
+            prev = merged[-1]
+            same = (prev[ccol] == row[ccol]
+                    and int(row[scol]) - int(prev[ecol]) <= args.max_merge_distance
+                    and all(prev.get(a) == row.get(a)
+                            for a in args.annotations_to_match))
+            if same:
+                prev[ecol] = row[ecol]
+                for c in cols:
+                    if c in (ccol, scol, ecol) or c in args.annotations_to_match:
+                        continue
+                    if prev.get(c) != row.get(c):
+                        parts = prev.get(c, "").split("__")
+                        if row.get(c, "") not in parts:
+                            prev[c] = prev.get(c, "") + "__" + row.get(c, "")
+                continue
+        merged.append(dict(row))
+    out_cols = [args.output_contig_column, args.output_start_column,
+                args.output_end_column] + [c for c in cols
+                                           if c not in (ccol, scol, ecol)]
+    with open(args.output, "w") as fh:
+        for m in header_meta:
+            fh.write(m + "\n")
+        fh.write("\t".join(out_cols) + "\n")
+        for row in merged:
+            vals = [row[ccol], row[scol], row[ecol]] + [
+                row.get(c, "") for c in cols if c not in (ccol, scol, ecol)]
+            fh.write("\t".join(vals) + "\n")
+    print(f"merged {len(rows)} -> {len(merged)} segments")
+    return 0
+
+
+@register_tool("CRAMIssue8768Detector")
+def cram_issue_8768_detector(argv):
+    """Detect base corruption from GATK issue 8768 in a CRAM
+    (tools/CRAMIssue8768Detector.java): per container, compare read bases to
+    the reference; containers whose mismatch rate exceeds the threshold are
+    flagged as likely corrupt."""
+    p = argparse.ArgumentParser(description="CRAMIssue8768Detector")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("--output-tsv", default=None)
+    p.add_argument("--mismatch-rate-threshold", type=float, default=0.05)
+    args = p.parse_args(argv)
+
+    from ..io import fasta as fasta_mod, sam as sam_mod
+    from ..io.cram import open_reads
+
+    ref = fasta_mod.FastaReference(args.reference)
+    rd = open_reads(args.input, reference=ref)
+    ref_cache = {}
+    window = 10000
+    stats = {}  # (contig, window_index) -> [mismatches, bases]
+    for r in rd:
+        if r.is_unmapped or r.ref_id < 0:
+            continue
+        contig = rd.header.sequences[r.ref_id].name
+        if contig not in ref_cache:
+            ref_cache[contig] = ref.fetch(contig, 0, ref.contig_length(contig))
+        rb = ref_cache[contig]
+        rp, ro = int(r.pos), 0
+        mism = total = 0
+        for op, ln in zip(r.cigar_ops, r.cigar_lens):
+            op, ln = int(op), int(ln)
+            if op in (sam_mod.OP_M, sam_mod.OP_EQ, sam_mod.OP_X):
+                seg_r = np.asarray(rb[rp : rp + ln], np.uint8)
+                seg_q = np.asarray(r.bases[ro : ro + len(seg_r)], np.uint8)
+                # case-insensitive base compare (ASCII | 0x20 folds case)
+                mism += int(np.count_nonzero(
+                    (seg_r | 0x20) != (seg_q | 0x20)))
+                total += len(seg_r)
+                rp += ln
+                ro += ln
+            elif op == sam_mod.OP_I or op == sam_mod.OP_S:
+                ro += ln
+            elif op in (sam_mod.OP_D, sam_mod.OP_N):
+                rp += ln
+        key = (contig, int(r.pos) // window)
+        s = stats.setdefault(key, [0, 0])
+        s[0] += mism
+        s[1] += total
+    bad = []
+    lines = [f"CRAM 8768 corruption analysis: {args.input}"]
+    for key in sorted(stats):
+        m, t = stats[key]
+        rate = m / t if t else 0.0
+        if rate > args.mismatch_rate_threshold:
+            bad.append((key, rate))
+            lines.append(f"  SUSPECT window {key[0]}:{key[1] * window + 1}-"
+                         f"{(key[1] + 1) * window}: mismatch rate {rate:.4f}")
+    verdict = ("CORRUPT: high-mismatch windows detected" if bad
+               else "OK: no evidence of issue 8768 corruption")
+    lines.append(verdict)
+    with open(args.output, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    if args.output_tsv:
+        with open(args.output_tsv, "w") as fh:
+            fh.write("CONTIG\tWINDOW_START\tMISMATCHES\tBASES\tRATE\n")
+            for (contig, wi), s in sorted(stats.items()):
+                rate = s[0] / s[1] if s[1] else 0.0
+                fh.write(f"{contig}\t{wi * window + 1}\t{s[0]}\t{s[1]}\t{rate:.5f}\n")
+    print(verdict)
+    return 0

@@ -405,3 +405,94 @@ def test_analyze_saturation_mutagenesis(tmp_path):
     header_cols = codons[0].split("\t")
     gtt = header_cols.index("GTT")
     assert codons[2].split("\t")[gtt] == "5"  # codon 2 row
+
+
+def test_spark_compat_aliases(tmp_path):
+    from gatk_tpu.cli import TOOL_REGISTRY
+    assert "MarkDuplicatesSpark" in TOOL_REGISTRY
+    assert "GatherVcfsCloud" in TOOL_REGISTRY
+    # alias strips spark flags and routes to the single-node implementation
+    vcf_a = tmp_path / "a.vcf"
+    vcf_a.write_text("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                     "chr1\t100\t.\tA\tG\t50\tPASS\t.\n")
+    out = str(tmp_path / "g.vcf")
+    rc = TOOL_REGISTRY["GatherVcfsCloud"](
+        ["-I", str(vcf_a), "-O", out, "--spark-master", "local[2]"])
+    assert rc == 0
+    assert "chr1\t100" in open(out).read()
+
+
+def test_merge_annotated_regions_by_annotation(tmp_path):
+    seg = tmp_path / "segs.tsv"
+    seg.write_text("CONTIG\tSTART\tEND\tCall\tScore\n"
+                   "chr1\t100\t200\tAMP\t5\n"
+                   "chr1\t250\t400\tAMP\t7\n"
+                   "chr1\t450\t600\tDEL\t2\n"
+                   "chr2\t100\t200\tAMP\t5\n")
+    out = str(tmp_path / "m.tsv")
+    rc = TOOL_REGISTRY["MergeAnnotatedRegionsByAnnotation"](
+        ["--segments", str(seg), "--annotations-to-match", "Call", "-O", out])
+    assert rc == 0
+    rows = [l.split("\t") for l in open(out).read().splitlines()[1:]]
+    assert len(rows) == 3  # first two AMP rows merged; DEL and chr2 separate
+    assert rows[0][2] == "400"
+    assert "5__7" in rows[0][4]
+
+
+def test_ground_truth_scorer(tmp_path):
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    rng = np.random.default_rng(17)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 300))
+    fa = tmp_path / "r.fa"
+    fa.write_text(f">chr1\n{seq}\n")
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 300, 0)])
+    bam_path = str(tmp_path / "gt.bam")
+    w = bamio.BamWriter(bam_path, header)
+    perfect = seq[50:150]
+    noisy = bytearray(perfect.encode())
+    noisy[10] = ord("A") if noisy[10] != ord("A") else ord("C")
+    for name, s in (("perfect", perfect.encode()), ("noisy", bytes(noisy))):
+        w.write(Read(name=name, flag=0, ref_id=0, pos=50, mapq=60,
+                     cigar_ops=np.array([0], np.uint8),
+                     cigar_lens=np.array([100], np.int32),
+                     bases=np.frombuffer(s, np.uint8).copy(),
+                     quals=np.full(100, 30, np.uint8)))
+    w.close()
+    out = str(tmp_path / "scores.csv")
+    rep = str(tmp_path / "report.tsv")
+    rc = TOOL_REGISTRY["GroundTruthScorer"](
+        ["-I", bam_path, "-R", str(fa), "--output-csv", out, "--report-file", rep])
+    assert rc == 0
+    rows = {l.split(",")[0]: l.split(",") for l in open(out).read().splitlines()[1:]}
+    assert float(rows["perfect"][5]) == 0.0
+    assert float(rows["noisy"][5]) < 0.0
+    assert "DeclaredQual" in open(rep).read()
+
+
+def test_cram_issue_8768_detector(tmp_path):
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    rng = np.random.default_rng(23)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 500))
+    fa = tmp_path / "r.fa"
+    fa.write_text(f">chr1\n{seq}\n")
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 500, 0)])
+    bam_path = str(tmp_path / "ok.bam")
+    w = bamio.BamWriter(bam_path, header)
+    for i in range(5):
+        start = 20 * i
+        w.write(Read(name=f"r{i}", flag=0, ref_id=0, pos=start, mapq=60,
+                     cigar_ops=np.array([0], np.uint8),
+                     cigar_lens=np.array([100], np.int32),
+                     bases=np.frombuffer(seq[start:start + 100].encode(), np.uint8).copy(),
+                     quals=np.full(100, 30, np.uint8)))
+    w.close()
+    out = str(tmp_path / "diag.txt")
+    rc = TOOL_REGISTRY["CRAMIssue8768Detector"](
+        ["-I", bam_path, "-R", str(fa), "-O", out,
+         "--output-tsv", str(tmp_path / "d.tsv")])
+    assert rc == 0
+    assert "OK" in open(out).read()
