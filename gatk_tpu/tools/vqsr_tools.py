@@ -205,6 +205,12 @@ def variant_recalibrator(argv):
     p.add_argument("--std-threshold", type=float, default=10.0)
     p.add_argument("--max-iterations", type=int, default=150)
     p.add_argument("--k-means-iterations", type=int, default=100)
+    p.add_argument("--rscript-file", default=None,
+                   help="write the tranche/annotation plotting script "
+                        "(VariantRecalibrator.RECAL_PLOTS) + a rendered .pdf")
+    p.add_argument("--output-model", default=None,
+                   help="serialize the trained positive/negative GMMs as a "
+                        "GATKReport (scattered-training workflows)")
     args = p.parse_args(argv)
 
     if not any(r["training"] for r in resources):
@@ -385,6 +391,69 @@ def variant_recalibrator(argv):
             truth_sensitivity=(sel & truth_mask).sum() / max(n_truth, 1)))
         prev_ts = ts
     write_tranches(args.tranches_file, tranches, args.mode)
+
+    if args.output_model:
+        # GATKReport serialization of both GMMs (VariantRecalibrator
+        # --output-model; GATKReport tables of per-gaussian mean/covariance,
+        # the format VariantRecalibrator re-reads with --input-model)
+        from ..recal.report import ReportTable, render_report
+
+        tables = []
+        for label, model in (("Positive", good_model), ("Negative", bad_model)):
+            t = ReportTable(f"{label}ModelMeans",
+                            f"{label} model gaussian means",
+                            [("Gaussian", "%d")] + [(a, "%.6f") for a in annotations],
+                            sort_by_column=False)
+            for kk in range(model.k):
+                t.add_row(kk, *[float(m) for m in model.mu[kk]])
+            tables.append(t)
+            tc = ReportTable(f"{label}ModelCovariances",
+                             f"{label} model gaussian covariances",
+                             [("Gaussian", "%d"), ("Row", "%s")]
+                             + [(a, "%.6f") for a in annotations],
+                             sort_by_column=False)
+            for kk in range(model.k):
+                for ri_ in range(len(annotations)):
+                    tc.add_row(kk, annotations[ri_],
+                               *[float(c) for c in model.sigma[kk][ri_]])
+            tables.append(tc)
+        with open(args.output_model, "w") as fh:
+            fh.write(render_report(tables))
+
+    if args.rscript_file:
+        # the .R script the reference emits for its plots, plus a directly
+        # rendered PDF so no R runtime is needed
+        with open(args.rscript_file, "w") as fh:
+            fh.write("# VariantRecalibrator plots (gatk_tpu)\n"
+                     "# tranche plot data embedded below; the companion .pdf\n"
+                     "# is rendered directly by the tool.\n")
+            fh.write("tranches <- read.csv(textConnection('\n")
+            fh.write("targetTruthSensitivity,minVQSLod,numKnown,numNovel\n")
+            for t in tranches:
+                fh.write(f"{t.target_truth_sensitivity},{t.min_vqslod},"
+                         f"{t.num_known},{t.num_novel}\n")
+            fh.write("'))\n")
+            fh.write("plot(tranches$targetTruthSensitivity, tranches$minVQSLod)\n")
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, axes = plt.subplots(1, 2, figsize=(11, 4.5))
+            ts_vals = [t.target_truth_sensitivity for t in tranches]
+            axes[0].plot(ts_vals, [t.min_vqslod for t in tranches], "o-")
+            axes[0].set_xlabel("target truth sensitivity (%)")
+            axes[0].set_ylabel("min VQSLOD")
+            axes[0].set_title(f"VQSR tranches ({args.mode})")
+            axes[1].bar([str(t) for t in ts_vals],
+                        [t.num_known + t.num_novel for t in tranches])
+            axes[1].set_xlabel("tranche")
+            axes[1].set_ylabel("variants retained")
+            fig.tight_layout()
+            fig.savefig(args.rscript_file + ".pdf")
+            plt.close(fig)
+        except Exception:  # pragma: no cover - plotting is best-effort
+            pass
     print(f"recalibrated {len(data)} variants; {len(tranches)} tranches -> {args.output}")
     return 0
 

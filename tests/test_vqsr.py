@@ -85,7 +85,14 @@ def test_variant_recalibrator_end_to_end(tmp_path):
          ["-V", input_vcf, "-O", recal, "--tranches-file", tranches,
           "-an", "QD", "-an", "FS", "-an", "MQ", "-mode", "SNP",
           "--max-gaussians", "2",
+          "--rscript-file", str(tmp_path / "plots.R"),
+          "--output-model", str(tmp_path / "model.report"),
           "--resource:truthres,known=false,training=true,truth=true,prior=15.0", truth_vcf])
+
+    # --output-model GATKReport has both model tables; --rscript-file written
+    model_text = open(str(tmp_path / "model.report")).read()
+    assert "PositiveModelMeans" in model_text and "NegativeModelCovariances" in model_text
+    assert (tmp_path / "plots.R").exists()
 
     # recal VCF has a record per input site with VQSLOD + culprit
     lods = {}
