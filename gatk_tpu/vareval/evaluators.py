@@ -369,7 +369,7 @@ class VariantAFEvaluator(VariantEvaluator):
         if not v.is_snp():
             return
         any_gt = False
-        for g in ctx.genotypes:
+        for g in (ctx.variant.samples or []):
             gt = g.get("GT", "./.").replace("|", "/")
             if "." in gt:
                 continue
@@ -381,7 +381,7 @@ class VariantAFEvaluator(VariantEvaluator):
             self.het += n_ref == 1
             self.homvar += n_ref == 0
             self.homref += n_ref == 2
-        if not any_gt and not ctx.genotypes:
+        if not any_gt and not ctx.variant.samples:
             self.called += 1
             try:
                 self.sum_af += float(str(v.info.get("AF", "0")).split(",")[0])
@@ -408,11 +408,11 @@ class ThetaVariantEvaluator(VariantEvaluator):
 
     def update(self, ctx):
         v = ctx.variant
-        if not v.is_snp() or not ctx.genotypes:
+        if not v.is_snp() or not ctx.variant.samples:
             return
         allele_counts = {}
         n_het = n_geno = n_inds = 0
-        for g in ctx.genotypes:
+        for g in (ctx.variant.samples or []):
             n_inds += 1
             gt = g.get("GT", "./.").replace("|", "/")
             if "." in gt:
@@ -458,7 +458,7 @@ class GenotypeFilterSummary(VariantEvaluator):
         self.called = self.nocall = 0
 
     def update(self, ctx):
-        for g in ctx.genotypes:
+        for g in (ctx.variant.samples or []):
             gt = g.get("GT", "./.")
             ft = g.get("FT", "PASS")
             if "." not in gt.replace("|", "/").split("/") and ft in ("PASS", "."):
@@ -486,7 +486,7 @@ class VariantSummary(VariantEvaluator):
 
     def update(self, ctx):
         v = ctx.variant
-        for i, g in enumerate(ctx.genotypes):
+        for i, g in enumerate(ctx.variant.samples or []):
             self.samples.add(i)
         if ctx.vtype == "SNP":
             self.n_snp += 1
@@ -541,14 +541,14 @@ class MendelianViolationEvaluator(VariantEvaluator):
         return "hom" if gt[0] == gt[1] else "het"
 
     def update(self, ctx):
-        if not self.trio_indices or not ctx.genotypes:
+        if not self.trio_indices or not ctx.variant.samples:
             return
         self.n_variants += 1
         for mom_i, dad_i, kid_i in self.trio_indices:
             try:
-                mom = self._cls(ctx.genotypes[mom_i])
-                dad = self._cls(ctx.genotypes[dad_i])
-                kid = self._cls(ctx.genotypes[kid_i])
+                mom = self._cls(ctx.variant.samples[mom_i])
+                dad = self._cls(ctx.variant.samples[dad_i])
+                kid = self._cls(ctx.variant.samples[kid_i])
             except IndexError:
                 continue
             if None in (mom, dad, kid):
@@ -623,3 +623,11 @@ class MetricsCollection(VariantEvaluator):
         ir = self.ins / self.dels if self.dels else 0.0
         conc = 100.0 * self.n_concordant / self.n_comp if self.n_comp else 0.0
         return (self.n_snp, self.n_indel, f"{titv:.2f}", f"{ir:.2f}", f"{conc:.2f}")
+
+
+EVALUATOR_REGISTRY.update({
+    cls.name: cls for cls in (
+        VariantAFEvaluator, ThetaVariantEvaluator, GenotypeFilterSummary,
+        VariantSummary, MendelianViolationEvaluator, PrintMissingComp,
+        MetricsCollection)
+})

@@ -212,8 +212,8 @@ class Family(VariantStratifier):
         states = ["all"]
         for fam, idxs in self.families.items():
             for i in idxs:
-                if i < len(ctx.genotypes):
-                    gt = ctx.genotypes[i].get("GT", "./.")
+                if i < len(ctx.variant.samples or []):
+                    gt = ctx.variant.samples[i].get("GT", "./.")
                     if any(a not in ("0", ".") for a in
                            gt.replace("|", "/").split("/")):
                         states.append(fam)
@@ -270,3 +270,11 @@ class FunctionalClass(VariantStratifier):
         if "NONSENSE" in text or "STOP_GAINED" in text:
             states.append("nonsense")
         return tuple(states)
+
+
+STRATIFIER_REGISTRY.update({
+    "Family": Family,
+    "TandemRepeat": TandemRepeatStrat,
+    "IntervalStratification": IntervalStratification,
+    "FunctionalClass": FunctionalClass,
+})

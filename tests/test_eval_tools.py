@@ -153,3 +153,38 @@ def test_filter_variant_tranches(tmp_path):
     assert any(s == name for s in statuses.values())
     # the highest-scoring variants pass, lowest fail
     assert statuses[1099] == "PASS" and statuses[1000] == name
+
+
+def test_new_evaluators_and_stratifiers(tmp_path):
+    """Round-4 vareval breadth: new evaluators/stratifiers registered and
+    produce tables (varianteval/evaluators + stratifications)."""
+    from gatk_tpu.cli import TOOL_REGISTRY
+    from gatk_tpu.vareval.evaluators import EVALUATOR_REGISTRY
+    from gatk_tpu.vareval.stratifiers import STRATIFIER_REGISTRY
+
+    for n in ("VariantAFEvaluator", "ThetaVariantEvaluator", "GenotypeFilterSummary",
+              "VariantSummary", "MendelianViolationEvaluator", "PrintMissingComp",
+              "MetricsCollection"):
+        assert n in EVALUATOR_REGISTRY, n
+    for n in ("Family", "TandemRepeat", "IntervalStratification", "FunctionalClass"):
+        assert n in STRATIFIER_REGISTRY, n
+
+    vcf_in = tmp_path / "e.vcf"
+    vcf_in.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\n"
+        "chr1\t100\t.\tA\tG\t50\tPASS\t.\tGT:GQ:DP\t0/1:60:30\t0/0:50:25\n"
+        "chr1\t200\t.\tC\tT\t60\tPASS\t.\tGT:GQ:DP\t1/1:70:40\t0/1:55:33\n"
+        "chr1\t300\t.\tG\tGA\t40\tPASS\tSTR;RU=A;RPA=5,6\tGT:GQ:DP\t0/1:45:20\t./.:.:.\n")
+    out = str(tmp_path / "eval.report")
+    rc = TOOL_REGISTRY["VariantEval"](
+        ["--eval", str(vcf_in), "-O", out,
+         "-EV", "VariantAFEvaluator", "-EV", "ThetaVariantEvaluator",
+         "-EV", "GenotypeFilterSummary", "-EV", "VariantSummary",
+         "-EV", "MetricsCollection", "-ST", "TandemRepeat"])
+    assert rc == 0
+    text = open(out).read()
+    for table in ("VariantAFEvaluator", "ThetaVariantEvaluator",
+                  "GenotypeFilterSummary", "VariantSummary", "MetricsCollection"):
+        assert table in text, table
+    assert "is.repeat" in text and "not.repeat" in text
