@@ -153,14 +153,23 @@ class Mutect2Engine:
             usable, span_start, span_end, ref_span, contig_len,
             args.initial_log_odds, args.pcr_snv_qual)
 
-        all_variants = []
+        # pooled cross-region PairHMM dispatch (same batching as the HC engine:
+        # host assembly for region i overlaps device compute for regions < i)
+        batcher = pairhmm_tpu.PoolBatcher()
+        preps = []
         for rr in raw_regions:
             if not rr.is_active:
                 continue
             region_span = Interval(interval.contig, span_start + rr.start, span_start + rr.end)
             if region_span.end <= interval.start or region_span.start >= interval.end:
                 continue
-            all_variants.extend(self.call_region(usable, region_span, sample_of_read))
+            prep = self._prepare_region(usable, region_span, batcher)
+            if prep is not None:
+                preps.append(prep)
+        batcher.flush()
+        all_variants = []
+        for prep in preps:
+            all_variants.extend(self._finish_region(prep, sample_of_read))
         return [v for v in all_variants if interval.start <= v.pos < interval.end]
 
     def count_callable_sites(self, reads, interval: Interval) -> int:
@@ -185,6 +194,15 @@ class Mutect2Engine:
     # ---------------- region calling ----------------
 
     def call_region(self, reads, span: Interval, sample_of_read=None):
+        batcher = pairhmm_tpu.PoolBatcher()
+        prep = self._prepare_region(reads, span, batcher)
+        if prep is None:
+            return []
+        batcher.flush()
+        return self._finish_region(prep, sample_of_read)
+
+    def _prepare_region(self, reads, span: Interval, batcher):
+        """Host-side finalize + assembly + pooled PairHMM dispatch."""
         args = self.args
         contig_len = self.ref.contig_length(span.contig)
         padded = span.expand(REGION_PADDING, contig_len)
@@ -192,7 +210,7 @@ class Mutect2Engine:
         hc_args = HCArgs(min_base_quality_score=args.min_base_quality_score)
         final_reads = finalize_region_reads(region_reads, padded, hc_args)
         if not final_reads:
-            return []
+            return None
 
         ref_bases = self.ref.fetch(span.contig, padded.start, padded.end)
         result = assembler.assemble(final_reads, ref_bases, padded.start,
@@ -200,11 +218,19 @@ class Mutect2Engine:
                                     adaptive_pruning=args.adaptive_pruning)
         haplotypes = result.haplotypes
         if len(haplotypes) <= 1 or not any(h.events for h in haplotypes):
-            return []
-
-        # read x haplotype log10 likelihoods -> natural log
+            return None
         prepped = read_prep.prepare_reads_for_pairhmm(final_reads)
-        mat10 = pairhmm_tpu.compute_likelihood_matrix(prepped, [h.bases for h in haplotypes])
+        handle = batcher.add_region(prepped, [h.bases for h in haplotypes])
+        return dict(span=span, padded=padded, final_reads=final_reads,
+                    prepped=prepped, haplotypes=haplotypes, handle=handle)
+
+    def _finish_region(self, prep, sample_of_read=None):
+        """Fetch the pooled likelihoods and run somatic genotyping."""
+        span, padded = prep["span"], prep["padded"]
+        haplotypes, final_reads = prep["haplotypes"], prep["final_reads"]
+        # read x haplotype log10 likelihoods -> natural log
+        mat10 = pairhmm_tpu.finish_likelihood_matrix(
+            prep["handle"], prep["prepped"], [h.bases for h in haplotypes])
         lik = AlleleLikelihoods(list(haplotypes), list(final_reads), mat10.T * LN10)
         lik.normalize_likelihoods(-(GLOBAL_MISMAPPING_RATE / 10.0) * LN10, True)
 
