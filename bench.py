@@ -254,13 +254,23 @@ def _scaling_bench():
     startup = run_procs(1, "chrM:1-2", "warm")  # fixed cost: no active regions
     t1 = run_procs(1, "chrM:1-600", "p1")
     t2 = run_procs(2, "chrM:1-600", "p2")
+    t4 = run_procs(4, "chrM:1-600", "p4")
     work1 = max(t1 - startup, 1e-3)
     work2 = max(t2 - startup, 1e-3)
-    eff = work1 / (2.0 * work2)
-    return dict(startup_s=round(startup, 1), wall_1proc_s=round(t1, 1),
-                wall_2proc_s=round(t2, 1), work_1proc_s=round(work1, 1),
-                work_2proc_s=round(work2, 1),
-                scaling_efficiency_2proc=round(eff, 3))
+    work4 = max(t4 - startup, 1e-3)
+    n_cpus = os.cpu_count() or 1
+    # with fewer physical cores than processes the hardware ceiling is
+    # cores/nprocs; report efficiency against the CORE-limited ideal too so
+    # the 4-proc point on a 2-core box measures distribution overhead rather
+    # than inevitable oversubscription
+    return dict(cpus=n_cpus, startup_s=round(startup, 1),
+                wall_1proc_s=round(t1, 1), wall_2proc_s=round(t2, 1),
+                wall_4proc_s=round(t4, 1), work_1proc_s=round(work1, 1),
+                work_2proc_s=round(work2, 1), work_4proc_s=round(work4, 1),
+                scaling_efficiency_2proc=round(work1 / (2.0 * work2), 3),
+                scaling_efficiency_4proc=round(work1 / (4.0 * work4), 3),
+                scaling_efficiency_4proc_core_limited=round(
+                    work1 / (min(4, n_cpus) * work4), 3))
 
 
 def main():

@@ -187,3 +187,185 @@ def flow_feature_mapper(argv):
     print(f"mapped {len(records)} features from {n_reads} reads "
           f"({n_filtered} filtered) -> {args.output}")
     return 0
+
+
+# ---------------------------------------------------------------------------
+# AddFlowSNVQuality (tools/walkers/featuremapping/AddFlowSNVQuality.java)
+# ---------------------------------------------------------------------------
+
+def _snvq_value(slice_p, p1, p2, mode):
+    """getSnvq (AddFlowSNVQuality.java): combine flow/sideFlow error probs."""
+    import math as _math
+    if mode == "Legacy":
+        return slice_p
+    if mode == "Optimistic":
+        return p1 * p2
+    if mode == "Pessimistic":
+        return 1 - (1 - p1) * (1 - p2)
+    if mode == "Geometric":
+        return _math.sqrt((p1 * p2) * (1 - (1 - p1) * (1 - p2)))
+    raise ValueError(f"unknown snv mode {mode}")
+
+
+def _sided_error_and_alt_probs(key, bands, flow, side_incr, fol, flow_order,
+                               snv_mode):
+    """generateSidedHmerBaseErrorProbability + per-alt-base SNVQ accumulation.
+    Returns (error_prob, {alt_base_char: snvq_prob})."""
+    min_index = max(flow - (fol - 1), 0)
+    max_index = min(flow + (fol - 1), len(key) - 1)
+    base_slice = list(key[min_index : max_index + 1])
+    hmer_length = key[flow]
+    from .groundtruth_tools import _slice_is_valid
+
+    def slice_probs(s, side_flow):
+        acc, p1, p2 = 1.0, 0.0, 0.0
+        for i, v in enumerate(s):
+            ki = min_index + i
+            hm = key[ki]
+            band = 0 if v == hm - 1 else (2 if v == hm + 1 else 1)
+            p = bands[band, ki]
+            acc *= p
+            if ki == flow:
+                p1 = p
+            if ki == side_flow:
+                p2 = p
+        return acc, p1, p2
+
+    slices = []
+    incrs = (side_incr,) if hmer_length != 1 else (side_incr, -side_incr)
+    for incr in incrs:
+        side_flow = flow + incr
+        while 0 <= side_flow < len(key):
+            if side_flow < min_index or side_flow > max_index:
+                break
+            alt = list(base_slice)
+            alt[side_flow - min_index] += 1
+            alt[flow - min_index] -= 1
+            if _slice_is_valid(alt, fol):
+                slices.append((alt, flow_order[side_flow % fol], side_flow))
+            if key[side_flow] != 0:
+                break
+            side_flow += incr
+    key_p, _, _ = slice_probs(base_slice, flow)
+    sum_p = key_p
+    alt_probs = {}
+    for s, alt_byte, side_flow in slices:
+        acc, p1, p2 = slice_probs(s, side_flow)
+        alt_probs[alt_byte] = _snvq_value(acc, p1, p2, snv_mode)
+        sum_p += acc
+    return 1.0 - (key_p / sum_p), alt_probs
+
+
+@register_tool("AddFlowSNVQuality")
+def add_flow_snv_quality(argv):
+    """Per-base SNV qualities for flow reads
+    (featuremapping/AddFlowSNVQuality.java): base quals replaced with
+    flow-derived error probs and qa/qc/qg/qt attributes holding the probability
+    that the base is actually each non-called nucleotide."""
+    p = argparse.ArgumentParser(description="AddFlowSNVQuality")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("--max-phred-score", type=float, default=60.0)
+    p.add_argument("--snvq-mode", choices=["Legacy", "Optimistic", "Pessimistic",
+                                           "Geometric"], default="Geometric")
+    p.add_argument("--output-quality-attribute", default=None)
+    p.add_argument("--flow-order", default="TGCA")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from ..io import bam as bamio, fasta
+    from ..io.cram import open_reads
+    from ..ops import flow as flow_mod
+    from .groundtruth_tools import (_calc_flow_order_length,
+                                    _extract_error_prob_bands)
+
+    min_rate = 10.0 ** (-args.max_phred_score / 10.0)
+    max_q = int(args.max_phred_score)
+    ref = fasta.FastaReference(args.reference) if args.reference else None
+    rd = open_reads(args.input, reference=ref)
+    flow_order = args.flow_order
+    for rg in rd.header.read_groups:
+        if "FO" in rg:
+            flow_order = rg["FO"][:4] or flow_order
+            break
+    fol = _calc_flow_order_length(flow_order)
+    w = bamio.BamWriter(args.output, rd.header)
+    n = 0
+    for r in rd:
+        fread = flow_mod.flow_read_from_sam(r, flow_order)
+        key = [int(k) for k in fread.key]
+        bands = _extract_error_prob_bands(fread, min_rate)
+        n_bases = int(sum(key))
+        base_probs = np.zeros(n_bases)
+        snvq = {c: np.zeros(n_bases) for c in flow_order}
+        base = 0
+        for flow in range(len(key)):
+            if key[flow] == 0:
+                continue
+            hmer = key[flow]
+            flow_char = flow_order[flow % fol]
+            ep0, alts0 = _sided_error_and_alt_probs(
+                key, bands, flow, -1, fol, flow_order, args.snvq_mode)
+            base_probs[base] = ep0
+            for i, c in enumerate(flow_order):
+                if c in alts0:
+                    snvq[c][base] = alts0[c]
+                elif c != flow_char:
+                    snvq[c][base] = min_rate
+            base += 1
+            if hmer > 1:
+                ep1, alts1 = _sided_error_and_alt_probs(
+                    key, bands, flow, 1, fol, flow_order, args.snvq_mode)
+                base += hmer - 2
+                base_probs[base] = ep1
+                for c in flow_order:
+                    if c in alts1:
+                        for j in range(hmer - 1):
+                            snvq[c][base - j] = alts1[c] if j == 0 else min_rate
+                    elif c != flow_char:
+                        for j in range(hmer - 1):
+                            snvq[c][base - j] = min_rate
+                base += 1
+            if base == n_bases:
+                base_probs[base - 1] = bands[1, flow]
+        # normalize: called-base prob = 1 - sum(alt probs); bq = that sum
+        bases_seq = bytes(fread.bases).decode()
+        for ofs in range(min(n_bases, len(bases_seq))):
+            called = bases_seq[ofs]
+            alt_p = 0.0
+            for c in flow_order:
+                if c != called:
+                    snvq[c][ofs] = max(min_rate, snvq[c][ofs])
+                    alt_p += snvq[c][ofs]
+            if called in snvq:
+                snvq[called][ofs] = max(0.0, 1.0 - alt_p)
+                base_probs[ofs] = min(1.0, alt_p)
+
+        def to_phred(probs):
+            out = np.where(probs <= 0, max_q,
+                           np.minimum(max_q, np.round(
+                               -10 * np.log10(np.maximum(probs, 1e-30)))))
+            return out.astype(np.uint8)[: len(r.bases)]
+
+        tags = dict(getattr(r, "tags", None) or {})
+        phred = to_phred(base_probs)
+        if len(phred) < len(r.bases):
+            phred = np.pad(phred, (0, len(r.bases) - len(phred)),
+                           constant_values=max_q)
+        if args.output_quality_attribute:
+            tags[args.output_quality_attribute] = "".join(chr(q + 33) for q in phred)
+        else:
+            r.quals = phred
+        for c in flow_order:
+            q = to_phred(snvq[c])
+            if len(q) < len(r.bases):
+                q = np.pad(q, (0, len(r.bases) - len(q)), constant_values=max_q)
+            tags["q" + c.lower()] = "".join(chr(x + 33) for x in q)
+        r.tags = tags
+        w.write(r)
+        n += 1
+    w.close()
+    print(f"AddFlowSNVQuality: wrote {n} reads to {args.output}")
+    return 0

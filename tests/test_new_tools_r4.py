@@ -496,3 +496,37 @@ def test_cram_issue_8768_detector(tmp_path):
          "--output-tsv", str(tmp_path / "d.tsv")])
     assert rc == 0
     assert "OK" in open(out).read()
+
+
+def test_add_flow_snv_quality(tmp_path):
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    bam_path = str(tmp_path / "flow2.bam")
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 10000, 0)],
+                             read_groups=[{"ID": "rg1", "SM": "s1", "FO": "TGCATGCA"}])
+    w = bamio.BamWriter(bam_path, header)
+    seq = "TTGGCAATGC"
+    w.write(Read(name="r1", flag=0, ref_id=0, pos=100, mapq=60,
+                 cigar_ops=np.array([0], np.uint8),
+                 cigar_lens=np.array([len(seq)], np.int32),
+                 bases=np.frombuffer(seq.encode(), np.uint8).copy(),
+                 quals=np.full(len(seq), 30, np.uint8)))
+    w.close()
+    out = str(tmp_path / "snvq.bam")
+    rc = TOOL_REGISTRY["AddFlowSNVQuality"](["-I", bam_path, "-O", out])
+    assert rc == 0
+    from gatk_tpu.io import bam as bamio2
+    reads = list(bamio2.BamReader(out))
+    tags = reads[0].tags or {}
+    # qa/qc/qg/qt attributes present, fastq-encoded, one char per base
+    for c in "tgca":
+        assert f"q{c}" in tags and len(tags[f"q{c}"]) == len(seq)
+    # the called base's column carries low error prob (high qual); at each
+    # position exactly one of the four is the called base
+    for ofs, base in enumerate(seq.lower()):
+        called_q = ord(tags[f"q{base}"][ofs]) - 33
+        others = [ord(tags[f"q{c}"][ofs]) - 33 for c in "tgca" if c != base]
+        assert called_q <= min(others) + 60  # called prob ~1 -> low phred of 1-p...
+    # quals replaced by SNV-derived values
+    assert not np.all(reads[0].quals == 30)
