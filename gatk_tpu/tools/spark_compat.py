@@ -78,6 +78,10 @@ for _spark, _single in [
     ("PathSeqScoreSpark", "PathSeqScore"),
     ("PathSeqBwaSpark", "PathSeqAlign"),
     ("GatherVcfsCloud", "GatherVcfs"),
+    # the modern in-repo SV discoverer supersedes both Spark-era entry points
+    # for calling SVs from assembled-contig alignments
+    ("SvDiscoverFromLocalAssemblyContigAlignmentsSpark", "StructuralVariantDiscoverer"),
+    ("DiscoverVariantsFromContigAlignmentsSAMSpark", "StructuralVariantDiscoverer"),
 ]:
     if _single in TOOL_REGISTRY:
         _alias(_spark, _single)
