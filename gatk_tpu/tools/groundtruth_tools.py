@@ -246,3 +246,87 @@ def ground_truth_scorer(argv):
     print(f"GroundTruthScorer: scored {len(rows)} reads "
           f"({n_pass} above threshold) -> {args.output_csv}")
     return 0
+
+
+@register_tool("GroundTruthReadsBuilder")
+def ground_truth_reads_builder(argv):
+    """Build a base-calling training set from reads + parental haploid
+    references (groundtruth/GroundTruthReadsBuilder.java, core flow): for each
+    read, extract the maternal and paternal haplotype sequences over the
+    read's span (+EXTRA fill), score the read against both (PairHMM log
+    likelihood per base), keep reads whose best haplotype passes the score and
+    score-delta gates, subsample, and write the training CSV. The reference's
+    ancestral-translator CSVs are replaced by same-coordinate parental FASTAs
+    (the common same-assembly case)."""
+    p = argparse.ArgumentParser(description="GroundTruthReadsBuilder")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("--maternal-ref", required=True)
+    p.add_argument("--paternal-ref", required=True)
+    p.add_argument("--output-csv", required=True)
+    p.add_argument("--subsampling-ratio", type=float, default=1.0)
+    p.add_argument("--max-output-reads", type=int, default=20_000_000)
+    p.add_argument("--min-mq", type=float, default=0)
+    p.add_argument("--min-haplotype-score", type=float, default=0)
+    p.add_argument("--min-haplotype-score-delta", type=float, default=0)
+    p.add_argument("--haplotype-output-padding-size", type=int, default=8)
+    args = p.parse_args(argv)
+
+    from ..io import fasta
+    from ..io.cram import open_reads
+    from ..ops import pairhmm_host
+    from ..utils.javarandom import JavaRandom
+
+    EXTRA = 50  # EXTRA_FILL_FROM_HAPLOTYPE
+    mat = fasta.FastaReference(args.maternal_ref)
+    pat = fasta.FastaReference(args.paternal_ref)
+    rd = open_reads(args.input)
+    rng = JavaRandom(42)
+    rows = []
+    n_out = 0
+    for r in rd:
+        if r.is_unmapped or r.mapq < args.min_mq or (r.flag & 0x900):
+            continue
+        if args.subsampling_ratio < 1.0 and rng.next_double() > args.subsampling_ratio:
+            continue
+        contig = rd.header.sequences[r.ref_id].name
+        lo = max(0, int(r.pos))
+        scores = {}
+        haps = {}
+        for label, ref in (("maternal", mat), ("paternal", pat)):
+            if contig not in ref.contigs():
+                break
+            hi = min(int(r.end) + EXTRA, ref.contig_length(contig))
+            hap = bytes(ref.fetch(contig, lo, hi)).upper()
+            haps[label] = hap
+            lik = pairhmm_host.compute_log10_likelihood(
+                hap, bytes(r.bases), r.quals,
+                np.full(len(r.bases), 45, np.uint8),
+                np.full(len(r.bases), 45, np.uint8),
+                np.full(len(r.bases), 10, np.uint8))
+            scores[label] = lik / max(1, len(r.bases))  # per-base normalized
+        if len(scores) != 2:
+            continue
+        best = max(scores, key=scores.get)
+        if args.min_haplotype_score and scores[best] < -abs(args.min_haplotype_score):
+            continue
+        delta = abs(scores["maternal"] - scores["paternal"])
+        if args.min_haplotype_score_delta and delta < args.min_haplotype_score_delta:
+            continue
+        pad = "N" * args.haplotype_output_padding_size
+        rows.append((r.name, bytes(r.bases).decode(),
+                     haps["maternal"].decode() + pad,
+                     haps["paternal"].decode() + pad,
+                     f"{scores['maternal']:.4f}", f"{scores['paternal']:.4f}",
+                     best))
+        n_out += 1
+        if n_out >= args.max_output_reads:
+            break
+    import gzip as _gzip
+    op = _gzip.open if args.output_csv.endswith(".gz") else open
+    with op(args.output_csv, "wt") as fh:
+        fh.write("ReadName,ReadSequence,MaternalHaplotype,PaternalHaplotype,"
+                 "MaternalScore,PaternalScore,BestHaplotype\n")
+        for row in rows:
+            fh.write(",".join(row) + "\n")
+    print(f"GroundTruthReadsBuilder: wrote {n_out} training reads to {args.output_csv}")
+    return 0

@@ -530,3 +530,42 @@ def test_add_flow_snv_quality(tmp_path):
         assert called_q <= min(others) + 60  # called prob ~1 -> low phred of 1-p...
     # quals replaced by SNV-derived values
     assert not np.all(reads[0].quals == 30)
+
+
+def test_ground_truth_reads_builder(tmp_path):
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    rng = np.random.default_rng(29)
+    base_seq = list("ACGT" [i] for i in rng.integers(0, 4, 300))
+    mat_seq = "".join(base_seq)
+    pat_list = list(base_seq)
+    pat_list[150] = "G" if pat_list[150] != "G" else "C"  # paternal-only SNP
+    pat_seq = "".join(pat_list)
+    (tmp_path / "mat.fa").write_text(f">chr1\n{mat_seq}\n")
+    (tmp_path / "pat.fa").write_text(f">chr1\n{pat_seq}\n")
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 300, 0)])
+    bam_path = str(tmp_path / "gt.bam")
+    w = bamio.BamWriter(bam_path, header)
+    # read carrying the paternal allele
+    w.write(Read(name="r_pat", flag=0, ref_id=0, pos=120, mapq=60,
+                 cigar_ops=np.array([0], np.uint8),
+                 cigar_lens=np.array([60], np.int32),
+                 bases=np.frombuffer(pat_seq[120:180].encode(), np.uint8).copy(),
+                 quals=np.full(60, 35, np.uint8)))
+    # read carrying the maternal allele
+    w.write(Read(name="r_mat", flag=0, ref_id=0, pos=120, mapq=60,
+                 cigar_ops=np.array([0], np.uint8),
+                 cigar_lens=np.array([60], np.int32),
+                 bases=np.frombuffer(mat_seq[120:180].encode(), np.uint8).copy(),
+                 quals=np.full(60, 35, np.uint8)))
+    w.close()
+    out = str(tmp_path / "gt.csv")
+    rc = TOOL_REGISTRY["GroundTruthReadsBuilder"](
+        ["-I", bam_path, "--maternal-ref", str(tmp_path / "mat.fa"),
+         "--paternal-ref", str(tmp_path / "pat.fa"), "--output-csv", out])
+    assert rc == 0
+    rows = {l.split(",")[0]: l.split(",") for l in open(out).read().splitlines()[1:]}
+    assert rows["r_pat"][6] == "paternal"
+    assert rows["r_mat"][6] == "maternal"
+    assert rows["r_pat"][2].endswith("N" * 8)  # haplotype padding
