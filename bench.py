@@ -211,8 +211,16 @@ def _scaling_bench():
         return [sys.executable, "-m", "gatk_tpu", "HaplotypeCaller",
                 "-I", f"{mito}/NA12878.bam",
                 "-R", f"{mito}/Homo_sapiens_assembly38.mt_only.fasta",
-                "-L", interval, "-O", out, "--shard-size", "300",
+                "-L", interval, "-O", out, "--shard-size", "100",
                 "--max-reads-per-alignment-start", "5", "--adaptive-pruning"] + extra
+
+    def dist_extra(n_procs, port, pid):
+        return ["--distributed-coordinator", f"127.0.0.1:{port}",
+                "--distributed-num-processes", str(n_procs),
+                "--distributed-process-id", str(pid),
+                # round-robin fine shards: the mito workload is concentrated in
+                # chrM:1-310, so contiguous halves would load-imbalance
+                "--distributed-shard-mode", "round-robin"]
 
     env = dict(os.environ)
     env["GATK_TPU_PLATFORM"] = "cpu"
@@ -242,9 +250,7 @@ def _scaling_bench():
             for pid in range(n_procs):
                 procs.append(subprocess.Popen(
                     pin(pid) + cmd(f"/tmp/scale_{tag}.vcf", interval,
-                                   ["--distributed-coordinator", f"127.0.0.1:{port}",
-                                    "--distributed-num-processes", str(n_procs),
-                                    "--distributed-process-id", str(pid)]),
+                                   dist_extra(n_procs, port, pid)),
                     env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
             for p in procs:
                 if p.wait() != 0:

@@ -54,17 +54,21 @@ def barrier(name: str = "gatk_tpu"):
 
 
 def shard_targets(targets, num_processes: int | None = None,
-                  process_id: int | None = None):
-    """This process's contiguous bp-balanced target shard.
+                  process_id: int | None = None, mode: str = "contiguous"):
+    """This process's bp-balanced target shard.
 
     When the target list is already fine-grained (>= num_processes targets,
-    e.g. via --shard-size), WHOLE targets are assigned in contiguous
-    bp-balanced runs so every process plans regions over exactly the same
-    interval boundaries a 1-process run would (exact output equality).
-    Otherwise targets are bp-split (split_interval_shards)."""
+    e.g. via --shard-size), WHOLE targets are assigned so every process plans
+    regions over exactly the same interval boundaries a 1-process run would
+    (exact output equality): `contiguous` runs (the GatherVcfsCloud-friendly
+    layout) or `round-robin` interleaving (SparkSharder-style fine-grained
+    load balancing — work hotspots spread across processes). Otherwise targets
+    are bp-split (split_interval_shards)."""
     n = jax.process_count() if num_processes is None else num_processes
     pid = jax.process_index() if process_id is None else process_id
     targets = list(targets)
+    if mode == "round-robin" and len(targets) >= n:
+        return targets[pid::n]
     if len(targets) >= n:
         total = sum(t.end - t.start for t in targets)
         shards, cur, acc = [], [], 0
@@ -92,10 +96,14 @@ def shard_vcf_path(output: str, process_id: int) -> str:
     return f"{output}.shard-{process_id:05d}"
 
 
-def gather_vcf_shards(output: str, num_processes: int, keep_shards: bool = False):
+def gather_vcf_shards(output: str, num_processes: int, keep_shards: bool = False,
+                      sort: bool = False):
     """Concatenate per-process shard VCFs (in shard order) into `output`.
-    Shards cover contiguous, ordered interval ranges, so concatenation
-    preserves coordinate order; later shards' headers are dropped."""
+    With contiguous sharding concatenation preserves coordinate order; pass
+    sort=True for round-robin sharding (records re-sorted by the header's
+    contig order + position before writing — the GatherVcfsCloud merge)."""
+    header_lines = []
+    records = []
     with open(output, "w") as out:
         wrote_header = False
         for pid in range(num_processes):
@@ -107,8 +115,22 @@ def gather_vcf_shards(output: str, num_processes: int, keep_shards: bool = False
                     if line.startswith("#"):
                         if not wrote_header:
                             out.write(line)
+                            header_lines.append(line)
                         continue
-                    out.write(line)
+                    if sort:
+                        records.append(line)
+                    else:
+                        out.write(line)
             wrote_header = True
             if not keep_shards:
                 os.remove(path)
+        if sort:
+            contig_order = {}
+            for h in header_lines:
+                if h.startswith("##contig=<ID="):
+                    name = h.split("ID=")[1].split(",")[0].split(">")[0]
+                    contig_order[name] = len(contig_order)
+            records.sort(key=lambda l: (
+                contig_order.get(l.split("\t", 1)[0], 1 << 30),
+                int(l.split("\t", 2)[1])))
+            out.writelines(records)

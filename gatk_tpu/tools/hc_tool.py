@@ -108,6 +108,11 @@ def haplotype_caller(argv):
                    help="host:port of process 0 (enables multi-process mode)")
     p.add_argument("--distributed-num-processes", type=int, default=1)
     p.add_argument("--distributed-process-id", type=int, default=0)
+    p.add_argument("--distributed-shard-mode", default="contiguous",
+                   choices=["contiguous", "round-robin"],
+                   help="fine-shard assignment across processes: contiguous "
+                        "bp-balanced runs, or round-robin interleave "
+                        "(SparkSharder-style load balancing for work hotspots)")
     args = p.parse_args(argv)
 
     distributed = args.distributed_coordinator and args.distributed_num_processes > 1
@@ -135,7 +140,8 @@ def haplotype_caller(argv):
     if distributed:
         from ..parallel import multihost
         targets = multihost.shard_targets(
-            targets, args.distributed_num_processes, args.distributed_process_id)
+            targets, args.distributed_num_processes, args.distributed_process_id,
+            mode=args.distributed_shard_mode)
         out_path = multihost.shard_vcf_path(args.output, args.distributed_process_id)
 
     hc_args = hc_engine.HCArgs(
@@ -244,7 +250,9 @@ def haplotype_caller(argv):
         from ..parallel import multihost
         multihost.barrier("hc-gather")
         if args.distributed_process_id == 0:
-            multihost.gather_vcf_shards(args.output, args.distributed_num_processes)
+            multihost.gather_vcf_shards(
+                args.output, args.distributed_num_processes,
+                sort=args.distributed_shard_mode == "round-robin")
             print(f"gathered {args.distributed_num_processes} shards into {args.output}")
     print(f"wrote {n} variants to {out_path}")
     if os.environ.get("GATK_TPU_STAGE_TIMES"):

@@ -81,3 +81,29 @@ def test_two_process_distributed_hc_matches_single(tmp_path):
     assert got == want
     # the run actually called variants (not an empty-vs-empty pass)
     assert len(want) >= 3
+
+
+def test_two_process_round_robin_matches_single(tmp_path):
+    """Round-robin fine-shard assignment (--distributed-shard-mode round-robin,
+    the SparkSharder-style load-balanced layout) + sorted gather must still be
+    byte-equal to the 1-process run."""
+    single = str(tmp_path / "single.vcf")
+    p = _run(_hc_cmd(single, []))
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, out
+
+    dist = str(tmp_path / "rr.vcf")
+    port = _free_port()
+    procs = [
+        _run(_hc_cmd(dist, [
+            "--distributed-coordinator", f"127.0.0.1:{port}",
+            "--distributed-num-processes", "2",
+            "--distributed-process-id", str(pid),
+            "--distributed-shard-mode", "round-robin",
+        ]))
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    assert _body(dist) == _body(single)
