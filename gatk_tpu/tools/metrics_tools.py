@@ -440,3 +440,383 @@ def collect_quality_yield_metrics(argv):
                        cols, rows)
     print(f"wrote {args.output}")
     return 0
+
+
+# ---------------------------------------------------------------------------
+# Round-4 Picard metrics tranche (picard analysis/ tools exposed through GATK
+# Main.java:109)
+# ---------------------------------------------------------------------------
+
+
+@register_tool("CollectBaseDistributionByCycle")
+def collect_base_distribution_by_cycle(argv):
+    """Per-cycle base composition percentages (picard
+    analysis/CollectBaseDistributionByCycle: PCT_A/C/G/T/N per cycle,
+    reverse-strand reads complemented+flipped, second-of-pair cycles appended)."""
+    from ..io import bam as bamio
+
+    p = argparse.ArgumentParser(description="CollectBaseDistributionByCycle")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--aligned-reads-only", action="store_true")
+    p.add_argument("--pf-reads-only", action="store_true")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    counts = {}  # cycle -> [A, C, G, T, N]
+    comp = dict(zip(b"ACGTN", b"TGCAN"))
+    max_first = 0
+    reads1 = []
+    for r in bamio.BamReader(args.input):
+        if r.is_secondary or r.is_supplementary:
+            continue
+        if args.aligned_reads_only and r.is_unmapped:
+            continue
+        if args.pf_reads_only and (r.flag & 0x200):
+            continue
+        if not r.is_paired or r.is_first_of_pair:
+            max_first = max(max_first, len(r.bases))
+        reads1.append(r)
+    for r in reads1:
+        b = bytes(r.bases).upper()
+        if r.is_reverse:
+            b = bytes(comp.get(x, ord("N")) for x in reversed(b))
+        offset = max_first if (r.is_paired and not r.is_first_of_pair) else 0
+        for i, x in enumerate(b):
+            cyc = offset + i + 1
+            row = counts.setdefault(cyc, [0] * 5)
+            row["ACGTN".find(chr(x)) if chr(x) in "ACGTN" else 4] += 1
+    rows = []
+    for cyc in sorted(counts):
+        row = counts[cyc]
+        total = sum(row) or 1
+        rows.append([cyc] + [round(100.0 * c / total, 6) for c in row])
+    write_metrics_file(args.output, "CollectBaseDistributionByCycle",
+                       "picard.analysis.BaseDistributionByCycleMetrics",
+                       ["READ_END", "CYCLE", "PCT_A", "PCT_C", "PCT_G", "PCT_T",
+                        "PCT_N"],
+                       [[2 if c > max_first else 1, c, a, g, t, u, n]
+                        for c, a, g, t, u, n in rows])
+    print(f"wrote base distribution for {len(rows)} cycles")
+    return 0
+
+
+@register_tool("CollectGcBiasMetrics")
+def collect_gc_bias_metrics(argv):
+    """GC bias metrics (picard analysis/CollectGcBiasMetrics): per-GC-bin
+    window counts from the reference vs read starts, normalized coverage per
+    bin, summary of AT/GC dropout."""
+    from ..io import bam as bamio, fasta as fasta_mod
+
+    p = argparse.ArgumentParser(description="CollectGcBiasMetrics")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-S", "--summary-output", default=None)
+    p.add_argument("--scan-window-size", type=int, default=100)
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    ref = fasta_mod.FastaReference(args.reference)
+    win = args.scan_window_size
+    window_counts = np.zeros(101, np.int64)  # windows per GC%
+    read_counts = np.zeros(101, np.int64)  # read starts per GC%
+    gc_of = {}
+    rd = bamio.BamReader(args.input)
+    for s in rd.header.sequences:
+        seq = np.asarray(ref.fetch(s.name, 0, ref.contig_length(s.name)), np.uint8)
+        up = seq | 0x20
+        is_gc = (up == ord("g")) | (up == ord("c"))
+        is_at = (up == ord("a")) | (up == ord("t"))
+        csum_gc = np.concatenate([[0], np.cumsum(is_gc)])
+        csum_valid = np.concatenate([[0], np.cumsum(is_gc | is_at)])
+        n_win = max(0, len(seq) - win + 1)
+        gc_pct = np.full(n_win, -1, np.int64)
+        if n_win:
+            gcs = csum_gc[win:] - csum_gc[:-win]
+            valid = csum_valid[win:] - csum_valid[:-win]
+            ok = valid == win
+            gc_pct[ok] = np.round(100.0 * gcs[ok] / win).astype(np.int64)
+            vals, cnts = np.unique(gc_pct[ok], return_counts=True)
+            window_counts[vals] += cnts
+        gc_of[s.name] = gc_pct
+    total_reads = 0
+    for r in rd:
+        if r.is_unmapped or r.is_duplicate or r.is_secondary or r.is_supplementary:
+            continue
+        gp = gc_of.get(rd.header.sequences[r.ref_id].name)
+        if gp is None or not (0 <= r.pos < len(gp)) or gp[r.pos] < 0:
+            continue
+        read_counts[gp[r.pos]] += 1
+        total_reads += 1
+    mean_per_window = total_reads / max(1, window_counts.sum())
+    rows = []
+    for gc in range(101):
+        if window_counts[gc] == 0:
+            continue
+        norm = (read_counts[gc] / window_counts[gc]) / mean_per_window \
+            if mean_per_window else 0.0
+        rows.append(["All_Reads", gc, int(window_counts[gc]),
+                     int(read_counts[gc]), round(norm, 6)])
+    write_metrics_file(args.output, "CollectGcBiasMetrics",
+                       "picard.analysis.GcBiasDetailMetrics",
+                       ["ACCUMULATION_LEVEL", "GC", "WINDOWS", "READ_STARTS",
+                        "NORMALIZED_COVERAGE"], rows)
+    if args.summary_output:
+        # dropout: percentage of reads "missing" from the low/high GC tails
+        at_drop = sum(max(0.0, (window_counts[g] / max(1, window_counts.sum())
+                                - read_counts[g] / max(1, total_reads)) * 100)
+                      for g in range(0, 50))
+        gc_drop = sum(max(0.0, (window_counts[g] / max(1, window_counts.sum())
+                                - read_counts[g] / max(1, total_reads)) * 100)
+                      for g in range(50, 101))
+        write_metrics_file(args.summary_output, "CollectGcBiasMetrics",
+                           "picard.analysis.GcBiasSummaryMetrics",
+                           ["ACCUMULATION_LEVEL", "TOTAL_CLUSTERS",
+                            "AT_DROPOUT", "GC_DROPOUT"],
+                           [["All_Reads", total_reads, round(at_drop, 6),
+                             round(gc_drop, 6)]])
+    print(f"wrote GC bias metrics over {int(window_counts.sum())} windows")
+    return 0
+
+
+@register_tool("CollectOxoGMetrics")
+def collect_oxog_metrics(argv):
+    """CpCG oxidation artifact metrics (picard analysis/CollectOxoGMetrics):
+    per-context counts of C>A artifacts split by read orientation, and the
+    phred-scaled OXIDATION_Q."""
+    from ..io import bam as bamio, fasta as fasta_mod
+
+    p = argparse.ArgumentParser(description="CollectOxoGMetrics")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--context-size", type=int, default=1)
+    p.add_argument("--minimum-quality-score", type=int, default=20)
+    args = p.parse_args(argv)
+
+    import math
+
+    import numpy as np
+
+    ref = fasta_mod.FastaReference(args.reference)
+    rd = bamio.BamReader(args.input)
+    # context -> [ref C observations, C>A on F1R2, C>A on F2R1]
+    ctx_counts = {}
+    cache = {}
+    for r in rd:
+        if r.is_unmapped or r.is_duplicate or r.mapq == 0:
+            continue
+        contig = rd.header.sequences[r.ref_id].name
+        if contig not in cache:
+            cache[contig] = bytes(ref.fetch(contig, 0, ref.contig_length(contig))).upper()
+        seq = cache[contig]
+        rp, ro = int(r.pos), 0
+        is_f2r1 = r.is_reverse == bool(r.flag & 0x40)
+        for op, ln in zip(r.cigar_ops, r.cigar_lens):
+            op, ln = int(op), int(ln)
+            if op in (sam.OP_M, sam.OP_EQ, sam.OP_X):
+                for j in range(ln):
+                    pos = rp + j
+                    if not (args.context_size <= pos < len(seq) - args.context_size):
+                        continue
+                    if r.quals[ro + j] < args.minimum_quality_score:
+                        continue
+                    ref_b = seq[pos]
+                    read_b = int(r.bases[ro + j]) & ~0x20  # uppercase fold
+                    if ref_b == ord("C"):
+                        ctx = seq[pos - args.context_size : pos + args.context_size + 1].decode()
+                        row = ctx_counts.setdefault(ctx, [0, 0, 0])
+                        row[0] += 1
+                        if read_b == ord("A"):
+                            row[2 if is_f2r1 else 1] += 1
+                rp += ln
+                ro += ln
+            elif op in (sam.OP_I, sam.OP_S):
+                ro += ln
+            elif op in (sam.OP_D, sam.OP_N):
+                rp += ln
+    rows = []
+    for ctx in sorted(ctx_counts):
+        total, alt_f1r2, alt_f2r1 = ctx_counts[ctx]
+        # oxoG shows as C>A on F1R2 only; error rate = excess over F2R1
+        rate = max(1e-10, (alt_f1r2 - alt_f2r1) / max(1, total))
+        oxo_q = min(100.0, -10 * math.log10(rate))
+        rows.append([ctx, total, alt_f1r2, alt_f2r1, round(oxo_q, 4)])
+    write_metrics_file(args.output, "CollectOxoGMetrics",
+                       "picard.analysis.CollectOxoGMetrics$CpcgMetrics",
+                       ["CONTEXT", "TOTAL_SITES", "ALT_NONOXO_BASES",
+                        "ALT_OXO_BASES", "OXIDATION_Q"], rows)
+    print(f"wrote OxoG metrics for {len(rows)} contexts")
+    return 0
+
+
+@register_tool("EstimateLibraryComplexity")
+def estimate_library_complexity(argv):
+    """Duplication-based library size estimate (picard
+    EstimateLibraryComplexity): read pairs grouped by alignment-free 5' bases,
+    duplicate sets counted, library size via the Lander-Waterman estimator."""
+    from ..io import bam as bamio
+
+    p = argparse.ArgumentParser(description="EstimateLibraryComplexity")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--min-identical-bases", type=int, default=5)
+    args = p.parse_args(argv)
+
+    import math
+
+    pair_keys = {}
+    n_pairs = 0
+    by_name = {}
+    for r in bamio.BamReader(args.input):
+        if not r.is_paired or r.is_secondary or r.is_supplementary:
+            continue
+        by_name.setdefault(r.name, []).append(bytes(r.bases[: args.min_identical_bases * 4]))
+    for name, parts in by_name.items():
+        if len(parts) < 2:
+            continue
+        key = tuple(sorted(parts[:2]))
+        pair_keys[key] = pair_keys.get(key, 0) + 1
+        n_pairs += 1
+    unique_pairs = len(pair_keys)
+    dup_pairs = n_pairs - unique_pairs
+
+    def lander_waterman(n, u):
+        """solve u = L * (1 - exp(-n/L)) for library size L."""
+        if n <= 0 or u <= 0 or u >= n:
+            return u
+        lo, hi = u, u * 100000.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            est = mid * (1 - math.exp(-n / mid))
+            if est > u:
+                hi = mid
+            else:
+                lo = mid
+        return (lo + hi) / 2
+
+    lib_size = int(lander_waterman(n_pairs, unique_pairs))
+    pct_dup = dup_pairs / n_pairs if n_pairs else 0.0
+    write_metrics_file(args.output, "EstimateLibraryComplexity",
+                       "picard.sam.DuplicationMetrics",
+                       ["LIBRARY", "READ_PAIRS_EXAMINED", "READ_PAIR_DUPLICATES",
+                        "PERCENT_DUPLICATION", "ESTIMATED_LIBRARY_SIZE"],
+                       [["Unknown", n_pairs, dup_pairs, round(pct_dup, 6), lib_size]])
+    print(f"examined {n_pairs} pairs, {dup_pairs} duplicates, "
+          f"estimated library size {lib_size}")
+    return 0
+
+
+@register_tool("CollectMultipleMetrics")
+def collect_multiple_metrics(argv):
+    """Run several metrics collectors in one pass over the inputs (picard
+    analysis/CollectMultipleMetrics: PROGRAM list; here each program routes to
+    the standalone registered collector with <output>.<ext> files)."""
+    from ..cli import TOOL_REGISTRY as _REG
+
+    p = argparse.ArgumentParser(description="CollectMultipleMetrics")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True, help="output file base name")
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("--PROGRAM", action="append", default=None)
+    args = p.parse_args(argv)
+    programs = args.PROGRAM or ["CollectAlignmentSummaryMetrics",
+                                "CollectInsertSizeMetrics",
+                                "MeanQualityByCycle",
+                                "QualityScoreDistribution",
+                                "CollectBaseDistributionByCycle"]
+    ext = {"CollectAlignmentSummaryMetrics": "alignment_summary_metrics",
+           "CollectInsertSizeMetrics": "insert_size_metrics",
+           "MeanQualityByCycle": "quality_by_cycle_metrics",
+           "QualityScoreDistribution": "quality_distribution_metrics",
+           "CollectBaseDistributionByCycle": "base_distribution_by_cycle_metrics",
+           "CollectGcBiasMetrics": "gc_bias.detail_metrics",
+           "CollectQualityYieldMetrics": "quality_yield_metrics"}
+    n_ok = 0
+    for prog in programs:
+        if prog not in _REG:
+            print(f"WARNING: unknown PROGRAM {prog}; skipping")
+            continue
+        sub = ["-I", args.input, "-O", f"{args.output}.{ext.get(prog, prog)}"]
+        if prog in ("CollectAlignmentSummaryMetrics", "CollectGcBiasMetrics") \
+                and args.reference:
+            sub += ["-R", args.reference]
+        rc = _REG[prog](sub)
+        n_ok += rc == 0
+    print(f"CollectMultipleMetrics: {n_ok}/{len(programs)} programs completed")
+    return 0
+
+
+@register_tool("GatherBamFiles")
+def gather_bam_files(argv):
+    """Concatenate scattered coordinate-sorted BAMs (picard GatherBamFiles)."""
+    from ..io import bam as bamio
+
+    p = argparse.ArgumentParser(description="GatherBamFiles")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    readers = [bamio.BamReader(path) for path in args.input]
+    w = bamio.BamWriter(args.output, readers[0].header)
+    n = 0
+    for rd in readers:
+        for r in rd:
+            w.write(r)
+            n += 1
+    w.close()
+    print(f"gathered {n} reads from {len(args.input)} BAMs into {args.output}")
+    return 0
+
+
+@register_tool("ScatterIntervalsByNs")
+def scatter_intervals_by_ns(argv):
+    """Partition the reference into N/ACGT blocks as an interval list (picard
+    ScatterIntervalsByNs: maximal non-N stretches, OT=ACGT default)."""
+    from ..io import fasta as fasta_mod
+
+    p = argparse.ArgumentParser(description="ScatterIntervalsByNs")
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-OT", "--output-type", choices=["ACGT", "N", "BOTH"],
+                   default="ACGT")
+    p.add_argument("-N", "--max-to-merge", type=int, default=1)
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    ref = fasta_mod.FastaReference(args.reference)
+    lines = []
+    n_iv = 0
+    with open(args.output, "w") as fh:
+        fh.write("@HD\tVN:1.6\tSO:coordinate\n")
+        for name in ref.contigs():
+            fh.write(f"@SQ\tSN:{name}\tLN:{ref.contig_length(name)}\n")
+        for name in ref.contigs():
+            seq = np.asarray(ref.fetch(name, 0, ref.contig_length(name)), np.uint8)
+            is_n = (seq | 0x20) == ord("n")
+            # merge N runs shorter than max-to-merge into ACGT blocks
+            padded = np.zeros(len(seq) + 2, np.int8)
+            padded[1:-1] = is_n
+            d = np.diff(padded)
+            n_starts = np.nonzero(d == 1)[0]
+            n_ends = np.nonzero(d == -1)[0]
+            keep = (n_ends - n_starts) >= args.max_to_merge
+            n_starts, n_ends = n_starts[keep], n_ends[keep]
+            blocks = []  # (start, end, kind)
+            pos = 0
+            for s, e in zip(n_starts, n_ends):
+                if s > pos:
+                    blocks.append((pos, s, "ACGT"))
+                blocks.append((s, e, "N"))
+                pos = e
+            if pos < len(seq):
+                blocks.append((pos, len(seq), "ACGT"))
+            for s, e, kind in blocks:
+                if args.output_type in (kind, "BOTH"):
+                    fh.write(f"{name}\t{s + 1}\t{e}\t+\t{kind}\n")
+                    n_iv += 1
+    print(f"wrote {n_iv} intervals to {args.output}")
+    return 0

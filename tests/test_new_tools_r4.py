@@ -569,3 +569,79 @@ def test_ground_truth_reads_builder(tmp_path):
     assert rows["r_pat"][6] == "paternal"
     assert rows["r_mat"][6] == "maternal"
     assert rows["r_pat"][2].endswith("N" * 8)  # haplotype padding
+
+
+def _mk_metrics_bam(tmp_path, with_pairs=False):
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    rng = np.random.default_rng(31)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 400))
+    fa = tmp_path / "m.fa"
+    fa.write_text(f">chr1\n{seq}\n")
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 400, 0)])
+    bam_path = str(tmp_path / "m.bam")
+    w = bamio.BamWriter(bam_path, header)
+    reads = []
+    for i in range(10):
+        start = 10 + 30 * i
+        flag = 0
+        if with_pairs:
+            flag = 0x1 | 0x40 if i % 2 == 0 else 0x1 | 0x80
+        reads.append(Read(name=f"p{i // 2}" if with_pairs else f"r{i}",
+                          flag=flag, ref_id=0, pos=start, mapq=60,
+                          cigar_ops=np.array([0], np.uint8),
+                          cigar_lens=np.array([50], np.int32),
+                          bases=np.frombuffer(seq[start:start + 50].encode(), np.uint8).copy(),
+                          quals=np.full(50, 30, np.uint8)))
+    for r in sorted(reads, key=lambda x: x.pos):
+        w.write(r)
+    w.close()
+    return bam_path, str(fa)
+
+
+def test_picard_metrics_tranche(tmp_path):
+    bam_path, fa = _mk_metrics_bam(tmp_path)
+    out = str(tmp_path / "bd.metrics")
+    assert TOOL_REGISTRY["CollectBaseDistributionByCycle"](
+        ["-I", bam_path, "-O", out]) == 0
+    text = open(out).read()
+    assert "PCT_A" in text and "BaseDistributionByCycleMetrics" in text
+
+    out2 = str(tmp_path / "gc.metrics")
+    sum2 = str(tmp_path / "gc.summary")
+    assert TOOL_REGISTRY["CollectGcBiasMetrics"](
+        ["-I", bam_path, "-R", fa, "-O", out2, "-S", sum2]) == 0
+    assert "NORMALIZED_COVERAGE" in open(out2).read()
+    assert "AT_DROPOUT" in open(sum2).read()
+
+    out3 = str(tmp_path / "oxog.metrics")
+    assert TOOL_REGISTRY["CollectOxoGMetrics"](
+        ["-I", bam_path, "-R", fa, "-O", out3]) == 0
+    assert "OXIDATION_Q" in open(out3).read()
+
+    out5 = str(tmp_path / "si.interval_list")
+    assert TOOL_REGISTRY["ScatterIntervalsByNs"](["-R", fa, "-O", out5]) == 0
+    lines = [l for l in open(out5) if not l.startswith("@")]
+    assert lines == ["chr1\t1\t400\t+\tACGT\n"]
+
+    out6 = str(tmp_path / "gathered.bam")
+    assert TOOL_REGISTRY["GatherBamFiles"](
+        ["-I", bam_path, "-I", bam_path, "-O", out6]) == 0
+    from gatk_tpu.io import bam as bamio
+    assert sum(1 for _ in bamio.BamReader(out6)) == 20
+
+
+def test_library_complexity_and_multiple_metrics(tmp_path):
+    bam_path, fa = _mk_metrics_bam(tmp_path, with_pairs=True)
+    out = str(tmp_path / "lc.metrics")
+    assert TOOL_REGISTRY["EstimateLibraryComplexity"](
+        ["-I", bam_path, "-O", out]) == 0
+    assert "ESTIMATED_LIBRARY_SIZE" in open(out).read()
+
+    base = str(tmp_path / "multi")
+    assert TOOL_REGISTRY["CollectMultipleMetrics"](
+        ["-I", bam_path, "-O", base]) == 0
+    import os
+    assert os.path.exists(base + ".quality_by_cycle_metrics")
+    assert os.path.exists(base + ".base_distribution_by_cycle_metrics")
