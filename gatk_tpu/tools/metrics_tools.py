@@ -820,3 +820,277 @@ def scatter_intervals_by_ns(argv):
                     n_iv += 1
     print(f"wrote {n_iv} intervals to {args.output}")
     return 0
+
+
+def _targeted_coverage_metrics(bam_path, ref_path, target_path, bait_path=None):
+    """Shared engine for CollectHsMetrics / CollectTargetedPcrMetrics (picard
+    analysis/directed/TargetedPcrMetricsCollector + HsMetricCollector): on/off
+    target base accounting, fold-80 penalty, per-target mean coverage."""
+    from ..engine import intervals as iv
+    from ..io import bam as bamio
+
+    def load_intervals(path):
+        out = []
+        for line in open(path):
+            if line.startswith("@") or not line.strip():
+                continue
+            f = line.split("\t")
+            out.append((f[0], int(f[1]) - 1, int(f[2])))
+        return out
+
+    targets = load_intervals(target_path)
+    baits = load_intervals(bait_path) if bait_path else targets
+    by_contig = {}
+    for c, s, e in targets:
+        by_contig.setdefault(c, []).append((s, e))
+    bait_by_contig = {}
+    for c, s, e in baits:
+        bait_by_contig.setdefault(c, []).append((s, e))
+    territory = sum(e - s for _, s, e in targets)
+    cov = {(c, i): 0 for c, ivs in by_contig.items() for i in range(len(ivs))}
+    depth = {}  # per-target arrays
+    for c, ivs in by_contig.items():
+        for i, (s, e) in enumerate(ivs):
+            depth[(c, i)] = np.zeros(e - s, np.int64)
+    total_bases = on_target = near_target = off_target = 0
+    n_reads = 0
+    rd = bamio.BamReader(bam_path)
+    for r in rd:
+        if r.is_unmapped or r.is_duplicate or r.is_secondary or r.is_supplementary:
+            continue
+        n_reads += 1
+        contig = rd.header.sequences[r.ref_id].name
+        aligned = sum(int(l) for o, l in zip(r.cigar_ops, r.cigar_lens)
+                      if o in (sam.OP_M, sam.OP_EQ, sam.OP_X))
+        total_bases += aligned
+        hit = False
+        for i, (s, e) in enumerate(by_contig.get(contig, [])):
+            lo, hi = max(r.pos, s), min(r.end, e)
+            if lo < hi:
+                on_target += hi - lo
+                depth[(contig, i)][lo - s : hi - s] += 1
+                hit = True
+        if not hit:
+            near = any(r.pos < e + 250 and r.end > s - 250
+                       for s, e in bait_by_contig.get(contig, []))
+            if near:
+                near_target += aligned
+            else:
+                off_target += aligned
+    all_depths = np.concatenate(list(depth.values())) if depth else np.zeros(1)
+    mean_cov = float(all_depths.mean())
+    # fold-80: mean / 20th-percentile depth (PCT of target bases at depth)
+    p20 = float(np.percentile(all_depths, 20))
+    fold80 = mean_cov / p20 if p20 > 0 else 0.0
+    pct_1x = float((all_depths >= 1).mean())
+    pct_20x = float((all_depths >= 20).mean())
+    sel = (on_target + near_target) / total_bases if total_bases else 0.0
+    return dict(TERRITORY=territory, TOTAL_READS=n_reads,
+                ON_TARGET_BASES=on_target, NEAR_TARGET_BASES=near_target,
+                OFF_TARGET_BASES=off_target,
+                PCT_SELECTED_BASES=round(sel, 6),
+                MEAN_TARGET_COVERAGE=round(mean_cov, 6),
+                FOLD_80_BASE_PENALTY=round(fold80, 6),
+                PCT_TARGET_BASES_1X=round(pct_1x, 6),
+                PCT_TARGET_BASES_20X=round(pct_20x, 6))
+
+
+@register_tool("CollectHsMetrics")
+def collect_hs_metrics(argv):
+    """Hybrid-selection metrics for targeted panels (picard CollectHsMetrics)."""
+    p = argparse.ArgumentParser(description="CollectHsMetrics")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("--TARGET_INTERVALS", "--target-intervals",
+                   dest="targets", required=True)
+    p.add_argument("--BAIT_INTERVALS", "--bait-intervals",
+                   dest="baits", default=None)
+    args = p.parse_args(argv)
+    m = _targeted_coverage_metrics(args.input, args.reference, args.targets,
+                                   args.baits)
+    cols = ["BAIT_SET"] + list(m.keys())
+    write_metrics_file(args.output, "CollectHsMetrics",
+                       "picard.analysis.directed.HsMetrics",
+                       cols, [["targets"] + list(m.values())])
+    print(f"HsMetrics: {m['ON_TARGET_BASES']} on-target bases, "
+          f"mean target coverage {m['MEAN_TARGET_COVERAGE']}")
+    return 0
+
+
+@register_tool("CollectTargetedPcrMetrics")
+def collect_targeted_pcr_metrics(argv):
+    """Amplicon-panel coverage metrics (picard CollectTargetedPcrMetrics)."""
+    p = argparse.ArgumentParser(description="CollectTargetedPcrMetrics")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("--AMPLICON_INTERVALS", "--amplicon-intervals",
+                   dest="amplicons", required=True)
+    p.add_argument("--TARGET_INTERVALS", "--target-intervals",
+                   dest="targets", required=True)
+    args = p.parse_args(argv)
+    m = _targeted_coverage_metrics(args.input, args.reference, args.targets,
+                                   args.amplicons)
+    cols = ["CUSTOM_AMPLICON_SET"] + list(m.keys())
+    write_metrics_file(args.output, "CollectTargetedPcrMetrics",
+                       "picard.analysis.directed.TargetedPcrMetrics",
+                       cols, [["amplicons"] + list(m.values())])
+    print(f"TargetedPcrMetrics: mean target coverage {m['MEAN_TARGET_COVERAGE']}")
+    return 0
+
+
+@register_tool("CollectSequencingArtifactMetrics")
+def collect_sequencing_artifact_metrics(argv):
+    """Pre-adapter / bait-bias artifact error rates by substitution + context
+    (picard analysis/artifacts/CollectSequencingArtifactMetrics): per
+    (ref, alt) substitution, counts split by read orientation; phred-scaled
+    pre-adapter Q from the orientation-asymmetric excess."""
+    from ..io import bam as bamio, fasta as fasta_mod
+
+    p = argparse.ArgumentParser(description="CollectSequencingArtifactMetrics")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True, help="output base name")
+    p.add_argument("--minimum-quality-score", type=int, default=20)
+    args = p.parse_args(argv)
+
+    import math
+
+    ref = fasta_mod.FastaReference(args.reference)
+    rd = bamio.BamReader(args.input)
+    cache = {}
+    # (ref_base, alt_base) -> [fwd_alt, rev_alt, total_ref_obs]
+    subs = {}
+    for r in rd:
+        if r.is_unmapped or r.is_duplicate or r.mapq == 0:
+            continue
+        contig = rd.header.sequences[r.ref_id].name
+        if contig not in cache:
+            cache[contig] = bytes(ref.fetch(contig, 0, ref.contig_length(contig))).upper()
+        seq = cache[contig]
+        is_f2r1 = r.is_reverse == bool(r.flag & 0x40)
+        rp, ro = int(r.pos), 0
+        for op, ln in zip(r.cigar_ops, r.cigar_lens):
+            op, ln = int(op), int(ln)
+            if op in (sam.OP_M, sam.OP_EQ, sam.OP_X):
+                for j in range(ln):
+                    if r.quals[ro + j] < args.minimum_quality_score:
+                        continue
+                    rb = seq[rp + j] if rp + j < len(seq) else ord("N")
+                    ab = int(r.bases[ro + j]) & ~0x20
+                    if rb not in b"ACGT" or ab not in b"ACGT":
+                        continue
+                    for alt in b"ACGT":
+                        if alt == rb:
+                            continue
+                        row = subs.setdefault((chr(rb), chr(alt)), [0, 0, 0])
+                        row[2] += 1
+                        if ab == alt:
+                            row[1 if is_f2r1 else 0] += 1
+                rp += ln
+                ro += ln
+            elif op in (sam.OP_I, sam.OP_S):
+                ro += ln
+            elif op in (sam.OP_D, sam.OP_N):
+                rp += ln
+    rows = []
+    for (rb, ab), (fwd, rev, total) in sorted(subs.items()):
+        rate = max(1e-10, abs(fwd - rev) / max(1, total))
+        q = min(100.0, -10 * math.log10(rate))
+        rows.append([rb, ab, total, fwd, rev, round(q, 4)])
+    write_metrics_file(args.output + ".pre_adapter_detail_metrics",
+                       "CollectSequencingArtifactMetrics",
+                       "picard.analysis.artifacts.SequencingArtifactMetrics$PreAdapterDetailMetrics",
+                       ["REF_BASE", "ALT_BASE", "PRO_REF_BASES", "PRO_ALT_BASES",
+                        "CON_ALT_BASES", "QSCORE"], rows)
+    print(f"wrote artifact metrics for {len(rows)} substitution classes")
+    return 0
+
+
+@register_tool("CrosscheckFingerprints")
+def crosscheck_fingerprints(argv):
+    """Sample identity crosscheck (picard fingerprint/CrosscheckFingerprints,
+    reduced): genotype each input at the haplotype-map sites from pileup
+    allele fractions, then LOD-score every pair of inputs for same-sample vs
+    different-sample; EXPECTED MATCH when LOD > threshold."""
+    from ..io import bam as bamio, vcf as vcfio
+
+    p = argparse.ArgumentParser(description="CrosscheckFingerprints")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-H", "--haplotype-map", required=True,
+                   help="VCF of fingerprinting SNP sites")
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--lod-threshold", type=float, default=-5.0)
+    args = p.parse_args(argv)
+
+    import math
+
+    sites = []
+    for v in vcfio.VcfReader(args.haplotype_map):
+        if v.is_snp() and len(v.alts) == 1:
+            sites.append((v.contig, v.pos, v.ref.upper(), v.alts[0].upper()))
+
+    def fingerprint(path):
+        rd = bamio.BamReader(path)
+        contig_ids = {s.name: i for i, s in enumerate(rd.header.sequences)}
+        from ..calling.annotations import read_offset_at
+        gts = {}
+        for contig, pos, ref_a, alt_a in sites:
+            if contig not in contig_ids:
+                continue
+            n_ref = n_alt = 0
+            for r in rd.query(contig, pos, pos + 1):
+                if r.is_unmapped or r.is_duplicate or r.mapq == 0:
+                    continue
+                off = read_offset_at(r, pos)
+                if off is None:
+                    continue
+                b = chr(int(r.bases[off]) & ~0x20)
+                if b == ref_a:
+                    n_ref += 1
+                elif b == alt_a:
+                    n_alt += 1
+            if n_ref + n_alt >= 2:
+                af = n_alt / (n_ref + n_alt)
+                gt = 0 if af < 0.2 else (2 if af > 0.8 else 1)
+                gts[(contig, pos)] = gt
+        sample = "unknown"
+        for rg in rd.header.read_groups:
+            sample = rg.get("SM", sample)
+            break
+        return sample, gts
+
+    fps = [(path,) + fingerprint(path) for path in args.input]
+    rows = []
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            pa, sa, ga = fps[i]
+            pb, sb, gb = fps[j]
+            common = set(ga) & set(gb)
+            lod = 0.0
+            for k in common:
+                # match likelihood ratio per site: same genotype strongly
+                # supports same sample (p_err = 0.05 genotyping error)
+                if ga[k] == gb[k]:
+                    lod += math.log10(0.95 / (1.0 / 3))
+                else:
+                    lod += math.log10(0.05 / (2.0 / 3))
+            expected = sa == sb
+            thr = abs(args.lod_threshold)
+            # picard semantics: |LOD| < threshold is INCONCLUSIVE, not a
+            # mismatch; only confidently-wrong pairs are UNEXPECTED
+            if lod >= thr:
+                result = "EXPECTED_MATCH" if expected else "UNEXPECTED_MATCH"
+            elif lod <= -thr:
+                result = "UNEXPECTED_MISMATCH" if expected else "EXPECTED_MISMATCH"
+            else:
+                result = "INCONCLUSIVE"
+            rows.append([result, round(lod, 4), len(common), sa, sb, pa, pb])
+    write_metrics_file(args.output, "CrosscheckFingerprints",
+                       "picard.fingerprint.CrosscheckMetric",
+                       ["RESULT", "LOD_SCORE", "DATA_POINTS", "LEFT_SAMPLE",
+                        "RIGHT_SAMPLE", "LEFT_FILE", "RIGHT_FILE"], rows)
+    n_bad = sum(1 for r in rows if "UNEXPECTED" in r[0])
+    print(f"crosschecked {len(fps)} inputs: {len(rows)} pairs, {n_bad} unexpected")
+    return 0 if n_bad == 0 else 1

@@ -645,3 +645,59 @@ def test_library_complexity_and_multiple_metrics(tmp_path):
     import os
     assert os.path.exists(base + ".quality_by_cycle_metrics")
     assert os.path.exists(base + ".base_distribution_by_cycle_metrics")
+
+
+def test_hs_metrics_and_crosscheck(tmp_path):
+    bam_path, fa = _mk_metrics_bam(tmp_path)
+    targets = tmp_path / "t.interval_list"
+    targets.write_text("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:400\n"
+                       "chr1\t51\t150\t+\tt1\n")
+    out = str(tmp_path / "hs.metrics")
+    assert TOOL_REGISTRY["CollectHsMetrics"](
+        ["-I", bam_path, "-O", out, "--TARGET_INTERVALS", str(targets)]) == 0
+    text = open(out).read()
+    assert "MEAN_TARGET_COVERAGE" in text and "FOLD_80_BASE_PENALTY" in text
+
+    out2 = str(tmp_path / "pcr.metrics")
+    assert TOOL_REGISTRY["CollectTargetedPcrMetrics"](
+        ["-I", bam_path, "-O", out2, "--TARGET_INTERVALS", str(targets),
+         "--AMPLICON_INTERVALS", str(targets)]) == 0
+    assert "TargetedPcrMetrics" in open(out2).read()
+
+    out3 = str(tmp_path / "artifacts")
+    assert TOOL_REGISTRY["CollectSequencingArtifactMetrics"](
+        ["-I", bam_path, "-R", fa, "-O", out3]) == 0
+    assert "QSCORE" in open(out3 + ".pre_adapter_detail_metrics").read()
+
+    # crosscheck: same BAM against itself must be an EXPECTED_MATCH
+    # (use a deeper BAM so fingerprint sites have genotyping depth)
+    from gatk_tpu.io import bam as bamio3, sam as samio3
+    from gatk_tpu.io.reads import Read as Read3
+    ref_seq0 = open(fa).read().splitlines()[1]
+    deep = str(tmp_path / "deep.bam")
+    w3 = bamio3.BamWriter(deep, samio3.SamHeader(
+        sequences=[samio3.SequenceRecord("chr1", 400, 0)]))
+    for i in range(35):
+        start = 10 * i
+        w3.write(Read3(name=f"d{i}", flag=0, ref_id=0, pos=start, mapq=60,
+                       cigar_ops=np.array([0], np.uint8),
+                       cigar_lens=np.array([50], np.int32),
+                       bases=np.frombuffer(ref_seq0[start:start + 50].encode(),
+                                           np.uint8).copy(),
+                       quals=np.full(50, 30, np.uint8)))
+    w3.close()
+    bam_path = deep
+    hmap = tmp_path / "hmap.vcf"
+    ref_seq = open(fa).read().splitlines()[1]
+    lines = ["##fileformat=VCFv4.2",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"]
+    for pos in range(55, 235, 15):
+        rb = ref_seq[pos - 1]
+        alt = "A" if rb != "A" else "G"
+        lines.append(f"chr1\t{pos}\t.\t{rb}\t{alt}\t.\tPASS\t.")
+    hmap.write_text("\n".join(lines) + "\n")
+    out4 = str(tmp_path / "crosscheck.metrics")
+    rc = TOOL_REGISTRY["CrosscheckFingerprints"](
+        ["-I", bam_path, "-I", bam_path, "-H", str(hmap), "-O", out4])
+    assert rc == 0
+    assert "EXPECTED_MATCH" in open(out4).read()
