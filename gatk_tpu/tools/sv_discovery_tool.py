@@ -83,6 +83,13 @@ def _classify_pair(a1, a2, min_size):
     (BreakpointsInference + SimpleChimera.inferType equivalents). Returns
     (svtype, contig, pos, end, svlen) or None."""
     read_gap = a2.read_start - a1.read_end
+    # redundant/overlapping alignments of the same contig stretch are not a
+    # chimera (filterSecondaryConfigurations): skip pairs whose contig
+    # intervals overlap by more than half of the shorter one
+    overlap = min(a1.read_end, a2.read_end) - max(a1.read_start, a2.read_start)
+    shorter = min(a1.read_end - a1.read_start, a2.read_end - a2.read_start)
+    if overlap > 0.5 * shorter:
+        return None
     if a1.contig != a2.contig:
         # inter-chromosomal adjacency -> BND pair
         bp1 = a1.ref_start if a1.is_reverse else a1.ref_end - 1
@@ -104,13 +111,14 @@ def _classify_pair(a1, a2, min_size):
         left_end = a2.ref_end
     delta = ref_gap - read_gap
     if delta >= min_size and ref_gap > 0:
-        # reference skips ahead -> deletion of `delta` bases
+        # reference skips ahead -> deletion of `delta` bases (negative
+        # read_gap = junction micro-homology, folded into delta)
         pos = left_end - 1
-        return ("DEL", a1.contig, pos, pos + ref_gap, -(ref_gap - max(read_gap, 0)))
+        return ("DEL", a1.contig, pos, pos + delta, -delta)
     if -delta >= min_size and read_gap > 0:
         # contig has extra sequence -> insertion at the junction
         pos = left_end - 1
-        return ("INS", a1.contig, pos, pos + 1, read_gap - max(ref_gap, 0))
+        return ("INS", a1.contig, pos, pos + 1, -delta)
     if ref_gap < 0 and -ref_gap >= min_size:
         # reference walks backwards -> tandem duplication of the overlap
         dup_lo = (a2.ref_start if not a1.is_reverse else a1.ref_start)
@@ -217,3 +225,298 @@ def structural_variant_discoverer(argv):
     print(f"StructuralVariantDiscoverer: {len(records)} SV records "
           f"from {len(seen_names)} contigs -> {args.output}")
     return 0
+
+
+# ---------------------------------------------------------------------------
+# Full SV discovery pipeline from a BAM (the legacy Spark pipeline's
+# evidence -> local assembly -> contig alignment -> breakpoint chain)
+# ---------------------------------------------------------------------------
+
+MIN_SOFTCLIP_EVIDENCE = 30  # FindBreakpointEvidenceSpark min clipped length
+EVIDENCE_CLUSTER_WINDOW = 500
+MIN_EVIDENCE_COUNT = 2
+ASSEMBLY_FLANK = 600
+
+
+def _evidence_sites(rd, min_mapq):
+    """Split-read / discordant-pair evidence loci
+    (FindBreakpointEvidenceSpark's BreakpointEvidence classes, reduced to
+    softclip boundaries, SA-tagged splits, and distant/interchromosomal
+    mates). Returns {contig: sorted [positions]}."""
+    from ..io import sam as sam_mod
+
+    sites = {}
+    for r in rd:
+        if r.is_unmapped or r.is_duplicate or r.is_secondary or r.mapq < min_mapq:
+            continue
+        contig = rd.header.sequences[r.ref_id].name
+        ops, lens = r.cigar_ops, r.cigar_lens
+        n = len(ops)
+        if n and ops[0] == sam_mod.OP_S and int(lens[0]) >= MIN_SOFTCLIP_EVIDENCE:
+            sites.setdefault(contig, []).append(int(r.pos))
+        if n and ops[n - 1] == sam_mod.OP_S and int(lens[n - 1]) >= MIN_SOFTCLIP_EVIDENCE:
+            sites.setdefault(contig, []).append(int(r.end))
+        if (getattr(r, "tags", None) or {}).get("SA"):
+            sites.setdefault(contig, []).append(int(r.pos))
+        if (r.is_paired and not r.mate_is_unmapped
+                and (r.mate_ref_id != r.ref_id or abs(r.tlen) > 10000)):
+            sites.setdefault(contig, []).append(int(r.end))
+    return {c: sorted(v) for c, v in sites.items()}
+
+
+def _cluster_sites(positions, window, min_count):
+    """Greedy 1-D clustering of evidence positions."""
+    clusters = []
+    cur = []
+    for p in positions:
+        if cur and p - cur[-1] > window:
+            if len(cur) >= min_count:
+                clusters.append((cur[0], cur[-1]))
+            cur = []
+        cur.append(p)
+    if len(cur) >= min_count:
+        clusters.append((cur[0], cur[-1]))
+    return clusters
+
+
+def _alignment_blocks(aln, ref_bases_full, contig_bases):
+    """Cigar blocks annotated with identity: [op, ln, identity, ref_i, q_i]."""
+    blocks = []
+    qi = 0
+    ri = aln.pos
+    ops = [(int(o), int(l)) for o, l in zip(aln.cigar_ops, aln.cigar_lens)]
+    if ops and ops[0][0] == sam.OP_S:
+        qi = ops[0][1]
+        ops = ops[1:]
+    if ops and ops[-1][0] == sam.OP_S:
+        ops = ops[:-1]
+    for op, ln in ops:
+        if op in (sam.OP_M, sam.OP_EQ, sam.OP_X):
+            a = ref_bases_full[ri : ri + ln]
+            b = contig_bases[qi : qi + ln]
+            n = min(len(a), len(b))
+            ident = float(np.mean(np.asarray(a[:n]) == np.asarray(b[:n]))) if n else 0.0
+            blocks.append([op, ln, ident, ri, qi])
+            ri += ln
+            qi += ln
+        elif op == sam.OP_I:
+            blocks.append([op, ln, 0.0, ri, qi])
+            qi += ln
+        elif op == sam.OP_D:
+            blocks.append([op, ln, 0.0, ri, qi])
+            ri += ln
+    return blocks
+
+
+def _gap_adjacencies(aln, ref_bases_full, contig_bases, min_size, min_block=30):
+    """Large in-alignment gaps as novel adjacencies (the 'large gaps
+    indicating breakpoints' half of StructuralVariantDiscoverer): coalesce
+    consecutive low-identity/indel blocks between two high-identity anchors
+    (>= min_block M at >= 0.9 identity) and classify the net ref-vs-contig
+    span difference. Returns [(svtype, pos, end, svlen)]."""
+    blocks = _alignment_blocks(aln, ref_bases_full, contig_bases)
+
+    def is_anchor(b):
+        return b[0] == sam.OP_M and b[1] >= min_block and b[2] >= 0.9
+
+    out = []
+    anchors = [i for i, b in enumerate(blocks) if is_anchor(b)]
+    for i0, i1 in zip(anchors, anchors[1:]):
+        if i1 == i0 + 1:
+            continue
+        seg = blocks[i0 + 1 : i1]
+        ref_span = blocks[i1][3] - (blocks[i0][3] + blocks[i0][1])
+        q_span = blocks[i1][4] - (blocks[i0][4] + blocks[i0][1])
+        delta = ref_span - q_span
+        pos = blocks[i0][3] + blocks[i0][1] - 1
+        if delta >= min_size:
+            out.append(("DEL", pos, pos + delta, -delta))
+        elif -delta >= min_size:
+            out.append(("INS", pos, pos + 1, -delta))
+    return out
+
+
+def _trim_noisy_ends(aln, ref_bases_full, contig_bases, min_block=30):
+    """Trim low-identity end blocks off a banded-SW contig alignment: the SW
+    can chain weak positive-scoring noise past a breakpoint junction; real
+    split alignments have near-perfect cores (anchored at >= min_block M
+    blocks of >= 0.9 identity). Returns
+    (lead_clip, aligned_len, ref_start, ref_end) in contig/ref coords."""
+    blocks = _alignment_blocks(aln, ref_bases_full, contig_bases)
+
+    def is_anchor(b):
+        return b[0] == sam.OP_M and b[1] >= min_block and b[2] >= 0.9
+
+    while blocks and not is_anchor(blocks[-1]):
+        blocks.pop()
+    while blocks and not is_anchor(blocks[0]):
+        blocks.pop(0)
+    if not blocks:
+        return None
+    first, last = blocks[0], blocks[-1]
+    ref_start = first[3]
+    ref_end = last[3] + last[1]
+    q_start = first[4]
+    q_end = last[4] + last[1]
+    return q_start, q_end - q_start, ref_start, ref_end
+
+
+@register_tool("StructuralVariationDiscoveryPipelineSpark")
+def structural_variation_discovery_pipeline(argv):
+    """End-to-end SV discovery from a BAM
+    (tools/spark/sv/StructuralVariationDiscoveryPipelineSpark.java, re-designed
+    single-binary): split-read/discordant-pair evidence scan -> evidence
+    clustering -> local re-assembly of each breakpoint neighborhood
+    (ReadThreadingAssembler standing in for fermi-lite) -> assembled-contig
+    realignment over the whole reference (seed-extend aligner standing in for
+    bwa-mem) -> novel-adjacency classification (the StructuralVariantDiscoverer
+    machinery above) -> VCF."""
+    p = argparse.ArgumentParser(description="StructuralVariationDiscoveryPipelineSpark")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--min-svsize", type=int, default=MIN_SV_SIZE)
+    p.add_argument("--min-mapq", type=int, default=20)
+    p.add_argument("--min-evidence-count", type=int, default=MIN_EVIDENCE_COUNT)
+    # accepted-and-ignored Spark runner flags (single-binary SPMD runtime)
+    p.add_argument("--spark-master", default=None)
+    p.add_argument("--aligner-index-image", default=None)
+    args, _unknown = p.parse_known_args(argv)
+
+    from ..align.seed_extend import SeedExtendAligner
+    from ..assembly import assembler as asm_mod
+    from ..io import fasta
+    from ..io.cram import open_reads
+
+    ref = fasta.FastaReference(args.reference)
+    rd = open_reads(args.input, reference=ref)
+    header = rd.header
+    sample = header.read_groups[0].get("SM", "SAMPLE") if header.read_groups else "SAMPLE"
+    sites = _evidence_sites(rd, args.min_mapq)
+    aligner = SeedExtendAligner(
+        [(name, ref.fetch(name, 0, ref.contig_length(name)))
+         for name in ref.contigs()])
+    contig_index = {name: i for i, name in enumerate(ref.contigs())}
+
+    adjacencies = {}
+    n_clusters = n_contigs = 0
+    for contig, positions in sites.items():
+        contig_len = ref.contig_length(contig)
+        for lo, hi in _cluster_sites(positions, EVIDENCE_CLUSTER_WINDOW,
+                                     args.min_evidence_count):
+            n_clusters += 1
+            w_lo = max(0, lo - ASSEMBLY_FLANK)
+            w_hi = min(contig_len, hi + ASSEMBLY_FLANK)
+            reads = [r for r in rd.query(contig, w_lo, w_hi)
+                     if not r.is_unmapped and not r.is_duplicate
+                     and not r.is_secondary]
+            if not reads:
+                continue
+            ref_bases = ref.fetch(contig, w_lo, w_hi)
+            result = asm_mod.assemble(reads, ref_bases, w_lo)
+            # realign every non-ref assembled contig over the whole reference
+            for hap in result.haplotypes[1:]:
+                n_contigs += 1
+                # low min_score_frac: a split contig's PARTIAL alignments are
+                # the signal (each side scores ~its fraction of the contig)
+                alns = aligner.align_all(
+                    np.frombuffer(bytes(hap.bases), np.uint8),
+                    min_score_frac=0.15)
+                cas = []
+                hap_arr = np.frombuffer(bytes(hap.bases), np.uint8)
+                for a in alns:
+                    aln_contig = ref.contigs()[a.contig_index]
+                    ref_full = ref.fetch(aln_contig, 0,
+                                         ref.contig_length(aln_contig))
+                    q = hap_arr[::-1] if a.is_reverse else hap_arr
+                    # seed-extend revcomp: complement too
+                    if a.is_reverse:
+                        from ..align.seed_extend import revcomp
+                        q = revcomp(hap_arr)
+                    # large in-alignment gaps are adjacencies in their own
+                    # right (the banded SW folds mid-size SVs into one
+                    # alignment's cigar)
+                    name = f"asm_{contig}_{lo}_{n_contigs}"
+                    for svtype, pos, end, svlen in _gap_adjacencies(
+                            a, ref_full, q, args.min_svsize):
+                        key = (svtype, aln_contig, pos, end)
+                        rec = adjacencies.setdefault(
+                            key, dict(svtype=svtype, contig=aln_contig,
+                                      pos=pos, end=end, svlen=svlen,
+                                      ctgs=set()))
+                        rec["ctgs"].add(name)
+                    trimmed = _trim_noisy_ends(a, ref_full, q)
+                    if trimmed is None:
+                        continue
+                    q_start, aligned, ref_start, ref_end = trimmed
+                    if aligned < MIN_ALIGNMENT_LENGTH:
+                        continue
+                    # contig-forward coords (flip for reverse alignments)
+                    cs = (len(hap_arr) - (q_start + aligned)) if a.is_reverse \
+                        else q_start
+                    cas.append(ContigAlignment(
+                        ref_id=a.contig_index, contig=aln_contig,
+                        ref_start=ref_start, ref_end=ref_end,
+                        is_reverse=a.is_reverse,
+                        read_start=cs, read_end=cs + aligned, mapq=60))
+                cas.sort(key=lambda x: x.read_start)
+                name = f"asm_{contig}_{lo}_{n_contigs}"
+                for a1, a2 in zip(cas, cas[1:]):
+                    res = _classify_pair(a1, a2, args.min_svsize)
+                    if res is None:
+                        continue
+                    svtype, vcontig, pos, end, svlen = res
+                    key = (svtype, vcontig, pos,
+                           end if not isinstance(end, tuple) else end)
+                    rec = adjacencies.setdefault(
+                        key, dict(svtype=svtype, contig=vcontig, pos=pos,
+                                  end=end, svlen=svlen, ctgs=set()))
+                    rec["ctgs"].add(name)
+
+    _write_sv_vcf(args.output, adjacencies, ref, sample)
+    print(f"SV pipeline: {n_clusters} evidence clusters, {n_contigs} assembled "
+          f"contigs, {len(adjacencies)} SV records -> {args.output}")
+    return 0
+
+
+def _write_sv_vcf(output, adjacencies, ref, sample):
+    """Shared SV VCF writer (StructuralVariantDiscoverer output path)."""
+    headers = [
+        '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="Type of structural variant">',
+        '##INFO=<ID=SVLEN,Number=1,Type=Integer,Description="SV length">',
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="End position">',
+        '##INFO=<ID=CTGS,Number=.,Type=String,Description="Evidence contig names">',
+        '##INFO=<ID=MATEID,Number=1,Type=String,Description="Mate breakend">',
+        '##ALT=<ID=DEL,Description="Deletion">',
+        '##ALT=<ID=INS,Description="Insertion">',
+        '##ALT=<ID=DUP,Description="Tandem duplication">',
+        '##ALT=<ID=INV,Description="Inversion">',
+    ]
+    contigs = [(name, ref.contig_length(name)) for name in ref.contigs()]
+    w = vcf.VcfWriter(output, [sample], contigs=contigs,
+                      extra_header_lines=headers)
+    records = []
+    for key, rec in adjacencies.items():
+        contig, pos = rec["contig"], rec["pos"]
+        ref_base = chr(ref.fetch(contig, pos, pos + 1)[0]).upper()
+        info = {"SVTYPE": rec["svtype"], "CTGS": ",".join(sorted(rec["ctgs"]))}
+        if rec["svtype"] == "BND":
+            mate_contig, mate_pos = rec["end"]
+            info["MATEID"] = f"BND_{mate_contig}_{mate_pos + 1}"
+            records.append(vcf.Variant(
+                contig, pos, ref_base,
+                (f"{ref_base}]{mate_contig}:{mate_pos + 1}]",),
+                id=f"BND_{contig}_{pos + 1}", qual=None, info=info,
+                samples=[{"GT": "./."}], fmt_keys=("GT",)))
+            continue
+        info["END"] = str(rec["end"])
+        info["SVLEN"] = str(rec["svlen"])
+        records.append(vcf.Variant(
+            contig, pos, ref_base, (f"<{rec['svtype']}>",),
+            id=f"{rec['svtype']}_{contig}_{pos + 1}_{rec['end']}", qual=None,
+            info=info, samples=[{"GT": "./."}], fmt_keys=("GT",)))
+    order = {name: i for i, (name, _) in enumerate(contigs)}
+    records.sort(key=lambda v: (order.get(v.contig, 1 << 30), v.pos))
+    for v in records:
+        w.write(v)
+    w.close()

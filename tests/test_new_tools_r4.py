@@ -701,3 +701,62 @@ def test_hs_metrics_and_crosscheck(tmp_path):
         ["-I", bam_path, "-I", bam_path, "-H", str(hmap), "-O", out4])
     assert rc == 0
     assert "EXPECTED_MATCH" in open(out4).read()
+
+
+def test_sv_discovery_pipeline_end_to_end(tmp_path):
+    """Full BAM -> SV VCF chain (StructuralVariationDiscoveryPipelineSpark
+    equivalent): junction-spanning softclipped reads -> evidence cluster ->
+    local assembly -> contig realignment -> DEL call."""
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    rng = np.random.default_rng(37)
+    ref_seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    fa = tmp_path / "sv.fa"
+    fa.write_text(f">chr1\n{ref_seq}\n")
+    del_start, del_len = 1500, 400  # deletion of ref[1500:1900]
+    alt = ref_seq[:del_start] + ref_seq[del_start + del_len:]
+
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 3000, 0)],
+                             read_groups=[{"ID": "rg", "SM": "s1"}])
+    bam_path = str(tmp_path / "sv.bam")
+    w = bamio.BamWriter(bam_path, header)
+    reads = []
+    # junction-spanning reads from the ALT genome: aligned as M up to the
+    # junction with the remainder softclipped (what an aligner produces)
+    for i in range(8):
+        start_alt = del_start - 120 + 10 * i  # read covers the junction
+        seq = alt[start_alt : start_alt + 160]
+        m = del_start - start_alt  # bases before the junction
+        reads.append(Read(
+            name=f"j{i}", flag=0, ref_id=0, pos=start_alt, mapq=60,
+            cigar_ops=np.array([0, 4], np.uint8),
+            cigar_lens=np.array([m, 160 - m], np.int32),
+            bases=np.frombuffer(seq.encode(), np.uint8).copy(),
+            quals=np.full(160, 35, np.uint8)))
+    # plain flanking reads for assembly context
+    for i in range(12):
+        start_alt = del_start - 400 + 30 * i
+        seq = alt[start_alt : start_alt + 120]
+        pos = start_alt if start_alt + 120 <= del_start else start_alt
+        reads.append(Read(
+            name=f"f{i}", flag=0, ref_id=0, pos=pos, mapq=60,
+            cigar_ops=np.array([0], np.uint8),
+            cigar_lens=np.array([120], np.int32),
+            bases=np.frombuffer(seq.encode(), np.uint8).copy(),
+            quals=np.full(120, 35, np.uint8)))
+    for r in sorted(reads, key=lambda x: x.pos):
+        w.write(r)
+    w.close()
+
+    out = str(tmp_path / "sv.vcf")
+    rc = TOOL_REGISTRY["StructuralVariationDiscoveryPipelineSpark"](
+        ["-I", bam_path, "-R", str(fa), "-O", out])
+    assert rc == 0
+    recs = [l.split("\t") for l in open(out) if not l.startswith("#")]
+    dels = [r for r in recs if "SVTYPE=DEL" in r[7]]
+    assert dels, f"no DEL found: {[(r[1], r[7]) for r in recs]}"
+    info = dict(kv.split("=", 1) for kv in dels[0][7].split(";") if "=" in kv)
+    # breakpoint within a few bp of the true junction, length ~= 400
+    assert abs(int(dels[0][1]) - del_start) <= 20
+    assert abs(abs(int(info["SVLEN"])) - del_len) <= 20
