@@ -520,3 +520,74 @@ def _write_sv_vcf(output, adjacencies, ref, sample):
     for v in records:
         w.write(v)
     w.close()
+
+
+@register_tool("FindBreakpointEvidenceSpark")
+def find_breakpoint_evidence(argv):
+    """Evidence scan + breakpoint-neighborhood assembly
+    (tools/spark/sv/evidence/FindBreakpointEvidenceSpark.java, single-binary):
+    find split-read/discordant-pair evidence clusters, locally re-assemble each
+    neighborhood, realign the contigs, and write a queryname-grouped contig
+    alignment BAM (the input StructuralVariantDiscoverer consumes) plus an
+    evidence-interval TSV."""
+    p = argparse.ArgumentParser(description="FindBreakpointEvidenceSpark")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True,
+                   help="output contig-alignments BAM")
+    p.add_argument("--target-link-file", default=None,
+                   help="evidence-interval TSV")
+    p.add_argument("--min-evidence-count", type=int, default=MIN_EVIDENCE_COUNT)
+    p.add_argument("--min-mapq", type=int, default=20)
+    p.add_argument("--aligner-index-image", default=None)  # accepted, unused
+    p.add_argument("--spark-master", default=None)
+    args, _unknown = p.parse_known_args(argv)
+
+    from ..align.seed_extend import SeedExtendAligner
+    from ..assembly import assembler as asm_mod
+    from ..io import bam as bamio, fasta
+    from ..io.cram import open_reads
+    from ..io.reads import Read
+
+    ref = fasta.FastaReference(args.reference)
+    rd = open_reads(args.input, reference=ref)
+    sites = _evidence_sites(rd, args.min_mapq)
+    aligner = SeedExtendAligner(
+        [(name, ref.fetch(name, 0, ref.contig_length(name)))
+         for name in ref.contigs()])
+    w = bamio.BamWriter(args.output, rd.header)
+    tsv = open(args.target_link_file, "w") if args.target_link_file else None
+    n_contigs = n_clusters = 0
+    for contig, positions in sites.items():
+        contig_len = ref.contig_length(contig)
+        for lo, hi in _cluster_sites(positions, EVIDENCE_CLUSTER_WINDOW,
+                                     args.min_evidence_count):
+            n_clusters += 1
+            if tsv:
+                tsv.write(f"{contig}\t{lo + 1}\t{hi + 1}\tevidence_cluster\n")
+            w_lo = max(0, lo - ASSEMBLY_FLANK)
+            w_hi = min(contig_len, hi + ASSEMBLY_FLANK)
+            reads = [r for r in rd.query(contig, w_lo, w_hi)
+                     if not r.is_unmapped and not r.is_duplicate
+                     and not r.is_secondary]
+            if not reads:
+                continue
+            result = asm_mod.assemble(reads, ref.fetch(contig, w_lo, w_hi), w_lo)
+            for hap in result.haplotypes[1:]:
+                n_contigs += 1
+                name = f"asm{n_clusters:06d}:tig{n_contigs:05d}"
+                hap_arr = np.frombuffer(bytes(hap.bases), np.uint8)
+                for k, a in enumerate(aligner.align_all(hap_arr,
+                                                        min_score_frac=0.15)):
+                    flag = (0x10 if a.is_reverse else 0) | (0x800 if k else 0)
+                    w.write(Read(name=name, flag=flag, ref_id=a.contig_index,
+                                 pos=int(a.pos), mapq=60,
+                                 cigar_ops=a.cigar_ops, cigar_lens=a.cigar_lens,
+                                 bases=hap_arr.copy(),
+                                 quals=np.full(len(hap_arr), 40, np.uint8)))
+    w.close()
+    if tsv:
+        tsv.close()
+    print(f"FindBreakpointEvidenceSpark: {n_clusters} evidence clusters, "
+          f"{n_contigs} assembled contigs -> {args.output}")
+    return 0

@@ -760,3 +760,44 @@ def test_sv_discovery_pipeline_end_to_end(tmp_path):
     # breakpoint within a few bp of the true junction, length ~= 400
     assert abs(int(dels[0][1]) - del_start) <= 20
     assert abs(abs(int(info["SVLEN"])) - del_len) <= 20
+
+
+def test_find_breakpoint_evidence(tmp_path):
+    """FindBreakpointEvidenceSpark writes evidence TSV + contig BAM."""
+    # reuse the deletion scenario from the pipeline test
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    rng = np.random.default_rng(37)
+    ref_seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    fa = tmp_path / "sv.fa"
+    fa.write_text(f">chr1\n{ref_seq}\n")
+    del_start, del_len = 1500, 400
+    alt = ref_seq[:del_start] + ref_seq[del_start + del_len:]
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 3000, 0)])
+    bam_path = str(tmp_path / "sv.bam")
+    w = bamio.BamWriter(bam_path, header)
+    reads = []
+    for i in range(8):
+        start_alt = del_start - 120 + 10 * i
+        seq = alt[start_alt : start_alt + 160]
+        m = del_start - start_alt
+        reads.append(Read(name=f"j{i}", flag=0, ref_id=0, pos=start_alt, mapq=60,
+                          cigar_ops=np.array([0, 4], np.uint8),
+                          cigar_lens=np.array([m, 160 - m], np.int32),
+                          bases=np.frombuffer(seq.encode(), np.uint8).copy(),
+                          quals=np.full(160, 35, np.uint8)))
+    for r in sorted(reads, key=lambda x: x.pos):
+        w.write(r)
+    w.close()
+    out_bam = str(tmp_path / "contigs.bam")
+    tsv = str(tmp_path / "evidence.tsv")
+    rc = TOOL_REGISTRY["FindBreakpointEvidenceSpark"](
+        ["-I", bam_path, "-R", str(fa), "-O", out_bam,
+         "--target-link-file", tsv])
+    assert rc == 0
+    assert "evidence_cluster" in open(tsv).read()
+    from gatk_tpu.io import bam as bamio2
+    contigs = list(bamio2.BamReader(out_bam))
+    assert contigs, "no assembled contig alignments written"
+    assert all(c.name.startswith("asm") for c in contigs)
