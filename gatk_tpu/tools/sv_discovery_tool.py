@@ -591,3 +591,162 @@ def find_breakpoint_evidence(argv):
     print(f"FindBreakpointEvidenceSpark: {n_clusters} evidence clusters, "
           f"{n_contigs} assembled contigs -> {args.output}")
     return 0
+
+
+@register_tool("ExtractSVEvidenceSpark")
+def extract_sv_evidence(argv):
+    """Extract breakpoint-evidence records to a text file
+    (tools/spark/sv/evidence/ExtractSVEvidenceSpark.java): one typed record per
+    split-read boundary, SA-tagged split, or distant/interchromosomal mate."""
+    p = argparse.ArgumentParser(description="ExtractSVEvidenceSpark")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--min-mapq", type=int, default=20)
+    p.add_argument("--min-evidence-mapq", type=int, default=None)
+    args, _unknown = p.parse_known_args(argv)
+    min_mapq = args.min_evidence_mapq or args.min_mapq
+
+    from ..io import fasta, sam as sam_mod
+    from ..io.cram import open_reads
+
+    ref = fasta.FastaReference(args.reference) if args.reference else None
+    rd = open_reads(args.input, reference=ref)
+    n = 0
+    with open(args.output, "w") as fh:
+        fh.write("#EVIDENCE_TYPE\tCONTIG\tPOSITION\tREAD\tDETAIL\n")
+        for r in rd:
+            if r.is_unmapped or r.is_duplicate or r.is_secondary or r.mapq < min_mapq:
+                continue
+            contig = rd.header.sequences[r.ref_id].name
+            ops, lens = r.cigar_ops, r.cigar_lens
+            m = len(ops)
+            if m and ops[0] == sam_mod.OP_S and int(lens[0]) >= MIN_SOFTCLIP_EVIDENCE:
+                fh.write(f"SplitRead\t{contig}\t{int(r.pos) + 1}\t{r.name}\t"
+                         f"leftClip={int(lens[0])}\n")
+                n += 1
+            if m and ops[m - 1] == sam_mod.OP_S and int(lens[m - 1]) >= MIN_SOFTCLIP_EVIDENCE:
+                fh.write(f"SplitRead\t{contig}\t{int(r.end)}\t{r.name}\t"
+                         f"rightClip={int(lens[m - 1])}\n")
+                n += 1
+            sa = (getattr(r, "tags", None) or {}).get("SA")
+            if sa:
+                fh.write(f"SplitAlignment\t{contig}\t{int(r.pos) + 1}\t{r.name}\t"
+                         f"SA={sa}\n")
+                n += 1
+            if (r.is_paired and not r.mate_is_unmapped
+                    and (r.mate_ref_id != r.ref_id or abs(r.tlen) > 10000)):
+                mate_contig = (rd.header.sequences[r.mate_ref_id].name
+                               if 0 <= r.mate_ref_id < len(rd.header.sequences)
+                               else "?")
+                fh.write(f"DiscordantPair\t{contig}\t{int(r.end)}\t{r.name}\t"
+                         f"mate={mate_contig}:{r.mate_pos + 1}\n")
+                n += 1
+    print(f"extracted {n} evidence records to {args.output}")
+    return 0
+
+
+@register_tool("ExtractOriginalAlignmentRecordsByNameSpark")
+def extract_original_alignment_records_by_name(argv):
+    """Pull all alignment records for the given read names
+    (tools/spark/sv/utils/ExtractOriginalAlignmentRecordsByNameSpark.java)."""
+    p = argparse.ArgumentParser(
+        description="ExtractOriginalAlignmentRecordsByNameSpark")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--read-name-file", required=True)
+    p.add_argument("--invert-match", action="store_true")
+    args, _unknown = p.parse_known_args(argv)
+
+    from ..io import bam as bamio
+
+    names = {l.strip() for l in open(args.read_name_file) if l.strip()}
+    rd = bamio.BamReader(args.input)
+    w = bamio.BamWriter(args.output, rd.header)
+    n = 0
+    for r in rd:
+        if (r.name in names) != args.invert_match:
+            w.write(r)
+            n += 1
+    w.close()
+    print(f"extracted {n} records for {len(names)} names")
+    return 0
+
+
+@register_tool("FindBadGenomicKmersSpark")
+def find_bad_genomic_kmers(argv):
+    """High-copy-number reference kmers (tools/spark/sv/evidence/
+    FindBadGenomicKmersSpark.java: kmers occurring > max-kmer-freq times are
+    'bad' — assembly poisoners — written one canonical kmer per line)."""
+    p = argparse.ArgumentParser(description="FindBadGenomicKmersSpark")
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--kmer-size", type=int, default=51)
+    p.add_argument("--max-kmer-freq", type=int, default=3)
+    args, _unknown = p.parse_known_args(argv)
+
+    from collections import Counter
+
+    from ..align.seed_extend import revcomp
+    from ..io import fasta
+
+    ref = fasta.FastaReference(args.reference)
+    k = args.kmer_size
+    counts = Counter()
+    for name in ref.contigs():
+        seq = bytes(ref.fetch(name, 0, ref.contig_length(name))).upper()
+        rc = bytes(revcomp(np.frombuffer(seq, np.uint8)))
+        for s in (seq,):
+            for i in range(len(s) - k + 1):
+                km = s[i : i + k]
+                if b"N" in km:
+                    continue
+                kr = rc[len(s) - i - k : len(s) - i]
+                counts[min(km, kr)] += 1  # canonical form
+    bad = [km for km, c in counts.items() if c > args.max_kmer_freq]
+    with open(args.output, "w") as fh:
+        for km in sorted(bad):
+            fh.write(km.decode() + "\n")
+    print(f"found {len(bad)} bad kmers (k={k}, freq>{args.max_kmer_freq}) "
+          f"of {len(counts)} distinct")
+    return 0
+
+
+@register_tool("CalcMetadataSpark")
+def calc_metadata(argv):
+    """Library read metadata for SV evidence calling (tools/spark/sv/evidence/
+    CalcMetadataSpark.java: read counts, coverage, template-length
+    distribution per read group, serialized as text)."""
+    p = argparse.ArgumentParser(description="CalcMetadataSpark")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args, _unknown = p.parse_known_args(argv)
+
+    from ..io import bam as bamio
+
+    rd = bamio.BamReader(args.input)
+    n_reads = n_pairs = total_bases = 0
+    read_lens = []
+    tlens = []
+    for r in rd:
+        if r.is_unmapped or r.is_secondary or r.is_supplementary:
+            continue
+        n_reads += 1
+        total_bases += len(r.bases)
+        read_lens.append(len(r.bases))
+        if r.is_paired and r.tlen > 0:
+            n_pairs += 1
+            if r.tlen < 10000:
+                tlens.append(r.tlen)
+    genome = sum(s.length for s in rd.header.sequences) or 1
+    tl = np.asarray(tlens) if tlens else np.zeros(1)
+    with open(args.output, "w") as fh:
+        fh.write(f"nReads\t{n_reads}\n")
+        fh.write(f"nPairs\t{n_pairs}\n")
+        fh.write(f"maxReadLength\t{max(read_lens) if read_lens else 0}\n")
+        fh.write(f"meanBaseQuality\tNA\n")
+        fh.write(f"coverage\t{total_bases / genome:.4f}\n")
+        fh.write(f"medianFragmentSize\t{int(np.median(tl))}\n")
+        fh.write(f"fragmentSizeMAD\t{int(np.median(np.abs(tl - np.median(tl))))}\n")
+    print(f"metadata: {n_reads} reads, coverage {total_bases / genome:.2f}x")
+    return 0

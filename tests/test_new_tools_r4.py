@@ -801,3 +801,59 @@ def test_find_breakpoint_evidence(tmp_path):
     contigs = list(bamio2.BamReader(out_bam))
     assert contigs, "no assembled contig alignments written"
     assert all(c.name.startswith("asm") for c in contigs)
+
+
+def test_sv_utility_tools(tmp_path):
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    rng = np.random.default_rng(41)
+    # reference with a 60bp repeat copied 5x (bad kmers at k=31)
+    unit = "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+    ref_seq = ("".join("ACGT"[i] for i in rng.integers(0, 4, 200))
+               + unit * 5 + "".join("ACGT"[i] for i in rng.integers(0, 4, 200)))
+    fa = tmp_path / "r.fa"
+    fa.write_text(f">chr1\n{ref_seq}\n")
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", len(ref_seq), 0)])
+    bam_path = str(tmp_path / "r.bam")
+    w = bamio.BamWriter(bam_path, header)
+    for i, (name, pos, cigar, tags) in enumerate([
+            ("a", 100, [(0, 60), (4, 40)], {}),
+            ("b", 150, [(0, 100)], {"SA": "chr1,400,+,50S50M,60,0;"}),
+            ("c", 200, [(0, 100)], {})]):
+        r = Read(name=name, flag=0x1 | (0x20 if name == "c" else 0), ref_id=0,
+                 pos=pos, mapq=60,
+                 cigar_ops=np.array([o for o, _ in cigar], np.uint8),
+                 cigar_lens=np.array([l for _, l in cigar], np.int32),
+                 bases=np.full(100, ord("A"), np.uint8),
+                 quals=np.full(100, 30, np.uint8),
+                 mate_ref_id=0, mate_pos=50000 if name == "c" else pos + 200,
+                 tlen=50000 if name == "c" else 300)
+        r.tags = tags
+        w.write(r)
+    w.close()
+
+    ev = str(tmp_path / "ev.tsv")
+    assert TOOL_REGISTRY["ExtractSVEvidenceSpark"](
+        ["-I", bam_path, "-O", ev]) == 0
+    text = open(ev).read()
+    assert "SplitRead" in text and "SplitAlignment" in text and "DiscordantPair" in text
+
+    names = tmp_path / "names.txt"
+    names.write_text("a\nc\n")
+    out_bam = str(tmp_path / "sub.bam")
+    assert TOOL_REGISTRY["ExtractOriginalAlignmentRecordsByNameSpark"](
+        ["-I", bam_path, "-O", out_bam, "--read-name-file", str(names)]) == 0
+    assert {r.name for r in bamio.BamReader(out_bam)} == {"a", "c"}
+
+    bad = str(tmp_path / "bad.txt")
+    assert TOOL_REGISTRY["FindBadGenomicKmersSpark"](
+        ["-R", str(fa), "-O", bad, "--kmer-size", "31", "--max-kmer-freq", "3"]) == 0
+    bad_kmers = open(bad).read().split()
+    assert bad_kmers, "repeat kmers not detected"
+    assert all(len(k) == 31 for k in bad_kmers)
+
+    meta = str(tmp_path / "meta.txt")
+    assert TOOL_REGISTRY["CalcMetadataSpark"](
+        ["-I", bam_path, "-O", meta]) == 0
+    assert "coverage" in open(meta).read()
