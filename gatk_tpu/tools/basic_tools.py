@@ -152,3 +152,35 @@ def pileup_tool(argv):
                  intervals=args.intervals, read_filters=args.read_filter,
                  disable_read_filters=args.disable_read_filter).run()
     return 0
+
+
+@register_tool("PrintVariants")
+def print_variants(argv):
+    """Copy variants to an output VCF (tools/PrintVariantsSpark.java's
+    single-node semantics: read, filter by intervals, write)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="PrintVariants")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    args = p.parse_args(argv)
+    from ..engine import intervals as iv
+    from ..io import vcf as vcfio
+
+    reader = vcfio.VcfReader(args.variant)
+    targets = ([iv.parse_interval(s) for s in args.intervals]
+               if args.intervals else None)
+    w = vcfio.VcfWriter(args.output, reader.samples,
+                        extra_header_lines=reader.header_lines)
+    n = 0
+    for v in reader:
+        if targets is not None and not any(
+                v.contig == t.contig and t.start <= v.pos < t.end
+                for t in targets):
+            continue
+        w.write(v)
+        n += 1
+    w.close()
+    print(f"printed {n} variants to {args.output}")
+    return 0

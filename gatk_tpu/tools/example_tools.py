@@ -1,0 +1,273 @@
+"""Example walker tools.
+
+Reference behavior: the examples/ package (ExampleReadWalkerWithReference.java,
+ExampleLocusWalker.java, ExampleIntervalWalker.java, ExampleVariantWalker.java,
+ExampleTwoPassVariantWalker.java, ExampleFeatureWalker.java,
+ExampleReferenceWalker.java, ExampleAssemblyRegionWalker.java) — small runnable
+demonstrations of each traversal type, registered as real tools. Here each one
+runs on the equivalent gatk_tpu walker base (engine/walkers.py), which also
+exercises the walker framework's filter/progress/interval plumbing end-to-end.
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..cli import register_tool
+
+
+def _out(args):
+    import sys
+    return open(args.output, "w") if args.output else sys.stdout
+
+
+def _close(fh):
+    import sys
+    if fh is not sys.stdout:
+        fh.close()
+
+
+@register_tool("ExampleReadWalkerWithReference")
+def example_read_walker_with_reference(argv):
+    """Print each read with its reference context
+    (examples/ExampleReadWalkerWithReference.java on ReadWalker)."""
+    p = argparse.ArgumentParser(description="ExampleReadWalkerWithReference")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("-O", "--output", default=None)
+    args = p.parse_args(argv)
+
+    from ..engine.walkers import ReadWalker
+
+    fh = _out(args)
+
+    class W(ReadWalker):
+        tool_name = "ExampleReadWalkerWithReference"
+        requires_reference = True
+        n = 0
+
+        def apply(self, read, ctx):
+            ref_bases = ctx.bases().decode()[:20]
+            fh.write(f"Read at {ctx.contig}:{read.pos + 1}-{read.end}: "
+                     f"{len(read.bases)}bp; ref begins {ref_bases}\n")
+            W.n += 1
+
+    w = W(reads_path=args.input, reference_path=args.reference,
+          intervals=args.intervals)
+    w.run()
+    fh.write(f"Processed {W.n} reads\n")
+    _close(fh)
+    return 0
+
+
+@register_tool("ExampleLocusWalker")
+def example_locus_walker(argv):
+    """Per-locus pileup printout (examples/ExampleLocusWalker.java)."""
+    p = argparse.ArgumentParser(description="ExampleLocusWalker")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("-O", "--output", default=None)
+    args = p.parse_args(argv)
+
+    from ..engine.walkers import LocusWalker
+
+    fh = _out(args)
+
+    class W(LocusWalker):
+        tool_name = "ExampleLocusWalker"
+
+        def apply(self, contig, pos, bases, quals, mapqs):
+            fh.write(f"{contig}:{pos + 1} depth={len(bases)} "
+                     f"bases={bytes(bases).decode()}\n")
+
+    w = W(reads_path=args.input, reference_path=args.reference,
+          intervals=args.intervals)
+    w.run()
+    _close(fh)
+    return 0
+
+
+@register_tool("ExampleIntervalWalker")
+def example_interval_walker(argv):
+    """Per-interval printout (examples/ExampleIntervalWalker.java)."""
+    p = argparse.ArgumentParser(description="ExampleIntervalWalker")
+    p.add_argument("-I", "--input", default=None)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-L", "--intervals", action="append", required=True)
+    p.add_argument("-O", "--output", default=None)
+    args = p.parse_args(argv)
+
+    from ..engine.walkers import IntervalWalker
+
+    fh = _out(args)
+
+    class W(IntervalWalker):
+        tool_name = "ExampleIntervalWalker"
+
+        def apply(self, interval):
+            fh.write(f"interval {interval.contig}:{interval.start + 1}-"
+                     f"{interval.end}\n")
+
+    w = W(reads_path=args.input, reference_path=args.reference,
+          intervals=args.intervals)
+    w.run()
+    _close(fh)
+    return 0
+
+
+@register_tool("ExampleVariantWalker")
+def example_variant_walker(argv):
+    """Per-variant printout (examples/ExampleVariantWalker.java)."""
+    p = argparse.ArgumentParser(description="ExampleVariantWalker")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("-O", "--output", default=None)
+    args = p.parse_args(argv)
+
+    from ..engine.walkers import VariantWalker
+
+    fh = _out(args)
+
+    class W(VariantWalker):
+        tool_name = "ExampleVariantWalker"
+
+        def apply(self, variant):
+            fh.write(f"variant {variant.contig}:{variant.pos + 1} "
+                     f"{variant.ref}->{','.join(variant.alts)}\n")
+
+    w = W(variant_path=args.variant, intervals=args.intervals)
+    w.run()
+    _close(fh)
+    return 0
+
+
+@register_tool("ExampleTwoPassVariantWalker")
+def example_two_pass_variant_walker(argv):
+    """Two-pass variant traversal: collect QUAL stats on pass 1, annotate
+    z-scores on pass 2 (examples/ExampleTwoPassVariantWalker.java)."""
+    p = argparse.ArgumentParser(description="ExampleTwoPassVariantWalker")
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+
+    import math
+
+    from ..engine.walkers import TwoPassVariantWalker
+
+    quals = []
+    lines = []
+
+    class W(TwoPassVariantWalker):
+        tool_name = "ExampleTwoPassVariantWalker"
+
+        def first_pass_apply(self, variant):
+            if variant.qual is not None:
+                quals.append(float(variant.qual))
+
+        def second_pass_apply(self, variant):
+            if not quals or variant.qual is None:
+                return
+            mean = sum(quals) / len(quals)
+            sd = math.sqrt(sum((q - mean) ** 2 for q in quals)
+                           / max(1, len(quals) - 1)) or 1.0
+            z = (float(variant.qual) - mean) / sd
+            lines.append(f"{variant.contig}:{variant.pos + 1}\t"
+                         f"QUAL={variant.qual}\tz={z:.3f}")
+
+    w = W(variant_path=args.variant)
+    w.run()
+    with open(args.output, "w") as fh:
+        fh.write("\n".join(lines) + ("\n" if lines else ""))
+    return 0
+
+
+@register_tool("ExampleReferenceWalker")
+def example_reference_walker(argv):
+    """Walk reference windows counting GC (examples/ExampleReferenceWalker.java)."""
+    p = argparse.ArgumentParser(description="ExampleReferenceWalker")
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-L", "--intervals", action="append", required=True)
+    p.add_argument("-O", "--output", default=None)
+    args = p.parse_args(argv)
+
+    from ..engine.walkers import ReferenceWalker
+
+    fh = _out(args)
+
+    class W(ReferenceWalker):
+        tool_name = "ExampleReferenceWalker"
+
+        def apply(self, ctx):
+            bases = ctx.bases()
+            gc = sum(1 for b in bases if b in b"GCgc")
+            fh.write(f"{ctx.contig}:{ctx.start + 1}-{ctx.end} "
+                     f"GC={gc}/{len(bases)}\n")
+
+    w = W(reference_path=args.reference, intervals=args.intervals)
+    w.run()
+    _close(fh)
+    return 0
+
+
+@register_tool("ExampleFeatureWalker")
+def example_feature_walker(argv):
+    """Walk features from a feature file (examples/ExampleMultiFeatureWalker
+    family on FeatureWalker)."""
+    p = argparse.ArgumentParser(description="ExampleFeatureWalker")
+    p.add_argument("-F", "--feature", required=True, help="BED or VCF")
+    p.add_argument("-O", "--output", default=None)
+    args = p.parse_args(argv)
+
+    from ..engine.walkers import FeatureWalker
+
+    fh = _out(args)
+
+    class W(FeatureWalker):
+        tool_name = "ExampleFeatureWalker"
+
+        def apply(self, feature):
+            fh.write(f"feature {feature}\n")
+
+    w = W(feature_path=args.feature)
+    w.run()
+    _close(fh)
+    return 0
+
+
+@register_tool("ExampleAssemblyRegionWalker")
+def example_assembly_region_walker(argv):
+    """Print the active-region decomposition of the input
+    (examples/ExampleAssemblyRegionWalker.java): per assembly region, its span
+    and read count, using the HC engine's activity profile."""
+    p = argparse.ArgumentParser(description="ExampleAssemblyRegionWalker")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-L", "--intervals", action="append", required=True)
+    p.add_argument("-O", "--output", default=None)
+    args = p.parse_args(argv)
+
+    from ..calling import hc_engine
+    from ..engine import intervals as iv
+    from ..io import fasta
+    from ..io.cram import open_reads
+
+    fh = _out(args)
+    ref = fasta.FastaReference(args.reference)
+    rd = open_reads(args.input, reference=ref)
+    lengths = {s.name: s.length for s in rd.header.sequences}
+    engine = hc_engine.HaplotypeCallerEngine(ref)
+    n = 0
+    for t in iv.parse_intervals_arg(args.intervals, lengths):
+        reads = list(rd.query(t.contig, max(0, t.start - 1000), t.end + 1000))
+        reads.sort(key=lambda r: (r.pos, r.name))
+        usable, spans = engine.plan_interval(reads, t)
+        for span in spans:
+            in_region = sum(1 for r in usable
+                            if r.pos < span.end and r.end > span.start)
+            fh.write(f"ACTIVE region {span.contig}:{span.start + 1}-{span.end} "
+                     f"reads={in_region}\n")
+            n += 1
+    fh.write(f"{n} active regions\n")
+    _close(fh)
+    return 0

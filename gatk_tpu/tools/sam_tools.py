@@ -632,3 +632,151 @@ def bam_index_stats(argv):
             aligned, unaligned = meta[1]
         print(f"{s.name} length=\t{s.length}\tAligned= {aligned}\tUnaligned= {unaligned}")
     return 0
+
+
+@register_tool("BwaSpark")
+def bwa_spark(argv):
+    """Align reads against a reference (tools/spark/bwa/BwaSpark.java; the
+    bwa-mem JNI replaced by the from-scratch seed-and-extend aligner,
+    align/seed_extend.py). Accepts a BwaMemIndexImageCreator .img or builds
+    the index from -R directly."""
+    p = argparse.ArgumentParser(description="BwaSpark")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("--bwa-mem-index-image", default=None)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--spark-master", default=None)
+    args, _unknown = p.parse_known_args(argv)
+
+    import numpy as np
+
+    from ..align.seed_extend import SeedExtendAligner
+    from ..io import bam as bamio, fasta, sam as sam_mod
+
+    if args.bwa_mem_index_image:
+        z = np.load(args.bwa_mem_index_image)
+        aligner = SeedExtendAligner.__new__(SeedExtendAligner)
+        aligner.k = int(z["k"])
+        aligner.names = [str(x) for x in z["names"]]
+        aligner.lengths = [int(x) for x in z["lengths"]]
+        aligner.offsets = z["offsets"]
+        aligner.ref = z["ref"]
+        aligner.idx_hash = z["idx_hash"]
+        aligner.idx_pos = z["idx_pos"]
+        aligner.max_hits = int(z["max_hits"])
+        names, lengths = aligner.names, aligner.lengths
+    elif args.reference:
+        ref = fasta.FastaReference(args.reference)
+        names = ref.contigs()
+        lengths = [ref.contig_length(n) for n in names]
+        aligner = SeedExtendAligner(
+            [(n, ref.fetch(n, 0, ref.contig_length(n))) for n in names])
+    else:
+        from ..cli import UserError
+        raise UserError("provide -R or --bwa-mem-index-image")
+
+    rd = bamio.BamReader(args.input)
+    header = sam_mod.SamHeader(
+        sequences=[sam_mod.SequenceRecord(n, l, i)
+                   for i, (n, l) in enumerate(zip(names, lengths))],
+        read_groups=rd.header.read_groups)
+    w = bamio.BamWriter(args.output, header)
+    n_aln = n_un = 0
+    from ..io.reads import Read
+
+    for r in rd:
+        aln = aligner.align(np.asarray(r.bases, np.uint8))
+        if aln is None:
+            rr = r.copy()
+            rr.flag = (rr.flag | sam_mod.UNMAPPED) & ~sam_mod.REVERSE
+            rr.ref_id, rr.pos, rr.mapq = -1, -1, 0
+            w.write(rr)
+            n_un += 1
+            continue
+        bases = r.bases
+        quals = r.quals
+        if aln.is_reverse:
+            from ..align.seed_extend import revcomp
+            bases = revcomp(np.asarray(bases, np.uint8))
+            quals = np.asarray(quals)[::-1].copy()
+        w.write(Read(name=r.name, flag=(r.flag & 0x1) | (0x10 if aln.is_reverse else 0),
+                     ref_id=aln.contig_index, pos=aln.pos, mapq=aln.mapq,
+                     cigar_ops=aln.cigar_ops, cigar_lens=aln.cigar_lens,
+                     bases=np.asarray(bases, np.uint8),
+                     quals=np.asarray(quals, np.uint8),
+                     tags={"NM": aln.nm, "AS": aln.score}))
+        n_aln += 1
+    w.close()
+    print(f"BwaSpark: aligned {n_aln} reads ({n_un} unmapped) -> {args.output}")
+    return 0
+
+
+@register_tool("BwaAndMarkDuplicatesPipelineSpark")
+def bwa_and_mark_duplicates_pipeline(argv):
+    """Align then mark duplicates in one invocation
+    (tools/spark/pipelines/BwaAndMarkDuplicatesPipelineSpark.java)."""
+    p = argparse.ArgumentParser(description="BwaAndMarkDuplicatesPipelineSpark")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("--bwa-mem-index-image", default=None)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--spark-master", default=None)
+    args, _unknown = p.parse_known_args(argv)
+    import os
+    import tempfile
+
+    from ..cli import TOOL_REGISTRY as _REG
+
+    tmp = tempfile.mktemp(suffix=".bam")
+    try:
+        sub = ["-I", args.input, "-O", tmp]
+        if args.reference:
+            sub += ["-R", args.reference]
+        if args.bwa_mem_index_image:
+            sub += ["--bwa-mem-index-image", args.bwa_mem_index_image]
+        rc = _REG["BwaSpark"](sub)
+        if rc:
+            return rc
+        return _REG["MarkDuplicates"](["-I", tmp, "-O", args.output,
+                                       "-M", args.output + ".metrics"])
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+@register_tool("CompareDuplicatesSpark")
+def compare_duplicates(argv):
+    """Compare duplicate marking between two BAMs
+    (tools/spark/validation/CompareDuplicatesSpark.java): same reads, count
+    agreement on the duplicate flag; non-zero exit on mismatch unless
+    --throw-on-diff false."""
+    p = argparse.ArgumentParser(description="CompareDuplicatesSpark")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-I2", "--input2", required=True)
+    p.add_argument("-O", "--output", default=None)
+    p.add_argument("--throw-on-diff", default="true")
+    args, _unknown = p.parse_known_args(argv)
+
+    from ..io import bam as bamio
+
+    def dup_map(path):
+        return {(r.name, r.is_first_of_pair): r.is_duplicate
+                for r in bamio.BamReader(path)
+                if not r.is_secondary and not r.is_supplementary}
+
+    a = dup_map(args.input)
+    b = dup_map(args.input2)
+    common = set(a) & set(b)
+    agree = sum(1 for k in common if a[k] == b[k])
+    diff = len(common) - agree
+    lines = [f"common reads: {len(common)}",
+             f"duplicate-flag agreement: {agree}",
+             f"disagreements: {diff}",
+             f"only in first: {len(a) - len(common)}",
+             f"only in second: {len(b) - len(common)}"]
+    report = "\n".join(lines)
+    print(report)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(report + "\n")
+    return 1 if (diff and args.throw_on_diff == "true") else 0

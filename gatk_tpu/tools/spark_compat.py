@@ -78,6 +78,9 @@ for _spark, _single in [
     ("PathSeqScoreSpark", "PathSeqScore"),
     ("PathSeqBwaSpark", "PathSeqAlign"),
     ("GatherVcfsCloud", "GatherVcfs"),
+    ("PrintVariantsSpark", "PrintVariants"),
+    ("CollectBaseDistributionByCycleSpark", "CollectBaseDistributionByCycle"),
+    ("CollectMultipleMetricsSpark", "CollectMultipleMetrics"),
     # the modern in-repo SV discoverer supersedes both Spark-era entry points
     # for calling SVs from assembled-contig alignments
     ("SvDiscoverFromLocalAssemblyContigAlignmentsSpark", "StructuralVariantDiscoverer"),

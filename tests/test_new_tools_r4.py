@@ -857,3 +857,55 @@ def test_sv_utility_tools(tmp_path):
     assert TOOL_REGISTRY["CalcMetadataSpark"](
         ["-I", bam_path, "-O", meta]) == 0
     assert "coverage" in open(meta).read()
+
+
+def test_bwa_spark_and_compare_duplicates(tmp_path):
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    rng = np.random.default_rng(43)
+    ref_seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 600))
+    fa = tmp_path / "r.fa"
+    fa.write_text(f">chr1\n{ref_seq}\n")
+    # unaligned-style input BAM (reads drawn from the reference)
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 600, 0)])
+    in_bam = str(tmp_path / "u.bam")
+    w = bamio.BamWriter(in_bam, header)
+    starts = [50, 120, 200, 350]
+    for i, s in enumerate(starts):
+        w.write(Read(name=f"r{i}", flag=0, ref_id=0, pos=0, mapq=0,
+                     cigar_ops=np.array([0], np.uint8),
+                     cigar_lens=np.array([80], np.int32),
+                     bases=np.frombuffer(ref_seq[s:s + 80].encode(), np.uint8).copy(),
+                     quals=np.full(80, 30, np.uint8)))
+    w.close()
+    out_bam = str(tmp_path / "aln.bam")
+    assert TOOL_REGISTRY["BwaSpark"](
+        ["-I", in_bam, "-R", str(fa), "-O", out_bam]) == 0
+    aligned = {r.name: int(r.pos) for r in bamio.BamReader(out_bam)}
+    for i, s in enumerate(starts):
+        assert aligned[f"r{i}"] == s, (i, aligned)
+
+    # CompareDuplicatesSpark: same file agrees with itself
+    assert TOOL_REGISTRY["CompareDuplicatesSpark"](
+        ["-I", out_bam, "-I2", out_bam]) == 0
+
+
+def test_example_walkers(tmp_path):
+    vcf_in = tmp_path / "v.vcf"
+    vcf_in.write_text(
+        "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\t.\tA\tG\t50\tPASS\t.\n"
+        "chr1\t200\t.\tC\tT\t90\tPASS\t.\n")
+    out = str(tmp_path / "vw.txt")
+    assert TOOL_REGISTRY["ExampleVariantWalker"](
+        ["-V", str(vcf_in), "-O", out]) == 0
+    assert "chr1:100" in open(out).read()
+    out2 = str(tmp_path / "2p.txt")
+    assert TOOL_REGISTRY["ExampleTwoPassVariantWalker"](
+        ["-V", str(vcf_in), "-O", out2]) == 0
+    assert "z=" in open(out2).read()
+    out3 = str(tmp_path / "pv.vcf")
+    assert TOOL_REGISTRY["PrintVariantsSpark"](
+        ["-V", str(vcf_in), "-O", out3, "--spark-master", "local[1]"]) == 0
+    assert "chr1\t200" in open(out3).read()
