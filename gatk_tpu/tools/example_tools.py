@@ -271,3 +271,91 @@ def example_assembly_region_walker(argv):
     fh.write(f"{n} active regions\n")
     _close(fh)
     return 0
+
+
+@register_tool("ExampleReadWalkerWithVariants")
+def example_read_walker_with_variants(argv):
+    """Print reads with the variants they overlap
+    (examples/ExampleReadWalkerWithVariants.java)."""
+    p = argparse.ArgumentParser(description="ExampleReadWalkerWithVariants")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-V", "--variant", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("-O", "--output", default=None)
+    args = p.parse_args(argv)
+
+    from ..engine.walkers import ReadWalker
+    from ..io import vcf as vcfio
+
+    fh = _out(args)
+    variants = list(vcfio.VcfReader(args.variant))
+
+    class W(ReadWalker):
+        tool_name = "ExampleReadWalkerWithVariants"
+
+        def apply(self, read, ctx):
+            overlapping = [v for v in variants
+                           if v.contig == ctx.contig
+                           and read.pos <= v.pos < read.end]
+            if overlapping:
+                locs = ", ".join(f"{v.contig}:{v.pos + 1}" for v in overlapping)
+                fh.write(f"read {read.name} overlaps variants: {locs}\n")
+
+    w = W(reads_path=args.input, reference_path=args.reference,
+          intervals=args.intervals)
+    w.run()
+    _close(fh)
+    return 0
+
+
+@register_tool("ExamplePartialReadWalker")
+def example_partial_read_walker(argv):
+    """Stop the read traversal after N reads
+    (examples/ExamplePartialReadWalker.java on PartialReadWalker)."""
+    p = argparse.ArgumentParser(description="ExamplePartialReadWalker")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", default=None)
+    p.add_argument("--stop-on-read-count", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from ..io import bam as bamio
+
+    fh = _out(args)
+    n = 0
+    for r in bamio.BamReader(args.input):
+        fh.write(f"read {r.name} at {r.pos + 1}\n")
+        n += 1
+        if n >= args.stop_on_read_count:
+            break
+    fh.write(f"stopped after {n} reads\n")
+    _close(fh)
+    return 0
+
+
+@register_tool("ExampleMultiFeatureWalker")
+def example_multi_feature_walker(argv):
+    """Merge-walk several feature files in coordinate order
+    (examples/ExampleMultiFeatureWalker.java on MultiFeatureWalker)."""
+    p = argparse.ArgumentParser(description="ExampleMultiFeatureWalker")
+    p.add_argument("-F", "--feature", action="append", required=True)
+    p.add_argument("-O", "--output", default=None)
+    args = p.parse_args(argv)
+
+    import heapq
+
+    from ..io import vcf as vcfio
+
+    fh = _out(args)
+    streams = []
+    for i, path in enumerate(args.feature):
+        feats = list(vcfio.VcfReader(path))
+        streams.append([( (f.contig, f.pos), i, f) for f in feats])
+    n = 0
+    for (contig_pos, src, f) in heapq.merge(*streams):
+        fh.write(f"{contig_pos[0]}:{contig_pos[1] + 1} from input {src}: "
+                 f"{f.ref}->{','.join(f.alts)}\n")
+        n += 1
+    fh.write(f"{n} features from {len(args.feature)} inputs\n")
+    _close(fh)
+    return 0

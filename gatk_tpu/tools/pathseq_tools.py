@@ -456,3 +456,44 @@ def pathseq_build_reference_taxonomy(argv):
     print(f"taxonomy: {len(keep)} taxa ({n_mapped}/{len(contig_len)} contigs mapped) "
           f"-> {args.output}")
     return 0
+
+
+@register_tool("PathSeqPipelineSpark")
+def pathseq_pipeline(argv):
+    """Full PathSeq pipeline in one invocation (tools/spark/pathseq/
+    PathSeqPipelineSpark.java): filter host reads -> align to the microbe
+    reference -> score taxa, chaining the registered stage tools."""
+    p = argparse.ArgumentParser(description="PathSeqPipelineSpark")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("--kmer-file", default=None, help="host kmer library")
+    p.add_argument("--microbe-fasta", required=True)
+    p.add_argument("--taxonomy-file", required=True)
+    p.add_argument("--scores-output", required=True)
+    p.add_argument("--output", default=None, help="aligned microbe reads BAM")
+    p.add_argument("--filter-duplicates", action="store_true")
+    p.add_argument("--spark-master", default=None)
+    args, _unknown = p.parse_known_args(argv)
+
+    import os
+    import tempfile
+
+    from ..cli import TOOL_REGISTRY as _REG
+
+    d = tempfile.mkdtemp()
+    filtered = os.path.join(d, "filtered.bam")
+    aligned = args.output or os.path.join(d, "aligned.bam")
+    sub = ["-I", args.input, "--paired-output", filtered,
+           "--unpaired-output", filtered + ".unpaired.bam"]
+    if args.kmer_file:
+        sub += ["--kmer-file", args.kmer_file]
+    rc = _REG["PathSeqFilter"](sub)
+    if rc:
+        return rc
+    src = filtered if os.path.exists(filtered) else filtered + ".unpaired.bam"
+    rc = _REG["PathSeqAlign"](["-I", src, "--microbe-fasta", args.microbe_fasta,
+                               "-O", aligned])
+    if rc:
+        return rc
+    return _REG["PathSeqScore"](["-I", aligned,
+                                 "--taxonomy-file", args.taxonomy_file,
+                                 "--scores-output", args.scores_output])

@@ -62,6 +62,12 @@ for _spark, _single in [
     ("CountBasesSpark", "CountBases"),
     ("CountVariantsSpark", "CountVariants"),
     ("PrintVariantsSpark", "PrintVariants"),
+    ("ExampleReadWalkerWithReferenceSpark", "ExampleReadWalkerWithReference"),
+    ("ExampleReadWalkerWithVariantsSpark", "ExampleReadWalkerWithVariants"),
+    ("ExampleLocusWalkerSpark", "ExampleLocusWalker"),
+    ("ExampleIntervalWalkerSpark", "ExampleIntervalWalker"),
+    ("ExampleVariantWalkerSpark", "ExampleVariantWalker"),
+    ("ExampleAssemblyRegionWalkerSpark", "ExampleAssemblyRegionWalker"),
     ("PileupSpark", "Pileup"),
     ("BaseRecalibratorSpark", "BaseRecalibrator"),
     ("ApplyBQSRSpark", "ApplyBQSR"),
@@ -79,6 +85,12 @@ for _spark, _single in [
     ("PathSeqBwaSpark", "PathSeqAlign"),
     ("GatherVcfsCloud", "GatherVcfs"),
     ("PrintVariantsSpark", "PrintVariants"),
+    ("ExampleReadWalkerWithReferenceSpark", "ExampleReadWalkerWithReference"),
+    ("ExampleReadWalkerWithVariantsSpark", "ExampleReadWalkerWithVariants"),
+    ("ExampleLocusWalkerSpark", "ExampleLocusWalker"),
+    ("ExampleIntervalWalkerSpark", "ExampleIntervalWalker"),
+    ("ExampleVariantWalkerSpark", "ExampleVariantWalker"),
+    ("ExampleAssemblyRegionWalkerSpark", "ExampleAssemblyRegionWalker"),
     ("CollectBaseDistributionByCycleSpark", "CollectBaseDistributionByCycle"),
     ("CollectMultipleMetricsSpark", "CollectMultipleMetrics"),
     # the modern in-repo SV discoverer supersedes both Spark-era entry points

@@ -909,3 +909,24 @@ def test_example_walkers(tmp_path):
     assert TOOL_REGISTRY["PrintVariantsSpark"](
         ["-V", str(vcf_in), "-O", out3, "--spark-master", "local[1]"]) == 0
     assert "chr1\t200" in open(out3).read()
+
+
+def test_more_example_walkers(tmp_path):
+    vcf_a = tmp_path / "a.vcf"
+    vcf_a.write_text("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                     "chr1\t100\t.\tA\tG\t50\tPASS\t.\n")
+    vcf_b = tmp_path / "b.vcf"
+    vcf_b.write_text("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                     "chr1\t50\t.\tC\tT\t60\tPASS\t.\n")
+    out = str(tmp_path / "mf.txt")
+    assert TOOL_REGISTRY["ExampleMultiFeatureWalker"](
+        ["-F", str(vcf_a), "-F", str(vcf_b), "-O", out]) == 0
+    lines = open(out).read().splitlines()
+    assert lines[0].startswith("chr1:50")  # merged coordinate order
+    assert "2 features" in lines[-1]
+
+    bam_path, _fa = _mk_metrics_bam(tmp_path)
+    out2 = str(tmp_path / "pr.txt")
+    assert TOOL_REGISTRY["ExamplePartialReadWalker"](
+        ["-I", bam_path, "-O", out2, "--stop-on-read-count", "3"]) == 0
+    assert "stopped after 3 reads" in open(out2).read()
