@@ -68,6 +68,8 @@ for _spark, _single in [
     ("ExampleIntervalWalkerSpark", "ExampleIntervalWalker"),
     ("ExampleVariantWalkerSpark", "ExampleVariantWalker"),
     ("ExampleAssemblyRegionWalkerSpark", "ExampleAssemblyRegionWalker"),
+    ("ExampleCollectSingleMetricsSpark", "CollectInsertSizeMetrics"),
+    ("ExampleCollectMultiMetricsSpark", "CollectMultipleMetrics"),
     ("PileupSpark", "Pileup"),
     ("BaseRecalibratorSpark", "BaseRecalibrator"),
     ("ApplyBQSRSpark", "ApplyBQSR"),
@@ -91,6 +93,8 @@ for _spark, _single in [
     ("ExampleIntervalWalkerSpark", "ExampleIntervalWalker"),
     ("ExampleVariantWalkerSpark", "ExampleVariantWalker"),
     ("ExampleAssemblyRegionWalkerSpark", "ExampleAssemblyRegionWalker"),
+    ("ExampleCollectSingleMetricsSpark", "CollectInsertSizeMetrics"),
+    ("ExampleCollectMultiMetricsSpark", "CollectMultipleMetrics"),
     ("CollectBaseDistributionByCycleSpark", "CollectBaseDistributionByCycle"),
     ("CollectMultipleMetricsSpark", "CollectMultipleMetrics"),
     # the modern in-repo SV discoverer supersedes both Spark-era entry points
