@@ -68,6 +68,42 @@ def assemble(
 
     seen = {ref_hap.bases}
     runs = rtgraph.ReadRuns(reads, min_base_qual)  # shared across all attempts
+    # native fast path: the full build->prune->recover->SeqGraph->k-best
+    # pipeline in C++ (native/rtgraph rtg_assemble; identical outputs to the
+    # Python path below, which remains the reference implementation and the
+    # fallback for adaptive pruning / junction trees / raw-kmer-graph modes)
+    use_native = (use_seq_graph and not use_junction_trees and not adaptive_pruning
+                  and recover_dangling and not allow_non_unique_kmers_in_ref
+                  and rtgraph._load_native() is not None)
+    if use_native:
+        for base_k in kmer_sizes:
+            out = _native_kmer_ladder(runs, ref_hap.bases, base_k, prune_factor,
+                                      num_best)
+            if out is None:
+                continue
+            k_used, paths = out
+            result.graphs[k_used] = "native"
+            candidates = []
+            for bases, score, weakness in paths:
+                if bases in seen:
+                    continue
+                seen.add(bases)
+                if len(bases) < k_used:
+                    continue
+                candidates.append((bases, score, weakness))
+            alignments = sw.align_batch(
+                ref_hap.bases, [c[0] for c in candidates], sw.NEW_SW_PARAMETERS,
+                sw.SOFTCLIP)
+            for (bases, score, weakness), aln in zip(candidates, alignments):
+                if _too_clipped(aln):
+                    continue
+                result.haplotypes.append(Haplotype(
+                    bases=bases, is_ref=False, score=score, kmer_size=k_used,
+                    cigar_ops=aln.cigar_ops, cigar_lens=aln.cigar_lens,
+                    alignment_start=ref_start + aln.offset, weakness=weakness))
+        for hap in result.haplotypes:
+            build_event_map(hap, ref_bases, ref_start)
+        return result
     for base_k in kmer_sizes:
         graph = _try_kmer_sizes(reads, ref_hap.bases, base_k, min_base_qual,
                                 allow_non_unique_kmers_in_ref,
@@ -150,6 +186,37 @@ def _too_clipped(aln) -> bool:
     total = int(aln.cigar_lens.sum())
     clipped = int(aln.cigar_lens[aln.cigar_ops == 4].sum()) if len(aln.cigar_ops) else 0
     return total > 0 and clipped * 2 > total
+
+
+def _native_kmer_ladder(runs, ref_bases: bytes, base_k: int, prune_factor: int,
+                        num_best: int):
+    """Native-path kmer escalation (mirrors _try_kmer_sizes + the per-graph
+    pipeline): retries k+10 on non-unique ref kmers / cycles / low quality,
+    skips the base size entirely when the ref path vanishes post-recovery.
+    Returns (k, paths) or None."""
+    k = base_k
+    for _attempt in range(MAX_KMER_ITERATIONS):
+        if k > MAX_ALLOWED_KMER or k >= len(ref_bases):
+            return None
+        # reference kmers must be unique (ReadThreadingAssembler nonUniqueKmer
+        # escalation) — cheap host check, mirrors _build_graph
+        seen = set()
+        ok = True
+        for i in range(len(ref_bases) - k + 1):
+            km = ref_bases[i : i + k]
+            if km in seen:
+                ok = False
+                break
+            seen.add(km)
+        if ok:
+            status, paths = rtgraph.assemble_attempt_native(
+                runs, ref_bases, k, prune_factor, num_best)
+            if status == 0:
+                return k, paths
+            if status == 5:
+                return None  # ref path lost post-recovery: skip this base size
+        k += KMER_SIZE_ITERATION_INCREASE
+    return None
 
 
 def _try_kmer_sizes(reads, ref_bases: bytes, base_k: int, min_base_qual: int,

@@ -52,6 +52,16 @@ def _load_native():
         lib.rtg_export.argtypes = [c.c_void_p, u8, i32, i32, i64, u8, i32, u8]
         lib.rtg_free.restype = None
         lib.rtg_free.argtypes = [c.c_void_p]
+        f64 = np.ctypeslib.ndpointer(np.float64)
+        lib.rtg_assemble.restype = c.c_void_p
+        lib.rtg_assemble.argtypes = [c.c_int32, u8, i64, i64, i64, i64, u8,
+                                     c.c_int64, c.c_int32, c.c_int32, c.c_int32,
+                                     c.POINTER(c.c_int32), c.POINTER(c.c_int64),
+                                     c.POINTER(c.c_int64)]
+        lib.rtg_asm_export.restype = None
+        lib.rtg_asm_export.argtypes = [c.c_void_p, u8, i64, f64, i64]
+        lib.rtg_asm_free.restype = None
+        lib.rtg_asm_free.argtypes = [c.c_void_p]
         _NATIVE = lib
     except OSError:
         _NATIVE = None
@@ -80,6 +90,8 @@ class ReadRuns:
             self.read_idx = np.zeros(0, np.int64)
             self.starts = np.zeros(0, np.int64)
             self.ends = np.zeros(0, np.int64)
+            self.cat = np.zeros(0, np.uint8)
+            self.cat_offs = np.zeros(n_reads + 1, np.int64)
             return
         B = np.empty(total, np.uint8)
         Q = np.empty(total, np.uint8)
@@ -88,6 +100,10 @@ class ReadRuns:
         for i, r in enumerate(reads):
             B[offs[i]:offs[i + 1]] = r.bases
             Q[offs[i]:offs[i + 1]] = r.quals
+        # retained for the native assembly fast path (rtg_assemble marshals
+        # run windows into this concatenated buffer without re-copying reads)
+        self.cat = B
+        self.cat_offs = offs
         usable = (B != ord("N")) & (Q >= min_base_qual)
         padded = np.zeros(total + n_reads + 1, np.int8)
         rid = np.repeat(np.arange(n_reads), lens)
@@ -100,6 +116,76 @@ class ReadRuns:
         self.read_idx = srid
         self.starts = starts - base
         self.ends = ends - base
+
+
+def assemble_attempt_native(runs: "ReadRuns", ref_bytes: bytes, k: int,
+                            prune_factor: int, num_best: int,
+                            recover_dangling: bool = True):
+    """One full native assembly attempt at kmer size k: graph build + cycle/
+    quality checks + prune + dangling recovery + SeqGraph simplify + k-best
+    (rtg_assemble in native/rtgraph). Returns (status, paths) where status is
+    0 ok / 3 cycles / 4 low-quality / 5 no-ref-path and paths is a list of
+    (bases, score, weakness) identical to seqgraph.find_k_best_haplotypes over
+    the Python-built graph. Returns None if the native library is unavailable."""
+    import ctypes
+
+    lib = _load_native()
+    if lib is None:
+        return None
+    keep = (runs.ends - runs.starts) >= k
+    ridx = runs.read_idx[keep]
+    n_runs = int(keep.sum())
+    n = n_runs + 1
+    # one ref+reads concatenation per region, shared across the kmer ladder
+    cache = getattr(runs, "_native_buf", None)
+    if cache is None or cache[0] is not ref_bytes:
+        ref_arr = np.frombuffer(ref_bytes, np.uint8)
+        runs._native_buf = cache = (
+            ref_bytes, np.ascontiguousarray(np.concatenate([ref_arr, runs.cat])))
+    seq_data = cache[1]
+    off = np.empty(n, np.int64)
+    starts = np.empty(n, np.int64)
+    stops = np.empty(n, np.int64)
+    off[0] = 0
+    starts[0] = 0
+    stops[0] = len(ref_bytes)
+    off[1:] = len(ref_bytes) + runs.cat_offs[ridx]
+    starts[1:] = runs.starts[keep]
+    stops[1:] = runs.ends[keep]
+    counts = np.ones(n, np.int64)
+    is_ref = np.zeros(n, np.uint8)
+    is_ref[0] = 1
+    status = ctypes.c_int32()
+    n_haps = ctypes.c_int64()
+    total_bases = ctypes.c_int64()
+    handle = lib.rtg_assemble(
+        np.int32(k), seq_data, off, starts, stops, counts,
+        is_ref, np.int64(n), np.int32(prune_factor),
+        np.int32(1 if recover_dangling else 0), np.int32(num_best),
+        ctypes.byref(status), ctypes.byref(n_haps), ctypes.byref(total_bases))
+    if not handle:
+        raise MemoryError("rtg_assemble failed")
+    try:
+        if status.value in (1, 2):
+            raise ValueError("two reference sources" if status.value == 1
+                             else "unique kmer merging into reference path")
+        nh = n_haps.value
+        bases_buf = np.zeros(max(1, total_bases.value), np.uint8)
+        hlens = np.zeros(max(1, nh), np.int64)
+        scores = np.zeros(max(1, nh), np.float64)
+        weakness = np.zeros(max(1, nh), np.int64)
+        if nh:
+            lib.rtg_asm_export(handle, bases_buf, hlens, scores, weakness)
+    finally:
+        lib.rtg_asm_free(handle)
+    paths = []
+    bb = bases_buf.tobytes()
+    o = 0
+    for i in range(nh):
+        L = int(hlens[i])
+        paths.append((bb[o:o + L], float(scores[i]), int(weakness[i])))
+        o += L
+    return int(status.value), paths
 
 
 @dataclass

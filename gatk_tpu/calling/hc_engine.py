@@ -220,7 +220,10 @@ def _finalize_simple(r, padded: Interval, keep_soft: bool):
             return False if lead_s else _finalize_simple(r, padded, False)
         lo, hi = 0, L  # all bases aligned after revert
     else:
-        pos0 = r.pos
+        # index->ref mapping: base j sits at pos0+j for the aligned window
+        # [lead_s, L-tail_s); base lead_s is at r.pos, so pos0 = r.pos - lead_s
+        # (a negative intermediate pos0 is fine: emitted pos is pos0+lo >= r.pos).
+        pos0 = r.pos - lead_s
         lo, hi = lead_s, L - tail_s
     q = r.quals
     # low-qual end clip within the aligned window
@@ -235,10 +238,10 @@ def _finalize_simple(r, padded: Interval, keep_soft: bool):
         return None
     from ..io.reads import Read as _Read
 
-    return _Read(r.name, r.flag, r.ref_id, pos0 + lo, r.mapq,
-                 np.zeros(1, np.uint8), np.array([hi - lo], np.int32),
-                 r.bases[lo:hi].copy(), q[lo:hi].copy(),
-                 r.mate_ref_id, r.mate_pos, r.tlen, dict(r.tags))
+    return _Read.make(r.name, r.flag, r.ref_id, pos0 + lo, r.mapq,
+                      np.zeros(1, np.uint8), np.array([hi - lo], np.int32),
+                      r.bases[lo:hi].copy(), q[lo:hi].copy(),
+                      r.mate_ref_id, r.mate_pos, r.tlen, dict(r.tags))
 
 
 def finalize_region_reads(region_reads, padded: Interval, args: HCArgs):
@@ -605,6 +608,7 @@ def call_interval_gvcf(engine: "HaplotypeCallerEngine", reads, interval: Interva
             interval.contig, engine.sample,
             standard_confidence=-0.0, ploidy=args.ploidy,
             emit_all_active=True, add_non_ref=True,
+            as_annotations=args.as_annotations,
         ))
 
     variants = [v for v in variants if interval.start <= v.pos < interval.end]

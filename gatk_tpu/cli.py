@@ -14,11 +14,14 @@ from .utils.errors import (CommandLineError, GATKException,  # noqa: F401
                            UserError, exit_code_for)
 
 TOOL_REGISTRY = {}
+TOOL_ALIASES = {}  # alias name -> target tool name (Spark surface etc.)
 
 
-def register_tool(name):
+def register_tool(name, alias_of=None):
     def deco(fn):
         TOOL_REGISTRY[name] = fn
+        if alias_of:
+            TOOL_ALIASES[name] = alias_of
         return fn
 
     return deco
@@ -27,8 +30,13 @@ def register_tool(name):
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help", "--list"):
-        print("gatk_tpu: TPU-native variant calling toolkit. Tools:")
+        n_impl = len(TOOL_REGISTRY) - len(TOOL_ALIASES)
+        print(f"gatk_tpu: TPU-native variant calling toolkit. "
+              f"{n_impl} tools + {len(TOOL_ALIASES)} aliases:")
         for name, fn in sorted(TOOL_REGISTRY.items()):
+            if name in TOOL_ALIASES:
+                print(f"  {name:28s} (alias → {TOOL_ALIASES[name]})")
+                continue
             doc = (fn.__doc__ or "").strip().splitlines()
             print(f"  {name:28s} {doc[0] if doc else ''}")
         return 0

@@ -16,16 +16,14 @@ from ..io.reads import Read
 
 
 def _rebuild(read: Read, new_ops, new_lens, new_start, new_bases, new_quals) -> Read:
-    r = read.copy()
     ops = np.asarray(new_ops, np.uint8)
     lens = np.asarray(new_lens, np.int32)
     keep = lens > 0
-    r.cigar_ops = ops[keep]
-    r.cigar_lens = lens[keep]
-    r.pos = new_start
-    r.bases = np.asarray(new_bases, np.uint8)
-    r.quals = np.asarray(new_quals, np.uint8)
-    return r
+    return Read.make(
+        read.name, read.flag, read.ref_id, new_start, read.mapq,
+        ops[keep], lens[keep], np.asarray(new_bases, np.uint8),
+        np.asarray(new_quals, np.uint8), read.mate_ref_id, read.mate_pos,
+        read.tlen, dict(read.tags))
 
 
 def _read_coord_of_ref(read: Read, ref_pos: int, left: bool) -> int:
@@ -178,6 +176,20 @@ def _clip_right(read: Read, first_clipped: int) -> Read:
 def hard_clip_to_interval(read: Read, start: int, end: int) -> Read:
     """Hard-clip bases aligned outside [start, end) (ReadClipper.hardClipToRegion)."""
     r = read
+    # fast path: single-M cigar (the common shape after finalize) — a pure slice
+    if len(r.cigar_ops) == 1 and r.cigar_ops[0] == sam.OP_M:
+        n = len(r.bases)
+        lo = start - r.pos if r.pos < start else 0
+        hi = end - r.pos if r.pos + n > end else n
+        if lo <= 0 and hi >= n:
+            return r
+        if hi <= lo:
+            return _rebuild(r, [], [], r.pos, np.empty(0, np.uint8),
+                            np.empty(0, np.uint8))
+        return Read.make(r.name, r.flag, r.ref_id, r.pos + lo, r.mapq,
+                         np.zeros(1, np.uint8), np.array([hi - lo], np.int32),
+                         r.bases[lo:hi].copy(), r.quals[lo:hi].copy(),
+                         r.mate_ref_id, r.mate_pos, r.tlen, dict(r.tags))
     if r.pos < start:
         cut = _read_coord_of_ref(r, start, left=True)
         if cut > 0:

@@ -44,12 +44,11 @@ def _parse_record(data, off):
     codes[0::2] = hi
     codes[1::2] = lo
     bases = sam._NT16_TO_CHAR[codes[:l_seq]]
-    read = Read(
-        name=name, flag=flag, ref_id=ref_id, pos=pos, mapq=mapq,
-        cigar_ops=(cigar_raw & 0xF).astype(np.uint8),
-        cigar_lens=(cigar_raw >> 4).astype(np.int32),
-        bases=bases, quals=quals, mate_ref_id=next_ref, mate_pos=next_pos,
-        tlen=tlen, tags=tags,
+    read = Read.make(
+        name, flag, ref_id, pos, mapq,
+        (cigar_raw & 0xF).astype(np.uint8),
+        (cigar_raw >> 4).astype(np.int32),
+        bases, quals, next_ref, next_pos, tlen, tags,
     )
     return read, rec_end
 

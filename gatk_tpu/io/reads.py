@@ -36,6 +36,20 @@ class Read:
             object.__setattr__(self, "_end_cache", None)
         object.__setattr__(self, name, value)
 
+    @classmethod
+    def make(cls, name, flag, ref_id, pos, mapq, cigar_ops, cigar_lens, bases,
+             quals, mate_ref_id=-1, mate_pos=-1, tlen=0, tags=None):
+        """Hot-path constructor: one __dict__.update instead of 13 __setattr__
+        dispatches (BAM parse + per-region clipping create hundreds of
+        thousands of Reads per interval)."""
+        r = object.__new__(cls)
+        r.__dict__.update(
+            name=name, flag=flag, ref_id=ref_id, pos=pos, mapq=mapq,
+            cigar_ops=cigar_ops, cigar_lens=cigar_lens, bases=bases,
+            quals=quals, mate_ref_id=mate_ref_id, mate_pos=mate_pos, tlen=tlen,
+            tags={} if tags is None else tags, _end_cache=None)
+        return r
+
     # --- flag helpers -------------------------------------------------------------
     @property
     def is_unmapped(self):
@@ -115,7 +129,7 @@ class Read:
         return p
 
     def copy(self):
-        return Read(
+        return Read.make(
             self.name, self.flag, self.ref_id, self.pos, self.mapq,
             self.cigar_ops.copy(), self.cigar_lens.copy(), self.bases.copy(),
             self.quals.copy(), self.mate_ref_id, self.mate_pos, self.tlen,

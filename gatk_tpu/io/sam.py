@@ -112,9 +112,23 @@ def cigar_from_string(s: str):
     return np.array(ops, np.uint8), np.array(lens, np.int32)
 
 
+# plain-tuple lookup tables: these helpers run per read on 1-5 element cigars,
+# where a python loop is ~20x faster than numpy fancy indexing
+_CONSUMES_READ_T = (1, 1, 0, 0, 1, 0, 0, 1, 1)
+_CONSUMES_REF_T = (1, 0, 1, 1, 0, 0, 0, 1, 1)
+
+
 def cigar_read_length(ops, lens) -> int:
-    return int(np.sum(np.asarray(lens)[CONSUMES_READ[np.asarray(ops)]]))
+    n = 0
+    for o, l in zip(ops, lens):
+        if _CONSUMES_READ_T[o]:
+            n += l
+    return int(n)
 
 
 def cigar_ref_length(ops, lens) -> int:
-    return int(np.sum(np.asarray(lens)[CONSUMES_REF[np.asarray(ops)]]))
+    n = 0
+    for o, l in zip(ops, lens):
+        if _CONSUMES_REF_T[o]:
+            n += l
+    return int(n)

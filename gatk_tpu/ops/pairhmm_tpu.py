@@ -1348,7 +1348,7 @@ def prewarm_wait(timeout=None):
         t.join(timeout)
 
 
-def prewarm(shapes=((4096, 32),), rp=160, hmax=512, device=None):
+def prewarm(shapes=CARTESIAN_SHAPES, rp=160, hmax=512, device=None):
     """Asynchronously compile/load the canonical HC device programs: the pooled
     scan programs (k=POOL_K and k=1) plus the cartesian fallback shapes.
 
@@ -1754,6 +1754,10 @@ class PoolBatcher:
                 return
             parts = [np.asarray(out)[:kc, 0, :].reshape(-1) for out, kc in rec["outs"]]
             rec["values"] = np.concatenate(parts)[: rec["n"]] if parts else np.empty(0, np.float32)
+            rec["outs"] = None  # release device buffers (HBM) once fetched
+            # prune fully-materialized records so a long run's dispatch history
+            # doesn't pin host memory for the process lifetime
+            self._records = [r for r in self._records if r["values"] is None]
 
 
 def compute_log10_likelihoods(reads, haps, pair_read_idx, pair_hap_idx, interpret=None):

@@ -96,23 +96,37 @@ class ShardedCaller:
         usable, spans = self.engine.plan_interval(reads, interval)
         variants = []
         summaries = []
+        # windowed consume: genotype window w while the pool threads assemble
+        # w+1 and the device runs its flushed batches — bounds live preps to
+        # ~WINDOW regions instead of the whole interval (memory), while
+        # keeping finish_region strictly in region order (shared seeded RNG).
+        WINDOW = 64
         with ThreadPoolExecutor(max_workers=self.host_threads) as pool:
             futures = [
-                (span, pool.submit(
+                [span, pool.submit(
                     self.engine.prepare_region, usable, span,
-                    batcher=self.batchers[i % len(self.batchers)]))
+                    batcher=self.batchers[i % len(self.batchers)])]
                 for i, span in enumerate(spans)
             ]
-            preps = [(span, fut.result()) for span, fut in futures]
-        for b in self.batchers:
-            b.flush()
-        for span, prep in preps:
-            if prep is None:
-                summaries.append(AssemblyRegionCall(span, span, 0, 0))
-                continue
-            v, summary = self.engine.finish_region(prep)
-            variants.extend(v)
-            summaries.append(summary)
+            idx = 0
+            n = len(futures)
+            while idx < n:
+                hi = min(idx + WINDOW, n)
+                window = [(f[0], f[1].result()) for f in futures[idx:hi]]
+                for f in futures[idx:hi]:
+                    f[1] = None  # release the Future's reference to the prep
+                # materialize this window's handles: flush whatever is pooled
+                # (later windows' already-assembled regions ride along)
+                for b in self.batchers:
+                    b.flush()
+                for span, prep in window:
+                    if prep is None:
+                        summaries.append(AssemblyRegionCall(span, span, 0, 0))
+                        continue
+                    v, summary = self.engine.finish_region(prep)
+                    variants.extend(v)
+                    summaries.append(summary)
+                idx = hi
         variants = [v for v in variants if interval.start <= v.pos < interval.end]
         return variants, summaries
 

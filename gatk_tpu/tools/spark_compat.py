@@ -50,10 +50,10 @@ def _alias(spark_name: str, target: str):
     run.__doc__ = (f"{spark_name}: Spark-cluster surface of {target} "
                    f"(tools/spark/); routed to the TPU-native {target} "
                    f"implementation, Spark runner flags ignored.")
-    register_tool(spark_name)(run)
+    register_tool(spark_name, alias_of=target)(run)
 
 
-for _spark, _single in [
+_ALIASES = [
     ("MarkDuplicatesSpark", "MarkDuplicates"),
     ("SortSamSpark", "SortSam"),
     ("PrintReadsSpark", "PrintReads"),
@@ -86,21 +86,14 @@ for _spark, _single in [
     ("PathSeqScoreSpark", "PathSeqScore"),
     ("PathSeqBwaSpark", "PathSeqAlign"),
     ("GatherVcfsCloud", "GatherVcfs"),
-    ("PrintVariantsSpark", "PrintVariants"),
-    ("ExampleReadWalkerWithReferenceSpark", "ExampleReadWalkerWithReference"),
-    ("ExampleReadWalkerWithVariantsSpark", "ExampleReadWalkerWithVariants"),
-    ("ExampleLocusWalkerSpark", "ExampleLocusWalker"),
-    ("ExampleIntervalWalkerSpark", "ExampleIntervalWalker"),
-    ("ExampleVariantWalkerSpark", "ExampleVariantWalker"),
-    ("ExampleAssemblyRegionWalkerSpark", "ExampleAssemblyRegionWalker"),
-    ("ExampleCollectSingleMetricsSpark", "CollectInsertSizeMetrics"),
-    ("ExampleCollectMultiMetricsSpark", "CollectMultipleMetrics"),
     ("CollectBaseDistributionByCycleSpark", "CollectBaseDistributionByCycle"),
     ("CollectMultipleMetricsSpark", "CollectMultipleMetrics"),
     # the modern in-repo SV discoverer supersedes both Spark-era entry points
     # for calling SVs from assembled-contig alignments
     ("SvDiscoverFromLocalAssemblyContigAlignmentsSpark", "StructuralVariantDiscoverer"),
     ("DiscoverVariantsFromContigAlignmentsSAMSpark", "StructuralVariantDiscoverer"),
-]:
+]
+assert len({s for s, _ in _ALIASES}) == len(_ALIASES), "duplicate Spark alias names"
+for _spark, _single in _ALIASES:
     if _single in TOOL_REGISTRY:
         _alias(_spark, _single)
