@@ -986,6 +986,159 @@ class ASInbreedingCoeff(Annotation):
         return {"AS_InbreedingCoeff": ",".join(vals)} if vals else {}
 
 
+# --- finalized AS_* reducible family (tools/walkers/annotator/allelespecific/:
+# AS_FisherStrand.java, AS_StrandOddsRatio.java, AS_RMSMappingQuality.java,
+# AS_QualByDepth.java, AS_{BaseQuality,MappingQuality,ReadPos}RankSumTest.java;
+# AS_StrandBiasMutectAnnotation.java; SecondaryDepthPerAlleleBySample.java).
+# These compute the finalized per-alt values directly from the read context
+# (the VariantAnnotator path); the raw->combine->finalize reduce path for the
+# GVCF workflow lives in calling/as_annotations.py. ---------------------------
+
+
+class _ASReadsAnnotation(Annotation):
+    """Shared per-allele read partitioning by ctx.read_best_allele."""
+
+    def _per_allele_reads(self, ctx):
+        n_alleles = 1 + len(ctx.variant.alts)
+        groups = [[] for _ in range(n_alleles)]
+        if ctx.read_best_allele is None:
+            return groups
+        for r, ai in zip(ctx.reads, ctx.read_best_allele):
+            if 0 <= ai < n_alleles:
+                groups[int(ai)].append(r)
+        return groups
+
+
+class ASFisherStrand(_ASReadsAnnotation):
+    """AS_FisherStrand: per-alt phred Fisher exact on ref-vs-alt strand table."""
+    keys = ("AS_FS",)
+
+    def annotate(self, ctx):
+        groups = self._per_allele_reads(ctx)
+        rf = sum(1 for r in groups[0] if not r.is_reverse)
+        rr = len(groups[0]) - rf
+        vals = []
+        for g in groups[1:]:
+            af = sum(1 for r in g if not r.is_reverse)
+            vals.append(f"{fisher_strand_phred(rf, rr, af, len(g) - af):.3f}")
+        return {"AS_FS": ",".join(vals)} if vals else {}
+
+
+class ASStrandOddsRatio(_ASReadsAnnotation):
+    """AS_StrandOddsRatio: per-alt symmetric odds ratio."""
+    keys = ("AS_SOR",)
+
+    def annotate(self, ctx):
+        groups = self._per_allele_reads(ctx)
+        rf = sum(1 for r in groups[0] if not r.is_reverse)
+        rr = len(groups[0]) - rf
+        vals = []
+        for g in groups[1:]:
+            af = sum(1 for r in g if not r.is_reverse)
+            vals.append(f"{strand_odds_ratio(rf, rr, af, len(g) - af):.3f}")
+        return {"AS_SOR": ",".join(vals)} if vals else {}
+
+
+class ASRMSMappingQuality(_ASReadsAnnotation):
+    """AS_RMSMappingQuality: per-alt RMS of supporting reads' MQ."""
+    keys = ("AS_MQ",)
+
+    def annotate(self, ctx):
+        groups = self._per_allele_reads(ctx)
+        vals = []
+        for g in groups[1:]:
+            mqs = [r.mapq for r in g]
+            vals.append(f"{rms_mapping_quality(mqs):.2f}" if mqs else "NaN")
+        return {"AS_MQ": ",".join(vals)} if vals else {}
+
+
+class ASQualByDepth(_ASReadsAnnotation):
+    """AS_QualByDepth: site QUAL over per-alt informative depth (+ ref depth,
+    AS_QualByDepth.java:201)."""
+    keys = ("AS_QD",)
+
+    def annotate(self, ctx):
+        if ctx.variant.qual is None:
+            return {}
+        groups = self._per_allele_reads(ctx)
+        ref_depth = len(groups[0])
+        vals = []
+        for g in groups[1:]:
+            d = len(g) + ref_depth
+            vals.append(f"{min(ctx.variant.qual / d, 35.0):.2f}" if d > 0 else ".")
+        return {"AS_QD": ",".join(vals)} if vals else {}
+
+
+class _ASRankSum(_ASReadsAnnotation):
+    def _value(self, read, ctx):
+        raise NotImplementedError
+
+    def annotate(self, ctx):
+        groups = self._per_allele_reads(ctx)
+        ref_vals = [v for v in (self._value(r, ctx) for r in groups[0]) if v is not None]
+        vals = []
+        for g in groups[1:]:
+            alt_vals = [v for v in (self._value(r, ctx) for r in g) if v is not None]
+            z = mann_whitney_z(alt_vals, ref_vals)
+            vals.append(f"{z:.3f}" if z is not None else ".")
+        if all(v == "." for v in vals):
+            return {}
+        return {self.keys[0]: ",".join(vals)}
+
+
+class ASBaseQualityRankSumTest(_ASRankSum):
+    """AS_BaseQRankSum: per-alt z of base quals at the site, alt vs ref reads."""
+    keys = ("AS_BaseQRankSum",)
+
+    def _value(self, read, ctx):
+        off = read_offset_at(read, ctx.variant.pos)
+        return int(read.quals[off]) if off is not None else None
+
+
+class ASMappingQualityRankSumTest(_ASRankSum):
+    """AS_MQRankSum: per-alt z of mapping quality, alt vs ref reads."""
+    keys = ("AS_MQRankSum",)
+
+    def _value(self, read, ctx):
+        return int(read.mapq)
+
+
+class ASReadPosRankSumTest(_ASRankSum):
+    """AS_ReadPosRankSum: per-alt z of distance-from-nearer-read-end."""
+    keys = ("AS_ReadPosRankSum",)
+
+    def _value(self, read, ctx):
+        off = read_offset_at(read, ctx.variant.pos)
+        if off is None:
+            return None
+        return min(off, len(read.bases) - 1 - off)
+
+
+class ASStrandBiasMutectAnnotation(_ASReadsAnnotation):
+    """AS_StrandBiasMutectAnnotation: the raw AS_SB_TABLE (fwd,rev per allele
+    including ref) as Mutect2 emits it."""
+    keys = ("AS_SB_TABLE",)
+
+    def annotate(self, ctx):
+        groups = self._per_allele_reads(ctx)
+        secs = []
+        for g in groups:
+            f = sum(1 for r in g if not r.is_reverse)
+            secs.append(f"{f},{len(g) - f}")
+        return {"AS_SB_TABLE": "|".join(secs)}
+
+
+class SecondaryDepthPerAlleleBySample(_ASReadsAnnotation):
+    """SecondaryDepthPerAlleleBySample: per-allele informative read counts as
+    the SFAD genotype attribute (SecondaryDepthPerAlleleBySample.java:83)."""
+    keys = ("SFAD",)
+    genotype_level = True
+
+    def annotate(self, ctx):
+        groups = self._per_allele_reads(ctx)
+        return {"SFAD": ",".join(str(len(g)) for g in groups)}
+
+
 # --- flow-space annotations (tools/walkers/annotator/flow/FlowAnnotatorBase.java
 # + per-class wrappers; Ultima flow-model context features) -------------------
 
@@ -1241,6 +1394,15 @@ ANNOTATION_REGISTRY = {
     "HaplotypeFilteringAnnotation": HaplotypeFilteringAnnotation,
     "AllelePseudoDepth": AllelePseudoDepth,
     "AS_InbreedingCoeff": ASInbreedingCoeff,
+    "AS_FisherStrand": ASFisherStrand,
+    "AS_StrandOddsRatio": ASStrandOddsRatio,
+    "AS_RMSMappingQuality": ASRMSMappingQuality,
+    "AS_QualByDepth": ASQualByDepth,
+    "AS_BaseQualityRankSumTest": ASBaseQualityRankSumTest,
+    "AS_MappingQualityRankSumTest": ASMappingQualityRankSumTest,
+    "AS_ReadPosRankSumTest": ASReadPosRankSumTest,
+    "AS_StrandBiasMutectAnnotation": ASStrandBiasMutectAnnotation,
+    "SecondaryDepthPerAlleleBySample": SecondaryDepthPerAlleleBySample,
     "IndelClassify": IndelClassify,
     "IndelLength": IndelLength,
     "HmerIndelLength": HmerIndelLength,
@@ -1271,6 +1433,11 @@ ANNOTATION_GROUPS = {
                                     "HmerIndelLength", "HmerIndelNuc",
                                     "HmerMotifs", "GcContent", "CycleSkipStatus",
                                     "VariantType"),
+    "AS_StandardAnnotation": ("AS_FisherStrand", "AS_StrandOddsRatio",
+                              "AS_RMSMappingQuality", "AS_QualByDepth",
+                              "AS_BaseQualityRankSumTest",
+                              "AS_MappingQualityRankSumTest",
+                              "AS_ReadPosRankSumTest", "AS_InbreedingCoeff"),
 }
 
 STANDARD_SET = ("Coverage", "RMSMappingQuality", "MappingQualityRankSumTest",

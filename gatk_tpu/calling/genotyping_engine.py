@@ -219,10 +219,27 @@ def assign_genotype_likelihoods(
         info = _standard_annotations(
             marginal, alleles, loc, gt_tuple, counts, phred_no_variant,
             n_non_ref := sum(1 for a in gt_tuple if a != 0), af, ploidy)
+        fmt_keys = ("GT", "AD", "DP", "GQ", "PL")
+        sample_fmt = {
+            "GT": "/".join(str(a) for a in gt_tuple),
+            "AD": ",".join(str(int(c)) for c in counts),
+            "DP": str(dp),
+            "GQ": str(gq),
+            "PL": ",".join(str(int(p)) for p in pl),
+        }
         if as_annotations:
             info.update(_allele_specific_annotations(
-                marginal, alleles, loc, phred_no_variant, counts))
+                marginal, alleles, loc, phred_no_variant, counts,
+                gvcf=add_non_ref))
             info = {k: info[k] for k in sorted(info)}
+            if add_non_ref and "AS_SB_TABLE" in info:
+                # per-sample SB (refFwd,refRev,altFwd,altRev summed over alts)
+                rows = [s.split(",") for s in info["AS_SB_TABLE"].split("|")]
+                sample_fmt["SB"] = ",".join(map(str, (
+                    rows[0][0], rows[0][1],
+                    sum(int(r[0]) for r in rows[1:]),
+                    sum(int(r[1]) for r in rows[1:]))))
+                fmt_keys = fmt_keys + ("SB",)
 
         v = Variant(
             contig=contig,
@@ -232,16 +249,8 @@ def assign_genotype_likelihoods(
             qual=qual,
             filters=filters,
             info=info,
-            fmt_keys=("GT", "AD", "DP", "GQ", "PL"),
-            samples=[
-                {
-                    "GT": "/".join(str(a) for a in gt_tuple),
-                    "AD": ",".join(str(int(c)) for c in counts),
-                    "DP": str(dp),
-                    "GQ": str(gq),
-                    "PL": ",".join(str(int(p)) for p in pl),
-                }
-            ],
+            fmt_keys=fmt_keys,
+            samples=[sample_fmt],
         )
         variants.append(v)
         # haplotypes supporting the first site-specific alt (phasing input;
@@ -345,11 +354,18 @@ def _standard_annotations(marginal, alleles, loc, gt_tuple, counts, qual, n_non_
     return {k: info[k] for k in sorted(info)}
 
 
-def _allele_specific_annotations(marginal, alleles, loc, qual, counts):
-    """AS_* allele-specific annotation spine (tools/walkers/annotator/
-    allelespecific/: AS_SB_TABLE raw form, finalized AS_FS/AS_SOR per allele
-    contingency, AS_MQ RMS over allele reads, AS_*RankSum alt-vs-ref,
-    AS_QD per-allele qual over allele depth)."""
+def _allele_specific_annotations(marginal, alleles, loc, qual, counts,
+                                 gvcf: bool = False):
+    """AS_* reducible annotations, raw phase (tools/walkers/annotator/
+    allelespecific/AS_RankSumTest.java annotateRawData, AS_RMSMappingQuality,
+    AS_StrandBiasTest AS_SB_TABLE).
+
+    VCF mode emits per-allele integer value,count lists (CompressedDataList
+    form, expected.testVCFMode.gatk4.alleleSpecific.vcf); GVCF mode emits the
+    per-alt rank-sum z singleton histograms (`|z,1|NaN` form,
+    expected.testGVCFMode.gatk4.alleleSpecific.g.vcf). Finalized AS_ values
+    (AS_FS/AS_SOR/AS_MQ/AS_QD/AS_*RankSum) are produced downstream by
+    GenotypeGVCFs / VariantAnnotator via calling/as_annotations.py."""
     from ..gvcf.annotations import (
         fisher_strand_phred,
         format_vcf_double,
@@ -376,27 +392,25 @@ def _allele_specific_annotations(marginal, alleles, loc, qual, counts):
             bq[ai].append(int(read.quals[off]))
             pos[ai].append(min(off, len(read.bases) - 1 - off))
 
+    from . import as_annotations as asmod
+
     info = {}
     info["AS_SB_TABLE"] = "|".join(f"{f},{r}" for f, r in sb)
-    as_fs, as_sor, as_mq = [], [], []
-    as_bqrs, as_mqrs, as_rprs, as_qd = [], [], [], []
-    for ai in range(1, n_alleles):
-        table = (sb[0][0], sb[0][1], sb[ai][0], sb[ai][1])
-        as_fs.append(f"{fisher_strand_phred(*table):.3f}")
-        as_sor.append(f"{strand_odds_ratio(*table):.3f}")
-        as_mq.append(f"{rms_mapping_quality(mq[ai]):.2f}" if mq[ai] else "NaN")
-        for out, alt_v, ref_v in ((as_bqrs, bq[ai], bq[0]),
-                                  (as_mqrs, mq[ai], mq[0]),
-                                  (as_rprs, pos[ai], pos[0])):
-            z = mann_whitney_z(alt_v, ref_v)
-            out.append(format_vcf_double(z) if z is not None else "NaN")
-        depth = int(counts[ai]) if ai < len(counts) else 0
-        as_qd.append(f"{min(qual / depth, 35.0):.2f}" if depth > 0 else "NaN")
-    info["AS_FS"] = ",".join(as_fs)
-    info["AS_SOR"] = ",".join(as_sor)
-    info["AS_MQ"] = ",".join(as_mq)
-    info["AS_BaseQRankSum"] = ",".join(as_bqrs)
-    info["AS_MQRankSum"] = ",".join(as_mqrs)
-    info["AS_ReadPosRankSum"] = ",".join(as_rprs)
-    info["AS_QD"] = ",".join(as_qd)
+    raw_mq = [float(sum(m * m for m in mq[ai])) for ai in range(n_alleles)]
+    info["AS_RAW_MQ"] = asmod.format_raw_mq(raw_mq)
+    if gvcf:
+        # per-alt z-score singleton histograms (AS_RankSumTest
+        # makeRawAnnotationString; '' ref section, NaN when incomputable)
+        for key, vals in (("AS_RAW_BaseQRankSum", bq), ("AS_RAW_MQRankSum", mq),
+                          ("AS_RAW_ReadPosRankSum", pos)):
+            hists = [asmod.ZHistogram() for _ in range(n_alleles)]
+            for ai in range(1, n_alleles):
+                z = mann_whitney_z(vals[ai], vals[0])
+                if z is not None:
+                    hists[ai].add(z)
+            info[key] = asmod.format_histogram_sections(hists)
+    else:
+        info["AS_RAW_BaseQRankSum"] = asmod.format_int_lists(bq)
+        info["AS_RAW_MQRankSum"] = asmod.format_int_lists(mq)
+        info["AS_RAW_ReadPosRankSum"] = asmod.format_int_lists(pos)
     return info

@@ -170,10 +170,12 @@ def _merge_variant_site(var_records, cursors, pos, ref_fetch, contig, ploidy):
     alleles = [true_ref] + alt_union + [NON_REF]
     info_vals = {}
     samples_out = []
+    as_infos = []  # (remapped allele list, INFO) pairs for AS raw combining
     for si, ((v, s), c) in enumerate(zip(var_records, cursors)):
         if v is not None:
             m = per_sample_allele_map[si]
             old_alleles = [true_ref] + [m[a] for a in v.alts]
+            as_infos.append((old_alleles, v.info))
             d = {"GT": "./."}
             ad = s.get("AD")
             if ad and ad != ".":
@@ -219,6 +221,13 @@ def _merge_variant_site(var_records, cursors, pos, ref_fetch, contig, ploidy):
             info[k] = str(int(sum(vals)))
         else:
             info[k] = format_vcf_double(float(np.median(vals)))
+    # allele-specific raw reduce: merge per-sample AS_RAW_*/AS_SB_TABLE
+    # sections onto the merged allele list (AS_RankSumTest.combineRawData)
+    if any("AS_SB_TABLE" in i or "AS_RAW_MQ" in i for _a, i in as_infos):
+        from ..calling import as_annotations as asmod
+
+        info.update(asmod.combine_raw_fields(
+            [i for _a, i in as_infos], [a for a, _i in as_infos], alleles))
     info = {k: info[k] for k in sorted(info)}
     fmt = ("GT", "AD", "DP", "GQ", "MIN_DP", "MIN_GQ", "PL", "SB")
     used = [k for k in fmt if any(k in s for s in samples_out)]

@@ -52,6 +52,10 @@ def regenotype_records_at_site(records, samples, af_calc=None, ploidy=2,
     alleles = [v0.ref] + [a for a in v0.alts if a != NON_REF and a != "*"]
     if len(alleles) < 2:
         return None
+    # positional indices of the working alleles within v0's full allele list
+    # (AS raw INFO sections are laid out in v0 allele order)
+    as_allele_idx = [0] + [i + 1 for i, a in enumerate(v0.alts)
+                           if a != NON_REF and a != "*"]
     af_calc = af_calc or genotyper.AlleleFrequencyCalculator(ploidy=ploidy)
 
     # infer ploidy from the first parseable GT (haploid GVCFs have GT "0"/"1")
@@ -173,6 +177,9 @@ def regenotype_records_at_site(records, samples, af_calc=None, ploidy=2,
         ac = ac[keep]
         mle_keep = [i - 1 for i in keep[1:]]
         af.allele_counts_mle = af.allele_counts_mle[mle_keep]
+        if getattr(af, "log10_p_ref_by_allele", None) is not None:
+            af.log10_p_ref_by_allele = af.log10_p_ref_by_allele[mle_keep]
+        as_allele_idx = [as_allele_idx[i] for i in keep]
         alleles = kept_alleles
 
     # QualByDepth denominator: sum of final (subset) ADs of variant genotypes
@@ -236,6 +243,74 @@ def regenotype_records_at_site(records, samples, af_calc=None, ploidy=2,
         vals = [int(v.info[key]) for v, _s in records if key in v.info]
         if vals:
             info[key] = str(sum(vals))
+    # allele-specific finalize: raw AS_ INFO (from HC-GVCF / CombineGVCFs) ->
+    # AS_FS/AS_SOR/AS_MQ/AS_QD/AS_*RankSum (ReducibleAnnotation.finalizeRawData)
+    as_raw_srcs = []
+    seen_as = set()
+    for v, _s in records:
+        if id(v) in seen_as:
+            continue
+        seen_as.add(id(v))
+        if any(k in v.info for k in ("AS_SB_TABLE", "AS_RAW_MQ")):
+            as_raw_srcs.append(v.info)
+    if as_raw_srcs:
+        from ..calling import as_annotations as asmod
+
+        n_full = len(list(v0.alleles))
+        # combine raws across distinct source records (same allele layout),
+        # then subset sections positionally to the final allele set
+        combined = asmod.combine_raw_fields(
+            as_raw_srcs, [list(v0.alleles)] * len(as_raw_srcs), list(v0.alleles))
+        sub = {}
+        sel = as_allele_idx
+        for key in asmod.RAW_RANKSUM_KEYS:
+            if key in combined:
+                h = asmod.parse_histogram_sections(combined[key], n_full)
+                sub[key] = asmod.format_histogram_sections([h[i] for i in sel])
+        if "AS_RAW_MQ" in combined:
+            vals = asmod.parse_raw_mq(combined["AS_RAW_MQ"], n_full)
+            sub["AS_RAW_MQ"] = asmod.format_raw_mq([vals[i] for i in sel])
+        if "AS_SB_TABLE" in combined:
+            rows = asmod.parse_sb_table(combined["AS_SB_TABLE"], n_full)
+            sub["AS_SB_TABLE"] = asmod.format_sb_table([rows[i] for i in sel])
+        # per-final-allele AD sums (AS_MQ denominator: the allele's own depth)
+        n_final = len(alleles)
+        ad_sums = [0] * n_final
+        # AS_QD denominator: per AS_QualByDepth.java:201,240-250 — qualifying
+        # samples (variant AD depth > 1) contribute AD[i] + AD[0]
+        qd_depth = [0] * n_final
+        for s_out in out_samples:
+            if s_out.get("AD", ".") in (".", None):
+                continue
+            advals = [int(x) for x in s_out["AD"].split(",")]
+            advals = advals[:n_final] + [0] * max(0, n_final - len(advals))
+            for i in range(n_final):
+                ad_sums[i] += advals[i]
+            if sum(advals) - advals[0] > 1:
+                for i in range(n_final):
+                    qd_depth[i] += advals[i] + (advals[0] if i > 0 else 0)
+        per_allele_qual = None
+        if getattr(af, "log10_p_ref_by_allele", None) is not None:
+            per_allele_qual = [int(round(max(0.0, -10.0 * q)))
+                               for q in af.log10_p_ref_by_allele]
+        fin = asmod.finalize_all(sub, alleles, ad_sums, per_allele_qual=None)
+        if per_allele_qual is not None:
+            qdv = []
+            for ai in range(1, n_final):
+                d = qd_depth[ai]
+                if d > 0:
+                    as_qd = per_allele_qual[ai - 1] / d
+                    if as_qd >= 35.0:
+                        from ..utils.javarandom import get_random_generator
+
+                        as_qd = 30.0 + get_random_generator().next_gaussian() * 3.0
+                    qdv.append(f"{as_qd:.2f}")
+                else:
+                    qdv.append(".")
+            if any(x != "." for x in qdv):
+                fin["AS_QD"] = ",".join(qdv)
+        info.update(fin)
+
     if depth_for_qd > 0:
         qd = phred_no_variant / depth_for_qd
         if qd >= 35.0:

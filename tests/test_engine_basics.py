@@ -173,10 +173,16 @@ def test_as_annotations_emitted():
         "chr1", "S", as_annotations=True)
     assert variants
     info = variants[0].info
-    for key in ("AS_SB_TABLE", "AS_FS", "AS_SOR", "AS_MQ",
-                "AS_BaseQRankSum", "AS_ReadPosRankSum", "AS_QD"):
+    # VCF mode emits the RAW reducible forms, like the reference
+    # (expected.testVCFMode.gatk4.alleleSpecific.vcf); finalized AS_ values
+    # come from GenotypeGVCFs / VariantAnnotator
+    for key in ("AS_SB_TABLE", "AS_RAW_MQ", "AS_RAW_BaseQRankSum",
+                "AS_RAW_MQRankSum", "AS_RAW_ReadPosRankSum"):
         assert key in info, key
     assert "|" in info["AS_SB_TABLE"]
+    # integer value,count list sections (CompressedDataList form)
+    ref_sec = info["AS_RAW_MQRankSum"].split("|")[0]
+    assert ref_sec == "60,10", ref_sec
 
 
 def _mini_region(alt_reads=10, ref_reads=10, lik_sep=-8.0):
