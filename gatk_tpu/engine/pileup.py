@@ -97,11 +97,75 @@ def count_high_quality_soft_clips(read: Read, qual_threshold: int = 28) -> int:
     return n
 
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """ctypes binding to native/readprep pileup_expand (the C++ port of
+    expand_read/build_pileup_elements; activity profiling's hot host loop)."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+
+    so = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..",
+                      "native", "readprep", "libreadprep_native.so")
+    if not os.path.exists(so) or os.environ.get("GATK_TPU_NO_NATIVE"):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        u8 = np.ctypeslib.ndpointer(np.uint8)
+        i32 = np.ctypeslib.ndpointer(np.int32)
+        i64 = np.ctypeslib.ndpointer(np.int64)
+        c = ctypes
+        lib.pileup_expand.restype = c.c_int64
+        lib.pileup_expand.argtypes = [u8, u8, i64, u8, i32, i64, i64,
+                                      c.c_int64, c.c_int64, c.c_int64,
+                                      c.c_int64, i64, u8, u8, u8, i32]
+    except (OSError, AttributeError):
+        return None
+    _NATIVE = lib
+    return lib
+
+
 def build_pileup_elements(reads, span_start: int, span_end: int):
     """Concatenate expanded elements of many reads, restricted to [span_start, span_end).
 
     Returns dict of arrays: pos (span-relative), base, qual, flags, read_idx.
     """
+    lib = _load_native()
+    if lib is not None and reads:
+        n = len(reads)
+        lens = np.fromiter((len(r.bases) for r in reads), np.int64, n)
+        read_off = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=read_off[1:])
+        clens = np.fromiter((len(r.cigar_ops) for r in reads), np.int64, n)
+        cig_off = np.zeros(n + 1, np.int64)
+        np.cumsum(clens, out=cig_off[1:])
+        cat_b = np.concatenate([r.bases for r in reads])
+        cat_q = np.concatenate([r.quals for r in reads])
+        cat_ops = np.concatenate([r.cigar_ops for r in reads]).astype(np.uint8)
+        cat_lens = np.concatenate([r.cigar_lens for r in reads]).astype(np.int32)
+        pos_arr = np.fromiter((r.pos for r in reads), np.int64, n)
+        # capacity: every read base + every deletion base
+        cap = int(read_off[-1]) + int(cat_lens[cat_ops == 2].sum())
+        out_pos = np.empty(cap, np.int64)
+        out_base = np.empty(cap, np.uint8)
+        out_qual = np.empty(cap, np.uint8)
+        out_flags = np.empty(cap, np.uint8)
+        out_rid = np.empty(cap, np.int32)
+        m = lib.pileup_expand(
+            np.ascontiguousarray(cat_b), np.ascontiguousarray(cat_q), read_off,
+            np.ascontiguousarray(cat_ops), np.ascontiguousarray(cat_lens),
+            cig_off, pos_arr, np.int64(n), np.int64(span_start),
+            np.int64(span_end), np.int64(cap),
+            out_pos, out_base, out_qual, out_flags, out_rid)
+        if m >= 0:
+            return dict(pos=out_pos[:m], base=out_base[:m], qual=out_qual[:m],
+                        flags=out_flags[:m], read_idx=out_rid[:m])
     all_pos, all_base, all_qual, all_flags, all_rid = [], [], [], [], []
     for k, r in enumerate(reads):
         p, b, q, f = expand_read(r)

@@ -107,3 +107,96 @@ void tandem_repeat_lengths_batch(const uint8_t* B, int64_t n_reads, int64_t stri
 }
 
 }  // extern "C"
+
+
+extern "C" {
+
+// Pileup element expansion (gatk_tpu/engine/pileup.py expand_read +
+// build_pileup_elements, exact port): expands every read's alignment into
+// per-reference-position elements (M/=/X bases and D positions) restricted to
+// [span_start, span_end), with the PileupElement adjacency flags
+// (utils/pileup/PileupElement.java). Inputs are concatenated per-read arrays;
+// outputs are caller-allocated with capacity >= total aligned length.
+// Returns the number of elements written, or -1 if capacity was exceeded.
+int64_t pileup_expand(const uint8_t* cat_bases, const uint8_t* cat_quals,
+                      const int64_t* read_off, const uint8_t* cat_cig_ops,
+                      const int32_t* cat_cig_lens, const int64_t* cig_off,
+                      const int64_t* read_pos, int64_t n_reads,
+                      int64_t span_start, int64_t span_end, int64_t cap,
+                      int64_t* out_pos, uint8_t* out_base, uint8_t* out_qual,
+                      uint8_t* out_flags, int32_t* out_read_idx) {
+  // flag bits (engine/pileup.py)
+  constexpr uint8_t F_DELETION = 1, F_BEFORE_DELETION = 2, F_AFTER_DELETION = 4,
+                    F_BEFORE_INSERTION = 8, F_AFTER_INSERTION = 16,
+                    F_NEXT_TO_SOFTCLIP = 32;
+  constexpr uint8_t DELETION_BASE = '-';
+  // cigar ops: M=0 I=1 D=2 N=3 S=4 H=5 P=6 ==7 X=8
+  int64_t out = 0;
+  for (int64_t ri = 0; ri < n_reads; ri++) {
+    const uint8_t* bases = cat_bases + read_off[ri];
+    const uint8_t* quals = cat_quals + read_off[ri];
+    const uint8_t* ops = cat_cig_ops + cig_off[ri];
+    const int32_t* lens = cat_cig_lens + cig_off[ri];
+    const int64_t ncig = cig_off[ri + 1] - cig_off[ri];
+    int64_t read_i = 0;
+    int64_t ref_i = read_pos[ri];
+    for (int64_t k = 0; k < ncig; k++) {
+      const int op = ops[k];
+      const int64_t ln = lens[k];
+      if (op == 0 || op == 7 || op == 8) {  // M/=/X
+        const int prev_op = k > 0 ? ops[k - 1] : -1;
+        const int next_op = k < ncig - 1 ? ops[k + 1] : -1;
+        uint8_t first_fl = 0, last_fl = 0;
+        if (prev_op == 2) first_fl |= F_AFTER_DELETION;
+        if (prev_op == 1) first_fl |= F_AFTER_INSERTION;
+        if (prev_op == 4) first_fl |= F_NEXT_TO_SOFTCLIP;
+        if (next_op == 2) last_fl |= F_BEFORE_DELETION;
+        if (next_op == 1) last_fl |= F_BEFORE_INSERTION;
+        if (next_op == 4) last_fl |= F_NEXT_TO_SOFTCLIP;
+        // clip the block to the span
+        int64_t j0 = 0, j1 = ln;
+        if (ref_i < span_start) j0 = span_start - ref_i;
+        if (ref_i + ln > span_end) j1 = span_end - ref_i;
+        if (j0 < j1) {
+          if (out + (j1 - j0) > cap) return -1;
+          for (int64_t j = j0; j < j1; j++) {
+            out_pos[out] = ref_i + j - span_start;
+            out_base[out] = bases[read_i + j];
+            out_qual[out] = quals[read_i + j];
+            uint8_t fl = 0;
+            if (j == 0) fl |= first_fl;
+            if (j == ln - 1) fl |= last_fl;
+            out_flags[out] = fl;
+            out_read_idx[out] = (int32_t)ri;
+            out++;
+          }
+        }
+        read_i += ln;
+        ref_i += ln;
+      } else if (op == 2 || op == 3) {  // D/N
+        if (op == 2) {
+          int64_t j0 = 0, j1 = ln;
+          if (ref_i < span_start) j0 = span_start - ref_i;
+          if (ref_i + ln > span_end) j1 = span_end - ref_i;
+          if (j0 < j1) {
+            if (out + (j1 - j0) > cap) return -1;
+            for (int64_t j = j0; j < j1; j++) {
+              out_pos[out] = ref_i + j - span_start;
+              out_base[out] = DELETION_BASE;
+              out_qual[out] = 0;
+              out_flags[out] = F_DELETION;
+              out_read_idx[out] = (int32_t)ri;
+              out++;
+            }
+          }
+        }
+        ref_i += ln;
+      } else if (op == 1 || op == 4) {  // I/S consume read only
+        read_i += ln;
+      }  // H/P consume nothing
+    }
+  }
+  return out;
+}
+
+}  // extern "C"
