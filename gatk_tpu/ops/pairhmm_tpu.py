@@ -821,24 +821,30 @@ def _pairhmm_kernel_v6(
             (j_here >= 1) & (j_here <= hlen_row), c, zero)
         return m_new, x_new, y_new
 
+    # 8-deep unrolled wavefront body: intermediate diagonals flow value-to-
+    # value (only the oldest two states round-trip through VMEM per iteration),
+    # and the loop-control overhead amortizes over 8 diagonals — measured
+    # 103.4 -> 115.1 GCUPS on the kernel bench workload, bit-identical outputs
+    # (see ops/ROOFLINE.md).
+    UNROLL = 8
+
     def body(t, _):
-        d = 2 * t + 1
-        m_a, x_a, y_a = one_diag(d, m1_ref[:], x1_ref[:], y1s_ref[:],
-                                 m0_ref[:], x0_ref[:], y0s_ref[:])
-        m1_ref[:] = m_a
-        x1_ref[:] = x_a
-        y1s_ref[:] = y_a
-        m_b, x_b, y_b = one_diag(d + 1, m0_ref[:], x0_ref[:], y0s_ref[:],
-                                 m_a, x_a, y_a)
-        m0_ref[:] = m_b
-        x0_ref[:] = x_b
-        y0s_ref[:] = y_b
+        d = UNROLL * t + 1
+        s2 = (m1_ref[:], x1_ref[:], y1s_ref[:])
+        s1 = (m0_ref[:], x0_ref[:], y0s_ref[:])
+        for j in range(UNROLL):
+            nxt = one_diag(d + j, *s2, *s1)
+            s2 = s1
+            s1 = nxt
+        m1_ref[:], x1_ref[:], y1s_ref[:] = s2
+        m0_ref[:], x0_ref[:], y0s_ref[:] = s1
         return 0
 
     # diagonals beyond rp-1+max(hlen) cannot contribute: stop there (dynamic
-    # bound; +1 step of overshoot is masked by the accumulator window)
+    # bound; up to UNROLL-1 diagonals of overshoot are masked by the
+    # accumulator window)
     max_hlen = jnp.max(hlen_ref[0, :])
-    total_steps = (rp + max_hlen + 1) // 2
+    total_steps = (rp + max_hlen + UNROLL - 1) // UNROLL
     jax.lax.fori_loop(0, total_steps, body, 0)
     acc = acc_ref[:]
     out_ref[:] = jnp.where(
@@ -846,6 +852,117 @@ def _pairhmm_kernel_v6(
         (jnp.log(acc) - jnp.float32(INIT_LOG2 * LN2)) * jnp.float32(1.0 / LN10),
         jnp.float32(NEG_INF),
     )
+
+
+def _pairhmm_kernel_v7(
+    rbase_ref, rq_ref, iq_ref, dq_ref, gcp_ref, e_ref, rlen_ref, hlen_ref,
+    out_ref,
+    tmmd_ref, timd_ref, tmid_ref, tiid_ref, tmd_ref, tdd_ref, peq_ref, pne_ref,
+    *, rp: int, hmax: int,
+):
+    """v6 with the six wavefront state planes carried as fori_loop VALUES
+    instead of VMEM scratch refs: Mosaic keeps the loop-carried vregs live
+    across iterations, removing 6 (rp,B) load/stores per diagonal (the state
+    traffic was ~half the per-diagonal instruction budget; see ops/ROOFLINE.md).
+    Math identical to _pairhmm_kernel_v6."""
+    B = out_ref.shape[1]
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (rp, B), 0)
+
+    neg_ln10_over_10 = jnp.float32(-LN10 / 10.0)
+    e_ins = jnp.exp(iq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_del = jnp.exp(dq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_gcp = jnp.exp(gcp_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+    e_base = jnp.exp(rq_ref[:].astype(jnp.float32) * neg_ln10_over_10)
+
+    rlen = rlen_ref[0, :][None, :]
+    pad = iota_i > rlen
+    row0 = iota_i == 0
+    zero = jnp.float32(0.0)
+    one = jnp.float32(1.0)
+
+    def down(t):
+        return pltpu.roll(t, shift=rp - 1, axis=0)
+
+    tmmd_ref[:] = down(jnp.where(pad, zero, one - jnp.minimum(one, e_ins + e_del)))
+    timd_ref[:] = down(jnp.where(pad, zero, one - e_gcp))
+    tmid_ref[:] = down(jnp.where(pad | row0, jnp.where(row0, zero, one), e_ins))
+    tiid_ref[:] = down(jnp.where(pad | row0, jnp.where(row0, zero, one), e_gcp))
+    tmd_ref[:] = jnp.where(pad | row0, zero, e_del)
+    tdd_ref[:] = jnp.where(row0, one, jnp.where(pad, zero, e_gcp))
+    rbase = rbase_ref[:]
+    peq = jnp.where(pad | row0, zero, one - e_base)
+    peq_ref[:] = peq
+    pne_ref[:] = jnp.where(
+        rbase == N_BASE, peq,
+        jnp.where(pad | row0, zero, e_base * jnp.float32(1.0 / TRISTATE_CORRECTION)),
+    )
+
+    hlen_f = hlen_ref[0, :].astype(jnp.float32)[None, :]
+    y0 = jnp.float32(2.0**INIT_LOG2) / hlen_f
+    y0_full = jnp.where(row0, jnp.broadcast_to(y0, (rp, B)), zero)
+    zeros = jnp.zeros((rp, B), jnp.float32)
+
+    hlen_row = hlen_ref[0, :][None, :]
+    last = rp - 1
+
+    def one_diag(d, acc, md2, xd2, yd2, md1, xd1, yd1):
+        start = E_OFF + hmax + rp - 1 - d
+        w = e_ref[pl.ds(start, rp), :]
+        prior = jnp.where(rbase == w, peq_ref[:], pne_ref[:])
+        m_new = prior * _roll1(tmmd_ref[:] * md2 + timd_ref[:] * (xd2 + yd2))
+        x_new = _roll1(tmid_ref[:] * md1 + tiid_ref[:] * xd1)
+        y_new = tmd_ref[:] * md1 + tdd_ref[:] * yd1
+        j_here = d - last
+        c = m_new[last, :][None, :] + x_new[last, :][None, :]
+        acc = acc + jnp.where((j_here >= 1) & (j_here <= hlen_row), c, zero)
+        return acc, m_new, x_new, y_new
+
+    def body(t, carry):
+        acc, m0, x0, y0s, m1, x1, y1s = carry
+        d = 2 * t + 1
+        acc, m_a, x_a, y_a = one_diag(d, acc, m1, x1, y1s, m0, x0, y0s)
+        acc, m_b, x_b, y_b = one_diag(d + 1, acc, m0, x0, y0s, m_a, x_a, y_a)
+        return acc, m_b, x_b, y_b, m_a, x_a, y_a
+
+    max_hlen = jnp.max(hlen_ref[0, :])
+    total_steps = (rp + max_hlen + 1) // 2
+    init = (jnp.zeros((1, B), jnp.float32),
+            zeros, zeros, y0_full, zeros, zeros, zeros)
+    acc = jax.lax.fori_loop(0, total_steps, body, init)[0]
+    out_ref[:] = jnp.where(
+        acc > 0,
+        (jnp.log(acc) - jnp.float32(INIT_LOG2 * LN2)) * jnp.float32(1.0 / LN10),
+        jnp.float32(NEG_INF),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rp", "hmax", "lanes", "interpret"))
+def _pairhmm_call_v7(rbase, rq, iq, dq, gcp, e, rlen, hlen, *, rp, hmax,
+                     lanes=128, interpret=False):
+    """Loop-carried-state variant of the production kernel (experimental;
+    see _pairhmm_kernel_v7 / ops/ROOFLINE.md)."""
+    n = rbase.shape[1]
+    lanes = min(lanes, n)
+    grid = n // lanes
+    he = e.shape[0]
+    row_spec = pl.BlockSpec((rp, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((he, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((1, lanes), lambda g: (0, g), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_pairhmm_kernel_v7, rp=rp, hmax=hmax)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[row_spec] * 5 + [e_spec, len_spec, len_spec],
+        out_specs=pl.BlockSpec((1, lanes), lambda g: (0, g), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rp, lanes), jnp.float32)] * 8,
+        cost_estimate=pl.CostEstimate(
+            flops=grid * (rp - 1 + hmax) * rp * lanes * 14,
+            bytes_accessed=(5 * rp + he + 3) * n * 4,
+            transcendentals=grid * rp * lanes * 4,
+        ),
+        interpret=interpret,
+    )(rbase, rq, iq, dq, gcp, e, rlen, hlen)
 
 
 @functools.partial(jax.jit, static_argnames=("rp", "hmax", "lanes", "interpret"))
