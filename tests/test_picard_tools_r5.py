@@ -1,0 +1,346 @@
+"""Round-5 Picard tranche: per-tool functional tests on real mito data and
+synthetic fixtures (picard_tools.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from gatk_tpu.cli import TOOL_REGISTRY
+from gatk_tpu.io import bam, sam, vcf
+
+MITO = ("/root/reference/src/test/resources/org/broadinstitute/hellbender/"
+        "tools/mutect/mito")
+BAM = f"{MITO}/NA12878.bam"
+VCF_IN = f"{MITO}/unfiltered.vcf"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(BAM),
+                                reason="mito resources unavailable")
+
+
+def run(tool, argv):
+    rc = TOOL_REGISTRY[tool](argv)
+    assert not rc
+
+
+def test_make_sites_only_vcf(tmp_path):
+    out = tmp_path / "sites.vcf"
+    run("MakeSitesOnlyVcf", ["-I", VCF_IN, "-O", str(out)])
+    recs = list(vcf.VcfReader(str(out)))
+    assert recs and all(not v.samples for v in recs)
+    assert len(recs) == len(list(vcf.VcfReader(VCF_IN)))
+
+
+def test_vcf_to_interval_list_and_to_bed(tmp_path):
+    il = tmp_path / "x.interval_list"
+    run("VcfToIntervalList", ["-I", VCF_IN, "-O", str(il)])
+    body = [l for l in open(il) if not l.startswith("@")]
+    recs = list(vcf.VcfReader(VCF_IN))
+    assert len(body) == len(recs)
+    f = body[0].split("\t")
+    assert f[0] == recs[0].contig and int(f[1]) == recs[0].pos + 1
+    bed = tmp_path / "x.bed"
+    run("IntervalListToBed", ["-I", str(il), "-O", str(bed)])
+    bf = open(bed).readline().split("\t")
+    assert int(bf[1]) == recs[0].pos and bf[0] == recs[0].contig
+
+
+def test_update_vcf_sequence_dictionary(tmp_path):
+    out = tmp_path / "u.vcf"
+    run("UpdateVcfSequenceDictionary",
+        ["-I", VCF_IN, "-O", str(out), "-SD", BAM])
+    hdr = [l for l in open(out) if l.startswith("##contig")]
+    assert any("chrM" in h for h in hdr)
+
+
+def test_vcf_format_converter_roundtrip(tmp_path):
+    out = tmp_path / "c.vcf.gz"
+    run("VcfFormatConverter", ["-I", VCF_IN, "-O", str(out)])
+    assert len(list(vcf.VcfReader(str(out)))) == len(list(vcf.VcfReader(VCF_IN)))
+
+
+def test_filter_vcf(tmp_path):
+    src = tmp_path / "in.vcf"
+    w = vcf.VcfWriter(str(src), ["S"])
+    for pos, dp in ((10, 5), (20, 50)):
+        w.write(vcf.Variant(contig="chrM", pos=pos, ref="A", alts=("G",),
+                            qual=50.0, filters=(), info={},
+                            fmt_keys=("GT", "DP"),
+                            samples=[{"GT": "0/1", "DP": str(dp)}]))
+    w.close()
+    out = tmp_path / "f.vcf"
+    run("FilterVcf", ["-I", str(src), "-O", str(out), "--MIN_DP", "10"])
+    recs = {v.pos: v for v in vcf.VcfReader(str(out))}
+    assert "AllGtsFiltered" in recs[10].filters
+    assert recs[20].filters == ("PASS",)
+
+
+def test_rename_sample_in_vcf(tmp_path):
+    out = tmp_path / "r.vcf"
+    run("RenameSampleInVcf",
+        ["-I", VCF_IN, "-O", str(out), "--NEW_SAMPLE_NAME", "XX"])
+    assert vcf.VcfReader(str(out)).samples == ["XX"]
+
+
+def test_liftover_interval_list(tmp_path):
+    il = tmp_path / "in.interval_list"
+    il.write_text("@SQ\tSN:chrM\tLN:16569\nchrM\t101\t200\t+\tx\n")
+    chain = tmp_path / "c.chain"
+    # shift chrM by +1000 into chrM2
+    chain.write_text("chain 1 chrM 16569 + 0 16569 chrM2 20000 + 1000 17569 1\n16569\n\n")
+    out = tmp_path / "out.interval_list"
+    run("LiftOverIntervalList",
+        ["-I", str(il), "-O", str(out), "--CHAIN", str(chain)])
+    body = [l for l in open(out) if not l.startswith("@")]
+    f = body[0].split("\t")
+    assert f[0] == "chrM2" and int(f[1]) == 1101 and int(f[2]) == 1200
+
+
+def _mini_bam(tmp_path, reads, name="mini.bam", lengths=(16569,)):
+    header = sam.SamHeader.parse(
+        "".join(f"@SQ\tSN:c{i}\tLN:{l}\n" for i, l in enumerate(lengths))
+        + "@RG\tID:rg1\tSM:s1\tLB:libA\n@RG\tID:rg2\tSM:s1\tLB:libB\n")
+    path = tmp_path / name
+    w = bam.BamWriter(str(path), header)
+    for rd in reads:
+        w.write(rd)
+    w.close()
+    return str(path)
+
+
+def _read(name, pos, flag=0, ref_id=0, n=20, rg="rg1", mapq=60):
+    from gatk_tpu.io.reads import Read
+
+    return Read(name, flag, ref_id, pos, mapq, np.zeros(1, np.uint8),
+                np.array([n], np.int32), np.full(n, ord("A"), np.uint8),
+                np.full(n, 30, np.uint8), tags={"RG": rg})
+
+
+def test_clean_sam(tmp_path):
+    r1 = _read("a", 16560, n=20)  # hangs 11bp off the 16569 end
+    r2 = _read("b", 5, flag=sam.UNMAPPED, mapq=37)
+    p = _mini_bam(tmp_path, [r2, r1])
+    out = tmp_path / "clean.bam"
+    run("CleanSam", ["-I", p, "-O", str(out)])
+    got = {rd.name: rd for rd in bam.BamReader(str(out))}
+    assert got["b"].mapq == 0
+    a = got["a"]
+    assert a.end <= 16569
+    assert a.cigar_ops[-1] == sam.OP_S and a.cigar_lens[-1] == 11
+
+
+def test_reorder_sam(tmp_path):
+    p = _mini_bam(tmp_path, [_read("a", 10, ref_id=0), _read("b", 5, ref_id=1)],
+                  lengths=(1000, 2000))
+    d = tmp_path / "new.dict"
+    d.write_text("@SQ\tSN:c1\tLN:2000\n@SQ\tSN:c0\tLN:1000\n")
+    out = tmp_path / "re.bam"
+    run("ReorderSam", ["-I", p, "-O", str(out), "-SD", str(d)])
+    got = list(bam.BamReader(str(out)))
+    assert [r.name for r in got] == ["b", "a"]  # c1 now first
+
+
+def test_filter_sam_reads(tmp_path):
+    p = _mini_bam(tmp_path, [_read("a", 10), _read("b", 50)])
+    lst = tmp_path / "names.txt"
+    lst.write_text("a\n")
+    out = tmp_path / "f.bam"
+    run("FilterSamReads", ["-I", p, "-O", str(out), "--FILTER",
+                           "includeReadList", "--READ_LIST_FILE", str(lst)])
+    assert [r.name for r in bam.BamReader(str(out))] == ["a"]
+
+
+def test_sam_format_converter(tmp_path):
+    p = _mini_bam(tmp_path, [_read("a", 10)])
+    out = tmp_path / "o.sam"
+    run("SamFormatConverter", ["-I", p, "-O", str(out)])
+    lines = open(out).read().splitlines()
+    body = [l for l in lines if not l.startswith("@")]
+    assert body[0].startswith("a\t0\tc0\t11\t60\t20M")
+
+
+def test_split_sam_by_library(tmp_path):
+    p = _mini_bam(tmp_path, [_read("a", 10, rg="rg1"), _read("b", 20, rg="rg2")])
+    d = tmp_path / "split"
+    run("SplitSamByLibrary", ["-I", p, "-O", str(d)])
+    assert sorted(os.listdir(d)) == ["libA.bam", "libB.bam"]
+    assert [r.name for r in bam.BamReader(str(d / "libA.bam"))] == ["a"]
+
+
+def test_position_based_downsample(tmp_path):
+    reads = [_read(f"M:1:1101:{i}:7", 10 + i + 20 * j) for i in range(20)
+             for j in (0, 1)]  # mate pairs share the read name
+    p = _mini_bam(tmp_path, reads)
+    out = tmp_path / "d.bam"
+    run("PositionBasedDownsampleSam", ["-I", p, "-O", str(out), "-F", "0.5"])
+    got = [r.name for r in bam.BamReader(str(out))]
+    assert 0 < len(got) < len(reads)
+    # mates (same position key) stay together
+    for name in got:
+        assert got.count(name) == 2
+
+
+def test_calculate_read_group_checksum(tmp_path, capsys):
+    p = _mini_bam(tmp_path, [_read("a", 10)])
+    out = tmp_path / "md5.txt"
+    run("CalculateReadGroupChecksum", ["-I", p, "-O", str(out)])
+    assert len(open(out).read().strip()) == 32
+
+
+def test_collect_duplicate_metrics(tmp_path):
+    r1 = _read("a", 10)
+    r2 = _read("b", 10, flag=sam.DUPLICATE)
+    p = _mini_bam(tmp_path, [r1, r2])
+    out = tmp_path / "dup.txt"
+    run("CollectDuplicateMetrics", ["-I", p, "-M", str(out)])
+    body = open(out).read()
+    assert "DuplicationMetrics" in body and "libA" in body
+
+
+def test_accumulate_quality_yield(tmp_path):
+    from gatk_tpu.tools.metrics_tools import write_metrics_file
+
+    cols = ["TOTAL_READS", "PF_READS", "TOTAL_BASES"]
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    write_metrics_file(str(a), "x", "picard.analysis.QualityYieldMetrics", cols,
+                       [[10, 9, 1000]])
+    write_metrics_file(str(b), "x", "picard.analysis.QualityYieldMetrics", cols,
+                       [[5, 5, 500]])
+    out = tmp_path / "sum.txt"
+    run("AccumulateQualityYieldMetrics",
+        ["-I", str(a), "-I", str(b), "-O", str(out)])
+    rows = [l for l in open(out).read().splitlines() if l and l[0].isdigit()]
+    assert rows[0].split("\t") == ["15", "14", "1500"]
+
+
+def test_mark_illumina_adapters(tmp_path):
+    from gatk_tpu.io.reads import Read
+
+    adapter = b"AGATCGGAAGAGC"
+    bases = b"ACGTACGTACGTACGTACGT" + adapter
+    rd = Read("a", sam.UNMAPPED, -1, -1, 0, np.zeros(0, np.uint8),
+              np.zeros(0, np.int32), np.frombuffer(bases, np.uint8).copy(),
+              np.full(len(bases), 30, np.uint8), tags={"RG": "rg1"})
+    clean = _read("b", 10, n=30)
+    p = _mini_bam(tmp_path, [rd, clean])
+    out = tmp_path / "adapters.bam"
+    m = tmp_path / "adapters.txt"
+    run("MarkIlluminaAdapters", ["-I", p, "-O", str(out), "-M", str(m)])
+    got = {r.name: r for r in bam.BamReader(str(out))}
+    assert got["a"].tags.get("XT") == 21  # 1-based clip point
+    assert "XT" not in got["b"].tags
+
+
+def test_merge_bam_alignment(tmp_path):
+    from gatk_tpu.io.reads import Read
+
+    un = Read("a", sam.UNMAPPED, -1, -1, 0, np.zeros(0, np.uint8),
+              np.zeros(0, np.int32), np.full(20, ord("A"), np.uint8),
+              np.full(20, 30, np.uint8), tags={"RG": "rg1", "RX": "ACGT"})
+    un_only = Read("c", sam.UNMAPPED, -1, -1, 0, np.zeros(0, np.uint8),
+                   np.zeros(0, np.int32), np.full(20, ord("C"), np.uint8),
+                   np.full(20, 30, np.uint8), tags={"RG": "rg1"})
+    up = _mini_bam(tmp_path, [un, un_only], name="u.bam")
+    aligned = _read("a", 100)
+    aligned.tags.pop("RG", None)
+    ap = _mini_bam(tmp_path, [aligned], name="al.bam")
+    out = tmp_path / "m.bam"
+    run("MergeBamAlignment",
+        ["--ALIGNED_BAM", ap, "--UNMAPPED_BAM", up, "-O", str(out)])
+    got = {r.name: r for r in bam.BamReader(str(out))}
+    assert got["a"].tags.get("RX") == "ACGT" and got["a"].pos == 100
+    assert got["c"].is_unmapped
+
+
+def test_collect_rnaseq_metrics(tmp_path):
+    flat = tmp_path / "refFlat.txt"
+    # gene on c0: tx 0-1000, cds 100-900, exons 0-500 and 600-1000
+    flat.write_text("G1\tNM_1\tc0\t+\t0\t1000\t100\t900\t2\t0,600,\t500,1000,\n")
+    reads = [_read("a", 150, n=50), _read("b", 520, n=50), _read("c", 5000, n=50)]
+    p = _mini_bam(tmp_path, reads, lengths=(16569,))
+    out = tmp_path / "rna.txt"
+    run("CollectRnaSeqMetrics", ["-I", p, "-O", str(out), "--REF_FLAT", str(flat)])
+    lines = open(out).read().splitlines()
+    hdr = [l for l in lines if l.startswith("PF_BASES")]
+    i = lines.index(hdr[0])
+    vals = dict(zip(hdr[0].split("\t"), lines[i + 1].split("\t")))
+    assert int(vals["CODING_BASES"]) == 50       # read a fully in cds/exon
+    assert int(vals["INTRONIC_BASES"]) == 50     # read b in the 500-600 intron
+    assert int(vals["INTERGENIC_BASES"]) == 50   # read c outside the gene
+
+
+def test_genotype_concordance(tmp_path):
+    def write_vcf(path, rows):
+        w = vcf.VcfWriter(str(path), ["S"])
+        for contig, pos, ref, alt, gt in rows:
+            w.write(vcf.Variant(contig=contig, pos=pos, ref=ref, alts=(alt,),
+                                qual=50.0, filters=(), info={},
+                                fmt_keys=("GT",), samples=[{"GT": gt}]))
+        w.close()
+
+    t = tmp_path / "t.vcf"
+    c = tmp_path / "c.vcf"
+    write_vcf(t, [("chrM", 10, "A", "G", "0/1"), ("chrM", 20, "A", "G", "1/1"),
+                  ("chrM", 30, "A", "AT", "0/1")])
+    write_vcf(c, [("chrM", 10, "A", "G", "0/1"), ("chrM", 20, "A", "G", "0/1"),
+                  ("chrM", 40, "A", "G", "0/1")])
+    out = tmp_path / "gc"
+    run("GenotypeConcordance",
+        ["--CALL_VCF", str(c), "--TRUTH_VCF", str(t), "-O", str(out)])
+    body = open(str(out) + ".genotype_concordance_summary_metrics").read()
+    lines = [l.split("\t") for l in body.splitlines() if l.startswith(("SNP", "INDEL"))]
+    snp = next(l for l in lines if l[0] == "SNP")
+    # TP=1 (site 10), mismatch=1 (site 20), FP=1 (site 40), FN=0
+    assert snp[3] == "1" and snp[4] == "1" and snp[6] == "1"
+    indel = next(l for l in lines if l[0] == "INDEL")
+    assert indel[5] == "1"  # FN at site 30
+
+
+def test_extract_and_check_fingerprint(tmp_path):
+    hmap = tmp_path / "hmap.txt"
+    # two canonical NA12878 mito SNPs: 263 A>G (hom), 152 T>C (hom)
+    hmap.write_text("chrM\t263\tx\tA\tG\nchrM\t152\ty\tT\tC\n")
+    fp = tmp_path / "fp.vcf"
+    run("ExtractFingerprint",
+        ["-I", BAM, "-O", str(fp), "-H", str(hmap)])
+    recs = {v.pos: v for v in vcf.VcfReader(str(fp))}
+    assert recs[262].samples[0]["GT"] == "1/1"
+    assert recs[151].samples[0]["GT"] == "1/1"
+    out = tmp_path / "chk"
+    run("CheckFingerprint",
+        ["-I", BAM, "-G", str(fp), "-H", str(hmap), "-O", str(out)])
+    body = open(str(out) + ".fingerprinting_summary_metrics").read()
+    assert "TRUE" in body  # the BAM matches its own fingerprint
+
+
+def test_mark_duplicates_with_mate_cigar_routes(tmp_path):
+    # same duplicates as MarkDuplicates on coordinate-sorted input
+    r1 = _read("a", 10)
+    r2 = _read("b", 10)
+    p = _mini_bam(tmp_path, [r1, r2])
+    out = tmp_path / "md.bam"
+    m = tmp_path / "md.txt"
+    run("MarkDuplicatesWithMateCigar", ["-I", p, "-O", str(out), "-M", str(m)])
+    got = list(bam.BamReader(str(out)))
+    assert sum(1 for r in got if r.is_duplicate) == 1
+
+
+def test_umi_aware_mark_duplicates(tmp_path):
+    from gatk_tpu.io.reads import Read
+
+    def umi_read(name, umi):
+        r = _read(name, 10)
+        r.tags["RX"] = umi
+        return r
+
+    # same position, different UMIs -> NOT duplicates of each other
+    p = _mini_bam(tmp_path, [umi_read("a", "AAAA"), umi_read("b", "TTTT"),
+                             umi_read("c", "AAAT")])  # c within edit distance of a
+    out = tmp_path / "umi.bam"
+    m = tmp_path / "umi.txt"
+    run("UmiAwareMarkDuplicatesWithMateCigar",
+        ["-I", p, "-O", str(out), "-M", str(m)])
+    got = {r.name: r for r in bam.BamReader(str(out))}
+    assert not got["b"].is_duplicate  # distinct UMI cluster
+    dups = sum(1 for r in got.values() if r.is_duplicate)
+    assert dups == 1  # one of a/c marked within the merged cluster
