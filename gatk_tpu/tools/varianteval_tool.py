@@ -8,6 +8,7 @@ one table per evaluation module (VariantEvalReportWriter.java).
 from __future__ import annotations
 
 import argparse
+import os
 
 from ..cli import UserError, register_tool
 from ..vareval import evaluators as ev_mod
@@ -16,14 +17,34 @@ from ..vareval.framework import EvalContext, StratificationManager, classify, sa
 
 
 def _load_track(paths):
-    """(contig, pos) -> list of Variants for comp/dbsnp resources."""
+    """(contig, pos) -> list of Variants for comp/dbsnp resources. Each
+    variant gets its source VCF's sample names attached (the comp-genotype
+    subsetting in ValidationReport.update2 needs them)."""
     from ..io import vcf as vcfio
 
     track: dict = {}
     for path in paths:
+        names = vcfio.VcfReader(path).samples if path.endswith((".vcf", ".vcf.gz")) else []
         for rv in vcfio.iter_vcf_features(path):
+            rv.sample_names = names
             track.setdefault((rv.contig, rv.pos), []).append(rv)
     return track
+
+
+def _subset_comp(comp, eval_samples):
+    """ValidationReport.update2 doSubset: when the comp has genotypes for all
+    the eval samples, classify the comp over that subset only."""
+    names = getattr(comp, "sample_names", None)
+    if (comp is None or not comp.samples or not eval_samples or not names
+            or not all(s in names for s in eval_samples)):
+        return comp
+    import copy
+
+    idx = [names.index(s) for s in eval_samples]
+    sub = copy.copy(comp)
+    sub.samples = [comp.samples[i] for i in idx]
+    sub.sample_names = list(eval_samples)
+    return sub
 
 
 @register_tool("VariantEval")
@@ -46,7 +67,56 @@ def variant_eval(argv):
                    help=f"evaluators: {sorted(ev_mod.EVALUATOR_REGISTRY)}")
     p.add_argument("-no-ev", "--do-not-use-all-standard-modules",
                    dest="no_ev", action="store_true")
+    p.add_argument("-keep-ac0", "--keep-ac0", dest="keep_ac0",
+                   action="store_true",
+                   help="retain AC=0 (monomorphic-in-samples) eval sites")
+    p.add_argument("-L", "--intervals", action="append", default=None,
+                   help="traversal intervals (file or contig:start-end); sets "
+                        "nProcessedLoci like the walker engine's locus count")
     args = p.parse_args(argv)
+
+    processed_loci = None
+    if args.intervals:
+        processed_loci = 0
+        seen_spans = []
+        for spec in args.intervals:
+            if spec.endswith((".vcf", ".vcf.gz")):
+                for rec in vcfio.VcfReader(spec):
+                    seen_spans.append((rec.contig, rec.pos, rec.pos + len(rec.ref)))
+            elif not os.path.exists(spec):
+                from ..engine import intervals as iv_mod
+
+                it = iv_mod.parse_interval(spec)
+                seen_spans.append((it.contig, it.start, it.end))
+            else:
+                from ..engine import intervals as iv_mod
+
+                for it in iv_mod.load_interval_file(spec):
+                    seen_spans.append((it.contig, it.start, it.end))
+        # merge overlaps per contig (IntervalUtils union semantics)
+        by_c = {}
+        for c, s0, e0 in seen_spans:
+            by_c.setdefault(c, []).append((s0, e0))
+        for spans in by_c.values():
+            spans.sort()
+            cur_s, cur_e = spans[0]
+            for s0, e0 in spans[1:]:
+                if s0 <= cur_e:
+                    cur_e = max(cur_e, e0)
+                else:
+                    processed_loci += cur_e - cur_s
+                    cur_s, cur_e = s0, e0
+            processed_loci += cur_e - cur_s
+        merged_spans = by_c
+
+        def in_intervals(contig, pos):
+            for s0, e0 in merged_spans.get(contig, ()):
+                if s0 <= pos < e0:
+                    return True
+            return False
+    else:
+        def in_intervals(contig, pos):
+            return True
 
     st_names = list(dict.fromkeys(
         ([] if args.no_st else list(st_mod.STANDARD_STRATIFICATIONS))
@@ -86,7 +156,7 @@ def variant_eval(argv):
     for ei, path in enumerate(args.eval):
         eval_name = f"eval{ei + 1}" if len(args.eval) > 1 else "eval"
         reader = vcfio.VcfReader(path)
-        variants = list(reader)
+        variants = [v for v in reader if in_intervals(v.contig, v.pos)]
         for comp_name, track in comp_tracks.items():
             stratifiers = [make_stratifier(n, reader.samples) for n in st_names]
             manager = StratificationManager(
@@ -100,15 +170,34 @@ def variant_eval(argv):
                 key = (v.contig, v.pos)
                 comps = track.get(key, [])
                 comp = next((c for c in comps if c.ref == v.ref), comps[0] if comps else None)
+                comp = _subset_comp(comp, reader.samples)
                 comp_match = comp is not None and any(
                     a in comp.alts for a in v.alts)
                 known = key in dbsnp and any(
                     v.ref == kv.ref and a in kv.alts
                     for kv in dbsnp[key] for a in v.alts)
+                n_no_calls = sum(
+                    1 for smp in v.samples
+                    if smp.get("GT", ".").startswith(".")) if "GT" in v.fmt_keys else 0
                 ctx = EvalContext(
                     v, classify(v), known, comp, comp_match, is_filtered,
-                    sample_genotypes(v))
+                    sample_genotypes(v), n_no_calls=n_no_calls,
+                    keep_ac0=args.keep_ac0, eval_samples=reader.samples)
                 manager.update(ctx)
+            # comparison-order-2 evaluators (ValidationReport): comp-only
+            # sites inside the traversal also count (VariantEvalEngine's
+            # union-site driving for getComparisonOrder()==2 modules)
+            eval_keys = {(v.contig, v.pos) for v in variants}
+            for key in sorted(track.keys()):
+                if key in eval_keys or not in_intervals(*key):
+                    continue
+                comp = _subset_comp(track[key][0], reader.samples)
+                ctx = EvalContext(None, None, False, comp, False, False, [],
+                                  n_no_calls=0, keep_ac0=args.keep_ac0,
+                                  eval_samples=reader.samples)
+                manager.update(ctx)
+            if processed_loci is not None:
+                manager.set_processed_loci(processed_loci)
             for tname, cols, rows in manager.tables(comp_name, eval_name):
                 if tname == "IndelLengthHistogram":
                     # expanded per-length rows (the reference emits a molten table)
@@ -138,9 +227,10 @@ def variant_eval(argv):
     ordered = [tables[n] for n in sorted(tables)]
     with open(args.output, "w") as fh:
         fh.write(f"#:GATKReport.v1.1:{len(ordered)}\n")
-        for t in ordered:
+        for ti, t in enumerate(ordered):
             fh.write(t.render())
-            fh.write("\n")
+            if ti < len(ordered) - 1:  # blank line BETWEEN tables only
+                fh.write("\n")
     print(f"evaluated {len(args.eval)} callset(s) x {len(st_names)} stratifier(s) "
           f"x {len(ev_names)} module(s) -> {args.output}")
     return 0
@@ -154,4 +244,5 @@ _TABLE_DESCRIPTIONS = {
     "IndelLengthHistogram": "Indel length histogram",
     "MultiallelicSummary": "Evaluation summary for multi-allelic variants",
     "ValidationReport": "Assess site accuracy and sensitivity of callset against follow-up validation assay",
+    "VariantSummary": "1000 Genomes Phase I summary of variants table",
 }

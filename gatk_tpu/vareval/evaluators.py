@@ -73,6 +73,7 @@ class CountVariants(VariantEvaluator):
             c["nSymbolic"] += 1
         elif t == "MIXED":
             c["nMixed"] += 1
+        c["nNoCalls"] += ctx.n_no_calls
         ac_one = 0
         for _i, alleles in ctx.genotypes:
             alt = [a for a in alleles if a > 0]
@@ -86,19 +87,26 @@ class CountVariants(VariantEvaluator):
         if ac_one == 1:
             c["nSingletons"] += 1
 
+    def set_processed_loci(self, n):
+        self.c["nProcessedLoci"] = n
+
     def row(self):
         c = self.c
         het = c["nHets"]
         loci = c["nProcessedLoci"]
         indels = c["nInsertions"] + c["nDeletions"] + c["nComplex"]
+
+        def per_bp(count):  # VariantEvaluator.rate-per-bp: floor(loci/count)
+            return float(loci // count) if count else 0.0
+
         return [
             loci, c["nCalledLoci"], c["nRefLoci"], c["nVariantLoci"],
-            _ratio(c["nVariantLoci"], loci), 0.0,
+            _ratio(c["nVariantLoci"], loci), per_bp(c["nVariantLoci"]),
             c["nSNPs"], c["nMNPs"], c["nInsertions"], c["nDeletions"], c["nComplex"],
             c["nSymbolic"], c["nMixed"], c["nNoCalls"], het, c["nHomRef"],
             c["nHomVar"], c["nSingletons"], c["nHomDerived"],
-            _ratio(het, loci), 0.0, _ratio(het, c["nHomVar"]),
-            _ratio(indels, loci), 0.0, _ratio(c["nInsertions"], c["nDeletions"]),
+            _ratio(het, loci), per_bp(het), _ratio(het, c["nHomVar"]),
+            _ratio(indels, loci), per_bp(indels), _ratio(c["nInsertions"], c["nDeletions"]),
         ]
 
 
@@ -304,39 +312,76 @@ class MultiallelicSummary(VariantEvaluator):
 
 
 class ValidationReport(VariantEvaluator):
-    """evaluators/ValidationReport.java: TP/FP/FN sensitivity/PPV vs the comp
-    track treated as truth."""
+    """evaluators/ValidationReport.java: comp-driven SiteStatus confusion
+    matrix (NO_CALL/FILTERED/MONO/POLY per side; update2 semantics — only comp
+    sites count, eval may be absent)."""
 
     name = "ValidationReport"
+    comparison_order = 2  # update runs for comp-only sites too (eval=None)
     columns = (("nComp", "%d"), ("TP", "%d"), ("FP", "%d"), ("FN", "%d"),
                ("TN", "%d"), ("sensitivity", "%.2f"), ("specificity", "%.2f"),
-               ("PPV", "%.2f"), ("FDR", "%.2f"))
+               ("PPV", "%.2f"), ("FDR", "%.2f"),
+               ("CompMonoEvalNoCall", "%d"), ("CompMonoEvalFiltered", "%d"),
+               ("CompMonoEvalMono", "%d"), ("CompMonoEvalPoly", "%d"),
+               ("CompPolyEvalNoCall", "%d"), ("CompPolyEvalFiltered", "%d"),
+               ("CompPolyEvalMono", "%d"), ("CompPolyEvalPoly", "%d"),
+               ("CompFiltered", "%d"), ("nDifferentAlleleSites", "%d"))
+
+    NO_CALL, FILTERED, MONO, POLY = range(4)
 
     def __init__(self):
-        self.tp = self.fp = self.fn = self.tn = 0
+        self.counts = [[0] * 4 for _ in range(4)]
+        self.n_different = 0
+
+    @classmethod
+    def _status(cls, v, is_filtered=False):
+        """ValidationReport.calcSiteStatus."""
+        if v is None:
+            return cls.NO_CALL
+        if is_filtered or (v.filters and v.filters not in ((), ("PASS",), (".",))):
+            return cls.FILTERED
+        if v.samples and "GT" in v.fmt_keys:
+            for s in v.samples:
+                gt = s.get("GT", ".").replace("|", "/")
+                if any(a not in (".", "0") for a in gt.split("/")):
+                    return cls.POLY
+            return cls.MONO
+        if "AC" in v.info:
+            if len(v.alts) > 1:
+                return cls.POLY
+            try:
+                ac = int(str(v.info["AC"]).split(",")[0])
+            except ValueError:
+                ac = 0
+            return cls.POLY if ac > 0 else cls.MONO
+        return cls.POLY  # TREAT_ALL_SITES_IN_EVAL_VCF_AS_CALLED
 
     def update(self, ctx: EvalContext):
-        has_eval = ctx.vtype != "NO_VARIATION" and not ctx.is_filtered
-        has_comp = ctx.comp is not None
-        if has_eval and has_comp:
-            self.tp += 1
-        elif has_eval:
-            self.fp += 1
-        elif has_comp:
-            self.fn += 1
-        else:
-            self.tn += 1
-
-    def mark_missed(self, n: int):
-        self.fn += n
+        if ctx.comp is None:
+            return
+        eval_status = self._status(ctx.variant, ctx.is_filtered)
+        comp_status = self._status(ctx.comp)
+        self.counts[comp_status][eval_status] += 1
 
     def row(self):
-        ncomp = self.tp + self.fn
-        return [ncomp, self.tp, self.fp, self.fn, self.tn,
-                _ratio(self.tp, self.tp + self.fn, pct=True),
-                _ratio(self.tn, self.tn + self.fp, pct=True) if (self.tn + self.fp) else 100.0,
-                _ratio(self.tp, self.tp + self.fp, pct=True),
-                _ratio(self.fp, self.tp + self.fp, pct=True)]
+        c = self.counts
+        comp_filtered = sum(c[self.FILTERED])
+        cm_nc, cm_f = c[self.MONO][self.NO_CALL], c[self.MONO][self.FILTERED]
+        cm_m, cm_p = c[self.MONO][self.MONO], c[self.MONO][self.POLY]
+        cp_nc, cp_f = c[self.POLY][self.NO_CALL], c[self.POLY][self.FILTERED]
+        cp_m, cp_p = c[self.POLY][self.MONO], c[self.POLY][self.POLY]
+        tp = cp_p
+        fn = cp_nc + cp_f + cp_m
+        fp = cm_p
+        tn = cm_nc + cm_f + cm_m
+        ncomp = sum(sum(row) for row in c)
+        return [ncomp, tp, fp, fn, tn,
+                _ratio(tp, tp + fn, pct=True),
+                _ratio(tn, tn + fp, pct=True) if (tn + fp) else 100.0,
+                _ratio(tp, tp + fp, pct=True),
+                _ratio(fp, fp + tp, pct=True),
+                cm_nc, cm_f, cm_m, cm_p, cp_nc, cp_f, cp_m, cp_p,
+                comp_filtered, self.n_different]
 
 
 EVALUATOR_REGISTRY = {
@@ -471,46 +516,131 @@ class GenotypeFilterSummary(VariantEvaluator):
 
 
 class VariantSummary(VariantEvaluator):
-    """Callset-level 1000G-style summary (evaluators/VariantSummary.java)."""
+    """Callset-level 1000G-style summary (evaluators/VariantSummary.java:
+    per-type ALL + per-sample count/TiTv/DP tables, mean-per-sample rollups,
+    AC0 sites skipped unless --keep-ac0)."""
 
     name = "VariantSummary"
-    columns = (("nSamples", "%d"), ("nSNPs", "%d"), ("TiTvRatio", "%.2f"),
-               ("nIndels", "%d"), ("nSVs", "%d"), ("SNPNoveltyRate", "%s"),
-               ("IndelNoveltyRate", "%s"))
+    comparison_order = 2
+    columns = (("nSamples", "%d"), ("nProcessedLoci", "%d"), ("nSNPs", "%d"),
+               ("TiTvRatio", "%.2f"), ("SNPNoveltyRate", "%s"),
+               ("nSNPsPerSample", "%d"), ("TiTvRatioPerSample", "%.2f"),
+               ("SNPDPPerSample", "%.1f"), ("nIndels", "%d"),
+               ("IndelNoveltyRate", "%s"), ("nIndelsPerSample", "%d"),
+               ("IndelDPPerSample", "%.1f"), ("nSVs", "%d"),
+               ("SVNoveltyRate", "%s"), ("nSVsPerSample", "%d"))
+
+    MAX_INDEL_LENGTH = 150
 
     def __init__(self):
-        self.samples = set()
-        self.n_snp = self.n_indel = self.n_sv = 0
-        self.n_snp_known = self.n_indel_known = 0
-        self.ti = self.tv = 0
+        self.sample_names = []
+        self.loci = 0
+        # per type: ALL count, known count, per-sample dicts
+        self.alln = {"SNP": 0, "INDEL": 0, "CNV": 0}
+        self.known = {"SNP": 0, "INDEL": 0, "CNV": 0}
+        self.per_sample = {t: {} for t in ("SNP", "INDEL", "CNV")}
+        self.ti = {"ALL": 0}
+        self.tv = {"ALL": 0}
+        self.dp = {t: {"ALL": 0} for t in ("SNP", "INDEL", "CNV")}
+
+    def set_eval_samples(self, names):
+        self.sample_names = list(names)
+        for t in self.per_sample:
+            for n in names:
+                self.per_sample[t].setdefault(n, 0)
+                self.dp[t].setdefault(n, 0)
+        for n in names:
+            self.ti.setdefault(n, 0)
+            self.tv.setdefault(n, 0)
+
+    def set_processed_loci(self, n):
+        self.loci = n
+
+    @staticmethod
+    def _mono_in_samples(v):
+        if not v.samples or "GT" not in v.fmt_keys:
+            return False
+        for smp in v.samples:
+            gt = smp.get("GT", ".").replace("|", "/")
+            if any(a not in (".", "0") for a in gt.split("/")):
+                return False
+        return True
+
+    def _type(self, ctx):
+        v = ctx.variant
+        if ctx.vtype == "SNP":
+            return "SNP"
+        if ctx.vtype == "INDEL":
+            for a in v.alts:
+                if a and not a.startswith("<") and abs(len(a) - len(v.ref)) > self.MAX_INDEL_LENGTH:
+                    return "CNV"
+            return "INDEL"
+        if ctx.vtype == "SYMBOLIC" or any(a.startswith("<") for a in v.alts):
+            return "CNV"
+        return None
 
     def update(self, ctx):
         v = ctx.variant
-        for i, g in enumerate(ctx.variant.samples or []):
-            self.samples.add(i)
-        if ctx.vtype == "SNP":
-            self.n_snp += 1
-            self.n_snp_known += bool(ctx.is_known)
-            if is_transition(v.ref, v.alts[0]):
-                self.ti += 1
-            else:
-                self.tv += 1
-        elif ctx.vtype in ("INDEL", "MNP"):
-            self.n_indel += 1
-            self.n_indel_known += bool(ctx.is_known)
-        elif any(a.startswith("<") for a in v.alts) or len(v.ref) > 100:
-            self.n_sv += 1
+        if not self.sample_names and ctx.eval_samples:
+            self.set_eval_samples(ctx.eval_samples)
+        if v is None:
+            return
+        if not ctx.keep_ac0 and self._mono_in_samples(v):
+            return
+        t = self._type(ctx)
+        if t is None:
+            return
+        if "DP" in v.info:
+            self.dp[t]["ALL"] += 1
+        self.alln[t] += 1
+        titv = None
+        if t == "SNP" and len(v.alts) == 1:
+            titv = self.ti if is_transition(v.ref, v.alts[0]) else self.tv
+            titv["ALL"] += 1
+        if ctx.comp is not None:
+            self.known[t] += 1
+        names = self.sample_names
+        for i, smp in enumerate(v.samples or []):
+            gt = smp.get("GT", ".").replace("|", "/")
+            alleles = gt.split("/")
+            if "." in alleles or all(a == "0" for a in alleles):
+                continue
+            name = names[i] if i < len(names) else str(i)
+            self.per_sample[t][name] = self.per_sample[t].get(name, 0) + 1
+            if titv is not None:
+                titv[name] = titv.get(name, 0) + 1
+            if smp.get("DP", ".") not in (".", None):
+                self.dp[t][name] = self.dp[t].get(name, 0) + 1
 
-    def _novelty(self, known, total):
-        if not total:
-            return "NA"
-        return f"{(total - known) / total:.2f}"
+    @staticmethod
+    def _ratio(num, denom):
+        return num / max(denom, 1)
+
+    def _mean(self, table, t):
+        vals = [table[t].get(n, 0) for n in self.sample_names]
+        return int(round(sum(vals) / len(vals))) if vals else 0
+
+    def _novelty(self, t):
+        n = self.alln[t]
+        return "NA" if not n else f"{100.0 * (n - self.known[t]) / n:.2f}"
 
     def row(self):
-        titv = self.ti / self.tv if self.tv else 0.0
-        return (len(self.samples), self.n_snp, f"{titv:.2f}", self.n_indel,
-                self.n_sv, self._novelty(self.n_snp_known, self.n_snp),
-                self._novelty(self.n_indel_known, self.n_indel))
+        titv_all = self._ratio(self.ti["ALL"], self.tv["ALL"])
+        names = self.sample_names
+        if names:
+            titv_ps = sum(self._ratio(self.ti.get(n, 0), self.tv.get(n, 0))
+                          for n in names) / len(names)
+        else:
+            titv_ps = 0.0
+        per_sample_counts = {t: self._mean(self.per_sample, t)
+                             for t in ("SNP", "INDEL", "CNV")}
+        dp_means = {t: float(self._mean(self.dp, t)) for t in ("SNP", "INDEL")}
+        return (len(names), self.loci, self.alln["SNP"], titv_all,
+                self._novelty("SNP"), per_sample_counts["SNP"], titv_ps,
+                dp_means["SNP"], self.alln["INDEL"], self._novelty("INDEL"),
+                per_sample_counts["INDEL"], dp_means["INDEL"],
+                self.alln["CNV"], self._novelty("CNV"),
+                per_sample_counts["CNV"])
 
 
 class MendelianViolationEvaluator(VariantEvaluator):

@@ -56,16 +56,20 @@ class EvalContext:
     (VariantEvalContext equivalent)."""
 
     __slots__ = ("variant", "vtype", "is_known", "comp", "comp_match", "is_filtered",
-                 "genotypes", "ref_bases")
+                 "genotypes", "ref_bases", "n_no_calls", "keep_ac0",
+                 "eval_samples")
 
     def __init__(self, variant, vtype, is_known, comp, comp_match, is_filtered,
-                 genotypes):
+                 genotypes, n_no_calls=0, keep_ac0=False, eval_samples=()):
         self.variant = variant
         self.vtype = vtype
         self.is_known = is_known
         self.comp = comp  # matching comp Variant or None
         self.comp_match = comp_match  # alleles agree with comp
         self.is_filtered = is_filtered
+        self.n_no_calls = n_no_calls
+        self.keep_ac0 = keep_ac0
+        self.eval_samples = eval_samples
         self.genotypes = genotypes
 
 
@@ -117,9 +121,20 @@ class StratificationManager:
         state_lists = [s.relevant_states(ctx) for s in self.stratifiers]
         if any(not states for states in state_lists):
             return
+        comp_only = ctx.variant is None
         for key in itertools.product(*state_lists):
             for ev in self._evaluators_for(key):
+                if comp_only and ev.comparison_order != 2:
+                    continue  # order-1 evaluators see eval records only
                 ev.update(ctx)
+
+    def set_processed_loci(self, n: int):
+        """Override evaluators' nProcessedLoci with the traversal size
+        (GATK: the engine counts loci over the -L intervals, not records)."""
+        for evs in self.contexts.values():
+            for ev in evs:
+                if hasattr(ev, "set_processed_loci"):
+                    ev.set_processed_loci(n)
 
     def tables(self, comp_name: str, eval_name: str):
         """[(evaluator name, columns, rows)] — one table per evaluator class,

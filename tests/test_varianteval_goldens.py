@@ -1,0 +1,59 @@
+"""VariantEval byte-identical gates against the reference's committed
+expected tables (tools/walkers/varianteval/VariantEval/expected/) — the
+LFS-free subset of VariantEvalIntegrationTest.java's cases."""
+import os
+
+import pytest
+
+from gatk_tpu.cli import TOOL_REGISTRY
+
+D = ("/root/reference/src/test/resources/org/broadinstitute/hellbender/"
+     "tools/walkers/varianteval/VariantEval")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(D),
+                                reason="varianteval resources unavailable")
+
+
+def _run_and_compare(argv, expected_name, tmp_path):
+    out = tmp_path / "out.txt"
+    rc = TOOL_REGISTRY["VariantEval"](argv + ["-O", str(out)])
+    assert not rc
+    got = out.read_text()
+    exp = open(f"{D}/expected/{expected_name}").read()
+    assert got == exp, f"{expected_name} differs"
+
+
+def test_fundamentals_count_variants_no_comp(tmp_path):
+    vcf = f"{D}/FundamentalsTest.annotated.db.subset.snps_and_indels.vcf"
+    _run_and_compare(
+        ["--eval", vcf, "-no-ev", "-EV", "CountVariants", "-no-st", "-L", vcf],
+        "testFundamentalsCountVariantsNoCompRod.expected.txt", tmp_path)
+
+
+@pytest.mark.parametrize("suffix,ev,cp", [
+    ("sites-sites", "validationReportEval.noGenotypes.vcf",
+     "validationReportComp.noGenotypes.vcf"),
+    ("sites-genotypes", "validationReportEval.noGenotypes.vcf",
+     "validationReportComp.vcf"),
+    ("genotypes-sites", "validationReportEval.vcf",
+     "validationReportComp.noGenotypes.vcf"),
+    ("genotypes-genotypes", "validationReportEval.vcf",
+     "validationReportComp.vcf"),
+])
+def test_validation_report(suffix, ev, cp, tmp_path):
+    _run_and_compare(
+        ["--eval", f"{D}/{ev}", "--comp", f"{D}/{cp}",
+         "-L", "20:10,000,000-10,000,010", "-no-st", "-no-ev",
+         "-EV", "ValidationReport"],
+        f"testValidationReportData-{suffix}.expected.txt", tmp_path)
+
+
+@pytest.mark.parametrize("keep", [False, True])
+def test_variant_summary_ac0(keep, tmp_path):
+    argv = ["--eval", f"{D}/ac0.vcf", "-L", "20:81006", "-no-st", "-no-ev",
+            "-EV", "VariantSummary"]
+    if keep:
+        argv.append("-keep-ac0")
+    _run_and_compare(argv, f"testIncludingAC0 keep ac 0 = {keep}.expected.txt"
+                     .replace("False", "false").replace("True", "true"),
+                     tmp_path)
