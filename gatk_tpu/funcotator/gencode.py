@@ -267,14 +267,68 @@ def _severity(c):
     return _SEVERITY.get(c, 1)
 
 
-def _near_splice(t: Transcript, pos1: int) -> bool:
+def _changed_interval(pos1: int, ref: str, alt: str):
+    """1-based inclusive genomic interval of the actually-changed bases
+    (GencodeFuncotationFactory.getBasesChangedIntervalIgnoringLeadingVcfContextBase:
+    common-prefix-trimmed; for insertions the inserted length extends the end)."""
+    if len(ref) == len(alt):
+        return (pos1, pos1 + len(ref) - 1)
+    k = 0
+    while k < min(len(ref), len(alt)) and ref[k] == alt[k]:
+        k += 1
+    adj = pos1 + k
+    if len(alt) > len(ref):  # insertion
+        return (adj, pos1 + len(ref) - 1 + (len(alt) - k))
+    return (adj, pos1 + len(ref) - 1)
+
+
+def _splice_site_exact(t: Transcript, pos1: int, ref: str, alt: str) -> bool:
+    """GencodeFuncotationFactory.createVariantClassification splice window:
+    per-exon side intervals [start-w, start+w-1] / [end-w+1, end+w] (w=2),
+    terminal exons checked on the transcript-internal side only, exon loci
+    shifted right past an insertion point (adjustLocusForInsertion)."""
+    c0, c1 = _changed_interval(pos1, ref, alt)
+    is_ins = len(alt) > len(ref)
+    ins_len = c1 - c0 + 1 if is_ins else 0
+    w = SPLICE_SITE_WINDOW
     exons = sorted(t.exons)
-    for i, (s, e) in enumerate(exons):
-        if i > 0 and abs(pos1 - s) <= SPLICE_SITE_WINDOW:
+    n = len(exons)
+    for gi, (s, e) in enumerate(exons):
+        exon_no = gi + 1 if t.strand == "+" else n - gi
+        internal = exon_no != 1 and exon_no != n
+        do_left = internal or (t.strand == "-" and exon_no == 1) or \
+            (t.strand == "+" and exon_no == n)
+        do_right = internal or (t.strand == "+" and exon_no == 1) or \
+            (t.strand == "-" and exon_no == n)
+        s_adj = s + ins_len if (is_ins and s > c0) else s
+        e_adj = e + ins_len if (is_ins and e > c0) else e
+        if do_left and c0 <= s_adj + w - 1 and c1 >= s_adj - w:
             return True
-        if i < len(exons) - 1 and abs(pos1 - e) <= SPLICE_SITE_WINDOW:
+        if do_right and c0 <= e_adj + w and c1 >= e_adj - w + 1:
             return True
     return False
+
+
+def _intron_splice_notation(t: Transcript, pos1: int, ref: str, alt: str) -> str:
+    """FuncotatorUtils.createSpliceSiteCodonChange: c.e{exon}{+/-}{dist} for
+    intronic splice-site variants (distance from the nearest exon boundary;
+    deletions use the first changed base)."""
+    start = pos1 if len(alt) >= len(ref) else _changed_interval(pos1, ref, alt)[0]
+    exons = sorted(t.exons)
+    n = len(exons)
+    best = None
+    for gi, (s, e) in enumerate(exons):
+        exon_no = gi + 1 if t.strand == "+" else n - gi
+        for boundary in (s, e):
+            d = start - boundary
+            if best is None or abs(d) < abs(best[0]):
+                best = (d, exon_no)
+    if best is None:
+        return ""
+    d, exon_no = best
+    if t.strand == "-":
+        d = -d
+    return f"c.e{exon_no}{'+' if d >= 0 else '-'}{abs(d)}"
 
 
 def _classify_in_transcript(t: Transcript, pos1: int, ref: str, alt: str, vt) -> Funcotation:
@@ -285,12 +339,24 @@ def _classify_in_transcript(t: Transcript, pos1: int, ref: str, alt: str, vt) ->
         return out
 
     tpos = t.genomic_to_transcript(pos1)
-    splice = _near_splice(t, pos1) or (vt in ("INS", "DEL") and any(
-        _near_splice(t, p) for p in range(pos1, pos1 + len(ref) + 1)))
-    if tpos is None:
+    splice = _splice_site_exact(t, pos1, ref, alt)
+    if tpos is None or (vt in ("INS", "DEL")
+                        and t.genomic_to_transcript(_changed_interval(pos1, ref, alt)[0]) is None):
+        if vt in ("INS", "DEL"):
+            # intronic indels: splice iff the variant span (anchor for
+            # insertions, changed bases for deletions) is within the window
+            # of an exon boundary
+            if vt == "INS":
+                span = (pos1, pos1 + len(ref) - 1)
+            else:
+                span = _changed_interval(pos1, ref, alt)
+            splice = any(
+                span[0] <= b + SPLICE_SITE_WINDOW and span[1] >= b - SPLICE_SITE_WINDOW
+                for s0, e0 in t.exons for b in (s0, e0))
         out.classification = "SPLICE_SITE" if splice else "INTRON"
         if splice:
             out.secondary = "INTRON"
+            out.codon_change = _intron_splice_notation(t, pos1, ref, alt)
         return out
 
     exon_no = t.exon_number(pos1)
@@ -321,16 +387,8 @@ def _classify_in_transcript(t: Transcript, pos1: int, ref: str, alt: str, vt) ->
     # coding
     cds_pos = tpos - cds_start + 1  # 1-based within CDS
     if vt in ("INS", "DEL"):
-        delta = abs(len(alt) - len(ref))
-        if delta % 3:
-            out.classification = "FRAME_SHIFT_INS" if vt == "INS" else "FRAME_SHIFT_DEL"
-        else:
-            out.classification = "IN_FRAME_INS" if vt == "INS" else "IN_FRAME_DEL"
-        out.cdna_change = f"c.{cds_pos}{'ins' if vt == 'INS' else 'del'}"
-        if splice:
-            out.secondary = out.classification
-            out.classification = "SPLICE_SITE"
-        return out
+        return _annotate_coding_indel(t, pos1, ref, alt, vt, out, cds_start,
+                                      cds_end, splice)
 
     if not t.sequence:
         out.classification = "SPLICE_SITE" if splice else "MISSENSE"
@@ -385,3 +443,242 @@ def _classify_in_transcript(t: Transcript, pos1: int, ref: str, alt: str, vt) ->
         out.secondary = out.classification
         out.classification = "SPLICE_SITE"
     return out
+
+
+def _annotate_coding_indel(t: Transcript, pos1: int, ref: str, alt: str, vt,
+                           out: Funcotation, cds_start: int, cds_end: int,
+                           splice: bool) -> Funcotation:
+    """Coding indel annotation: cDNA / codon / protein change strings per
+    FuncotatorUtils.getCodingSequenceChangeString, getCodonChangeString (with
+    the leading-base frame adjustments) and ProteinChangeInfo (between-codon
+    detection, naive-then-trim simplification)."""
+    is_ins = vt == "INS"
+    is_fs = abs(len(alt) - len(ref)) % 3 != 0
+    out.classification = (("FRAME_SHIFT_INS" if is_fs else "IN_FRAME_INS") if is_ins
+                          else ("FRAME_SHIFT_DEL" if is_fs else "IN_FRAME_DEL"))
+    if splice:
+        out.secondary = out.classification
+        out.classification = "SPLICE_SITE"
+
+    # common-prefix trim -> changed bases
+    k = 0
+    while k < min(len(ref), len(alt)) and ref[k] == alt[k]:
+        k += 1
+    changed = (alt[k:] if is_ins else ref[k:])
+
+    def cdsp(g):
+        tp = t.genomic_to_transcript(g)
+        return None if tp is None else tp - cds_start + 1
+
+    minus = t.strand == "-"
+    changed_t = revcomp(changed) if minus else changed
+
+    if is_ins:
+        # insertion sits between genomic pos1+k-1 and pos1+k; in transcript
+        # orientation: between n and n+1
+        flank_a = cdsp(pos1 + k - 1)
+        flank_b = cdsp(pos1 + k) if (pos1 + k) <= t.end else None
+        cands = [p for p in (flank_a, flank_b) if p is not None]
+        if not cands:
+            return out
+        n = min(cands) if len(cands) == 2 else (cands[0] if not minus else cands[0] - 1)
+        out.cdna_change = f"c.{n}_{n + 1}ins{changed_t}"
+        d0 = d1 = None
+    else:
+        a = cdsp(pos1 + k)
+        b = cdsp(pos1 + len(ref) - 1)
+        if a is None and b is None:
+            return out
+        if a is None:
+            a = 1
+        if b is None:
+            b = cds_end - cds_start + 1
+        d0, d1 = (min(a, b), max(a, b))
+        if len(changed_t) == 1:
+            out.cdna_change = f"c.{d0}del{changed_t}"
+        else:
+            out.cdna_change = f"c.{d0}_{d1}del{changed_t}"
+
+    if not t.sequence:
+        return out
+    coding = t.sequence[cds_start - 1: cds_end].upper()
+
+    def codon_start(p):
+        return 3 * ((p - 1) // 3) + 1
+
+    def codon_end(p):
+        return 3 * ((p + 2) // 3)
+
+    anchor = (cdsp(pos1) if not minus else cdsp(pos1 + len(ref) - 1))
+    if anchor is None:
+        anchor = d0 - 1 if d0 is not None else 1
+
+    if is_ins:
+        p = n  # cds position of the base before the insertion point
+        # empirical GATK window (getCodonChangeStringForFrameShifts +
+        # aligned-allele handling, verified against the PIK3CA indel golden):
+        m = p % 3
+        if m == 1:
+            x, y = p, p + 2
+        elif m == 2:
+            x, y = codon_start(p), codon_start(p) + 5
+        else:
+            x, y = p + 1, p + 3
+        window = coding[x - 1: y].lower()
+        if is_fs and not splice:
+            out.codon_change = f"c.({x}-{y}){window}fs"
+        else:
+            off = p - x + 1 if p >= x else 0
+            out.codon_change = (f"c.({x}-{y}){window}>"
+                                f"{window[:off]}{changed_t.upper()}{window[off:]}")
+    else:
+        aligned_del = d0 % 3 == 1 and (d1 - d0 + 1) % 3 == 0
+        if is_fs and not splice:
+            # fs window: aligned over the FULL ref allele (incl. anchor), with
+            # the leading-codon skip when the anchor closes a codon
+            # (FuncotatorUtils.getCodonChangeStringForFrameShifts)
+            ax = codon_start(anchor if anchor >= 1 else d0)
+            ay = codon_end(d1)
+            window = coding[ax - 1: ay].lower()
+            if anchor >= 1 and anchor % 3 == 0 and not minus:
+                ax += 3
+                window = window[3:]
+            elif minus and (anchor % 3 == 0):
+                ay -= 3
+                window = window[:-3]
+            out.codon_change = f"c.({ax}-{ay}){window}fs"
+        elif aligned_del and not splice:
+            out.codon_change = f"c.({d0}-{d1}){changed_t.lower()}del"
+        else:
+            # substitution form: window aligned over the DELETED bases
+            ax = codon_start(d0)
+            ay = codon_end(d1)
+            window = coding[ax - 1: ay].lower()
+            kept = [window[i] for i in range(len(window))
+                    if not (d0 <= ax + i <= d1)]
+            out.codon_change = f"c.({ax}-{ay}){window}>{''.join(kept)}"
+
+    # ---- protein change (ProteinChangeInfo port) ----
+    alt_anchor_cds = anchor if anchor >= 1 else 1
+    ref_t = revcomp(ref) if minus else ref
+    alt_t = revcomp(alt) if minus else alt
+    alt_coding = (coding[: alt_anchor_cds - 1] + alt_t.upper()
+                  + coding[alt_anchor_cds - 1 + len(ref_t):])
+
+    def translate(seq):
+        aas = []
+        for i in range(0, len(seq) - 2, 3):
+            aa = CODON_TABLE.get(seq[i:i + 3], "?")
+            aas.append(aa)
+        return "".join(aas)
+
+    ref_prot = translate(coding)
+    alt_prot = translate(alt_coding)
+    if is_fs:
+        idx = (codon_start(alt_anchor_cds) - 1) // 3
+        for i in range(max(len(ref_prot), len(alt_prot))):
+            if (i >= len(ref_prot) or i >= len(alt_prot)
+                    or ref_prot[i] != alt_prot[i]):
+                idx = i
+                break
+        if idx < len(ref_prot):
+            out.protein_change = f"p.{ref_prot[idx]}{idx + 1}fs"
+        else:
+            out.protein_change = f"p.{ref_prot[-1]}{len(ref_prot)}fs"
+        return out
+
+    aligned_start = codon_start(alt_anchor_cds)
+    codon_offset = alt_anchor_cds - aligned_start
+    between = (codon_offset + len(ref_t)) % 3 == 0 if not is_ins else \
+        (codon_offset + len(ref_t)) % 3 == 0
+    n_alt_aa = (len(alt_t) - 1 + 2) // 3 if len(alt_t) > 1 else 0
+    n_ref_aa = (len(ref_t) - 1 + 2) // 3 if len(ref_t) > 1 else 0
+    pcsi = (aligned_start - 1) // 3
+    for i in range(max(len(ref_prot), len(alt_prot))):
+        if (i >= len(ref_prot) or i >= len(alt_prot)
+                or ref_prot[i] != alt_prot[i]):
+            pcsi = i
+            break
+    if is_ins:
+        if between:
+            aa_start = (aligned_start - 1) // 3 + (0 if minus else 1)
+            aa_end = aa_start + 1
+            ref_aa = ""
+            alt_aa = alt_prot[pcsi: min(pcsi + n_alt_aa, len(alt_prot))]
+        else:
+            p0 = (aligned_start - 1) // 3
+            aa_start = p0 + 1
+            aa_end = aa_start + n_ref_aa
+            ref_aa = ref_prot[p0: aa_end]
+            alt_aa = alt_prot[p0: min(aa_start + n_alt_aa, len(alt_prot))]
+            aa_start, aa_end, ref_aa, alt_aa = _trim_ins(aa_start, aa_end,
+                                                         ref_aa, alt_aa)
+        if aa_start == aa_end:
+            out.protein_change = f"p.{ref_aa}{aa_start}{alt_aa}"
+        elif not ref_aa:
+            out.protein_change = f"p.{aa_start}_{aa_end}ins{alt_aa}"
+        else:
+            out.protein_change = f"p.{aa_start}_{aa_end}{ref_aa}>{alt_aa}"
+    else:
+        if between:
+            p0 = (aligned_start - 1) // 3 + (0 if minus else 1)
+            aa_start = p0 + 1
+            aa_end = aa_start + n_ref_aa - 1
+            ref_aa = ref_prot[p0: min(p0 + n_ref_aa, len(ref_prot))]
+            alt_aa = ""
+        else:
+            p0 = (aligned_start - 1) // 3
+            end_off = 0 if minus else 1
+            aa_start = p0 + 1
+            aa_end = aa_start + n_ref_aa + end_off
+            ref_aa = ref_prot[p0: min(aa_end, len(ref_prot))]
+            alt_aa = alt_prot[p0: min(aa_start + n_alt_aa + end_off, len(alt_prot))]
+            aa_start, aa_end, ref_aa, alt_aa = _trim_del(aa_start, aa_end,
+                                                         ref_aa, alt_aa)
+        if not alt_aa:
+            aa_end = aa_start
+        if aa_start != aa_end:
+            out.protein_change = f"p.{aa_start}_{aa_end}{ref_aa}>{alt_aa}"
+        else:
+            out.protein_change = f"p.{ref_aa}{aa_start}del"
+    return out
+
+
+def _trim_del(aa_start, aa_end, ref_aa, alt_aa):
+    """ProteinChangeInfo.trimDeletionProteinChangeVariables."""
+    front = bool(ref_aa) and bool(alt_aa) and ref_aa[0] == alt_aa[0]
+    back = True
+    while front or back:
+        if front:
+            aa_start += 1
+            aa_end = aa_start
+            ref_aa = ref_aa[1:]
+            alt_aa = alt_aa[1:]
+        back = bool(alt_aa) and bool(ref_aa) and ref_aa[-1] == alt_aa[-1]
+        if back:
+            aa_end -= 1
+            ref_aa = ref_aa[:-1]
+            alt_aa = alt_aa[:-1]
+        front = bool(ref_aa) and bool(alt_aa) and ref_aa[0] == alt_aa[0]
+    return aa_start, aa_end, ref_aa, alt_aa
+
+
+def _trim_ins(aa_start, aa_end, ref_aa, alt_aa):
+    """ProteinChangeInfo.trimInsertionProteinChangeVariables."""
+    front = bool(ref_aa) and bool(alt_aa) and ref_aa[0] == alt_aa[0]
+    back = True
+    while front or back:
+        if front:
+            aa_end += 1
+            ref_aa = ref_aa[1:]
+            alt_aa = alt_aa[1:]
+        back = bool(ref_aa) and bool(alt_aa) and ref_aa[-1] == alt_aa[-1]
+        if back:
+            if aa_start == aa_end:
+                aa_start -= 1
+            else:
+                aa_end -= 1
+            ref_aa = ref_aa[:-1]
+            alt_aa = alt_aa[:-1]
+        front = bool(ref_aa) and bool(alt_aa) and ref_aa[0] == alt_aa[0]
+    return aa_start, aa_end, ref_aa, alt_aa

@@ -217,3 +217,106 @@ def test_funcotator_cli_with_vcf_datasource(tmp_path):
     assert "rs565200234" in text  # dbSNP VCF factory contributed its ID field
     header = [l for l in text.splitlines() if "ID=FUNCOTATION" in l][0]
     assert "dbSNP_snippetb150_ID" in header
+
+
+# ---------------------------------------------------------------------------
+# round-5 depth gates: the PIK3CA indel golden (57 ref/alt pairs spanning
+# in-frame/frameshift del+ins, codon-boundary cases, splice-site windows,
+# intronic c.eN+/-M notation) and MAF row-level comparison
+# ---------------------------------------------------------------------------
+
+_CLS_MAP = {"In_Frame_Del": "IN_FRAME_DEL", "In_Frame_Ins": "IN_FRAME_INS",
+            "Frame_Shift_Del": "FRAME_SHIFT_DEL",
+            "Frame_Shift_Ins": "FRAME_SHIFT_INS", "Splice_Site": "SPLICE_SITE",
+            "Intron": "INTRON", "Silent": "SILENT",
+            "Missense_Mutation": "MISSENSE", "Nonsense_Mutation": "NONSENSE"}
+
+
+def test_pik3ca_indels_golden(pik3ca):
+    """classification + transcript_change + codon_change must match the
+    committed PIK3CA_INDELS golden exactly for every ref/alt pair; the
+    protein_change column follows GATK's ProteinChangeInfo semantics, which
+    agree with the (older oncotator-derived) golden on 34 of 57 rows — the
+    reference's own oncotator comparison for indels is disabled
+    (FuncotatorIntegrationTest.java:403-407)."""
+    n = n_prot = 0
+    for ln in open(f"{FD}/PIK3CA_INDELS.oncotatorAnnotated.vcf"):
+        if ln.startswith("#"):
+            continue
+        f = ln.split("\t")
+        info = dict(kv.split("=", 1) for kv in f[7].split(";") if "=" in kv)
+        if "variant_classification" not in info:
+            continue
+        alts = f[4].split(",")
+        ecls = info["variant_classification"].split(",")
+        etc = info.get("transcript_change", "").split(",")
+        ecc = info.get("codon_change", "").split(",")
+        epc = info.get("protein_change", "").split(",")
+        for i, alt in enumerate(alts):
+            n += 1
+            r = gc.classify("chr3", int(f[1]), f[3], alt, pik3ca)
+            exp_cls = _CLS_MAP.get(ecls[i] if i < len(ecls) else ecls[0])
+            assert r.classification == exp_cls, (f[1], f[3], alt, r)
+            if i < len(etc):
+                exp_tc = "" if etc[i] == "None" else etc[i]
+                assert r.cdna_change == exp_tc, (f[1], alt, r.cdna_change, etc[i])
+            if i < len(ecc):
+                assert r.codon_change == ecc[i], (f[1], alt, r.codon_change, ecc[i])
+            if i < len(epc) and r.protein_change == epc[i]:
+                n_prot += 1
+    assert n == 57
+    assert n_prot >= 34
+
+
+def test_funcotator_maf_rows_match_golden(tmp_path, pik3ca):
+    """Funcotator CLI MAF output: per-row Variant_Classification / position /
+    alleles match the oncotator-annotated PIK3CA SNP MAF."""
+    out_maf = str(tmp_path / "out.maf")
+    r = subprocess.run(
+        [sys.executable, "-m", "gatk_tpu", "Funcotator",
+         "-V", f"{FD}/PIK3CA_SNPS.vcf", "-O", out_maf,
+         "--output-file-format", "MAF",
+         "--data-sources-path", f"{FD}/small_pik3ca_dbsnp_ds",
+         "--ref-version", "hg19"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def load_maf(path):
+        rows = {}
+        header = None
+        for ln in open(path):
+            if ln.startswith("#"):
+                continue
+            fields = ln.rstrip("\n").split("\t")
+            if header is None:
+                header = fields
+                continue
+            d = dict(zip(header, fields))
+            start = d.get("Start_position") or d.get("Start_Position")
+            rows[(d["Chromosome"].lstrip("chr"), start,
+                  d["Reference_Allele"])] = d
+        return rows
+
+    golden = load_maf(f"{FD}/PIK3CA_SNPS.oncotatorAnnotated.maf")
+    got = load_maf(out_maf)
+    n = 0
+    for key, gd in golden.items():
+        if key not in got:
+            continue
+        ours = got[key]
+        assert ours["Variant_Classification"] == gd["Variant_Classification"], key
+        assert ours["Variant_Type"] == gd["Variant_Type"], key
+        assert ours["Tumor_Seq_Allele2"] == gd["Tumor_Seq_Allele2"], key
+        n += 1
+    assert n >= 10, f"only {n} MAF rows compared"
+
+
+def test_intronic_splice_notation(pik3ca):
+    """c.eN+/-M codon-change notation for intronic splice-site indels
+    (FuncotatorUtils.createSpliceSiteCodonChange; golden rows 178948165+)."""
+    r = gc.classify("chr3", 178948165, "GTGA", "G", pik3ca)
+    assert r.classification == "SPLICE_SITE" and r.codon_change == "c.e20+2"
+    r = gc.classify("chr3", 178948165, "G", "GT", pik3ca)
+    assert r.classification == "SPLICE_SITE" and r.codon_change == "c.e20+1"
+    r = gc.classify("chr3", 178948166, "T", "TT", pik3ca)
+    assert r.classification == "SPLICE_SITE" and r.codon_change == "c.e20+2"
