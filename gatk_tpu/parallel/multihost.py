@@ -134,3 +134,65 @@ def gather_vcf_shards(output: str, num_processes: int, keep_shards: bool = False
                 contig_order.get(l.split("\t", 1)[0], 1 << 30),
                 int(l.split("\t", 2)[1])))
             out.writelines(records)
+
+
+def gather_vcf_shards_collective(output: str, shard_path: str, sort: bool = False,
+                                 keep_shards: bool = False):
+    """Shared-filesystem-free gather: every process contributes its local
+    shard VCF's bytes via multihost_utils.process_allgather (padded uint8
+    arrays — the transfer rides the jax.distributed collective fabric, not a
+    common mount), and process 0 writes the merged output locally.
+
+    Topology contract: every process calls this exactly once after finishing
+    its shard (it is itself a barrier); shard files may live in per-process
+    private directories. Suitable for per-shard outputs up to the coordinator
+    hosts' memory; for terabyte-scale cohort VCFs use the file-based
+    gather_vcf_shards on a shared mount instead."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    data = b""
+    if shard_path and os.path.exists(shard_path):
+        with open(shard_path, "rb") as fh:
+            data = fh.read()
+    lens = multihost_utils.process_allgather(np.array([len(data)], np.int32))
+    max_len = int(np.asarray(lens).max())
+    buf = np.zeros(max(1, max_len), np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    if not keep_shards and shard_path and os.path.exists(shard_path):
+        os.remove(shard_path)
+    if jax.process_index() != 0:
+        return
+    texts = []
+    flat_lens = np.asarray(lens).reshape(-1)
+    for pid in range(jax.process_count()):
+        n = int(flat_lens[pid])
+        if n:
+            texts.append(gathered[pid, :n].tobytes().decode())
+    header_lines = []
+    records = []
+    with open(output, "w") as out:
+        wrote_header = False
+        for text in texts:
+            for line in text.splitlines(keepends=True):
+                if line.startswith("#"):
+                    if not wrote_header:
+                        out.write(line)
+                        header_lines.append(line)
+                    continue
+                if sort:
+                    records.append(line)
+                else:
+                    out.write(line)
+            wrote_header = True
+        if sort:
+            contig_order = {}
+            for h in header_lines:
+                if h.startswith("##contig=<ID="):
+                    name = h.split("ID=")[1].split(",")[0].split(">")[0]
+                    contig_order[name] = len(contig_order)
+            records.sort(key=lambda l: (
+                contig_order.get(l.split("\t", 1)[0], 1 << 30),
+                int(l.split("\t", 2)[1])))
+            out.writelines(records)

@@ -108,6 +108,12 @@ def haplotype_caller(argv):
                    help="host:port of process 0 (enables multi-process mode)")
     p.add_argument("--distributed-num-processes", type=int, default=1)
     p.add_argument("--distributed-process-id", type=int, default=0)
+    p.add_argument("--distributed-gather", default="collective",
+                   choices=["collective", "files"],
+                   help="shard gather transport: 'collective' streams shard "
+                        "bytes over the jax.distributed fabric (no shared "
+                        "filesystem needed); 'files' concatenates "
+                        "<out>.shard-* on a common mount")
     p.add_argument("--distributed-shard-mode", default="contiguous",
                    choices=["contiguous", "round-robin"],
                    help="fine-shard assignment across processes: contiguous "
@@ -116,15 +122,24 @@ def haplotype_caller(argv):
     args = p.parse_args(argv)
 
     distributed = args.distributed_coordinator and args.distributed_num_processes > 1
+    init_thread = None
     if distributed:
+        import threading
+
         from ..parallel import multihost
-        multihost.initialize(args.distributed_coordinator,
-                             args.distributed_num_processes,
-                             args.distributed_process_id)
+        # overlap the coordinator handshake (seconds at scale) with the
+        # host-side reference/BAM open below; joined before any jax use
+        init_thread = threading.Thread(
+            target=multihost.initialize,
+            args=(args.distributed_coordinator, args.distributed_num_processes,
+                  args.distributed_process_id))
+        init_thread.start()
 
     ref = fasta.FastaReference(args.reference)
     from ..io.cram import open_reads
     readers = [open_reads(path, reference=ref) for path in args.input]
+    if init_thread is not None:
+        init_thread.join()
     header = readers[0].header
     sample = header.read_groups[0].get("SM", "SAMPLE") if header.read_groups else "SAMPLE"
 
@@ -257,12 +272,20 @@ def haplotype_caller(argv):
         print(f"wrote bamout with {len(engine.bamout.records)} records to {args.bamout}")
     if distributed:
         from ..parallel import multihost
-        multihost.barrier("hc-gather")
-        if args.distributed_process_id == 0:
-            multihost.gather_vcf_shards(
-                args.output, args.distributed_num_processes,
+        if args.distributed_gather == "collective":
+            # shared-filesystem-free: shard bytes ride the collective fabric
+            multihost.gather_vcf_shards_collective(
+                args.output, out_path,
                 sort=args.distributed_shard_mode == "round-robin")
-            print(f"gathered {args.distributed_num_processes} shards into {args.output}")
+            if args.distributed_process_id == 0:
+                print(f"gathered {args.distributed_num_processes} shards into {args.output}")
+        else:
+            multihost.barrier("hc-gather")
+            if args.distributed_process_id == 0:
+                multihost.gather_vcf_shards(
+                    args.output, args.distributed_num_processes,
+                    sort=args.distributed_shard_mode == "round-robin")
+                print(f"gathered {args.distributed_num_processes} shards into {args.output}")
     print(f"wrote {n} variants to {out_path}")
     if os.environ.get("GATK_TPU_STAGE_TIMES"):
         print(f"stage times: {STAGES.report()}")

@@ -107,3 +107,37 @@ def test_two_process_round_robin_matches_single(tmp_path):
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o
     assert _body(dist) == _body(single)
+
+
+def test_two_process_private_dirs_collective_gather(tmp_path):
+    """No-shared-filesystem gather: each process writes its shard VCF under its
+    OWN private directory and the shard bytes travel over the jax.distributed
+    collective fabric (gather_vcf_shards_collective); process 0's output must
+    still be byte-equal to a 1-process run."""
+    single = str(tmp_path / "single.vcf")
+    p = _run(_hc_cmd(single, []))
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, out
+
+    port = _free_port()
+    priv = [tmp_path / f"proc{pid}" for pid in range(2)]
+    for d in priv:
+        d.mkdir()
+    outs_paths = [str(priv[pid] / "dist.vcf") for pid in range(2)]
+    procs = [
+        _run(_hc_cmd(outs_paths[pid], [
+            "--distributed-coordinator", f"127.0.0.1:{port}",
+            "--distributed-num-processes", "2",
+            "--distributed-process-id", str(pid),
+            "--distributed-gather", "collective",
+        ]))
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    # gathered result lands at process 0's output path only
+    assert os.path.exists(outs_paths[0])
+    assert _body(outs_paths[0]) == _body(single)
+    # shard files were consumed; process 1 kept no output
+    assert not os.path.exists(outs_paths[1])
