@@ -204,31 +204,6 @@ def filter_vcf(argv):
     return 0
 
 
-@register_tool("RenameSampleInVcf")
-def rename_sample_in_vcf(argv):
-    """Rename the (single) sample in a VCF (picard RenameSampleInVcf)."""
-    p = argparse.ArgumentParser(description="RenameSampleInVcf")
-    p.add_argument("-I", "--input", required=True)
-    p.add_argument("-O", "--output", required=True)
-    p.add_argument("--NEW_SAMPLE_NAME", required=True)
-    p.add_argument("--OLD_SAMPLE_NAME", default=None)
-    args = p.parse_args(argv)
-    r = vcf.VcfReader(args.input)
-    if len(r.samples) != 1:
-        raise UserError("RenameSampleInVcf requires a single-sample VCF")
-    if args.OLD_SAMPLE_NAME and r.samples[0] != args.OLD_SAMPLE_NAME:
-        raise UserError(f"sample is {r.samples[0]}, not {args.OLD_SAMPLE_NAME}")
-    w = vcf.VcfWriter(args.output, [args.NEW_SAMPLE_NAME],
-                      extra_header_lines=r.header_lines)
-    n = 0
-    for v in r:
-        w.write(v)
-        n += 1
-    w.close()
-    print(f"renamed sample to {args.NEW_SAMPLE_NAME} over {n} records")
-    return 0
-
-
 # ---------------------------------------------------------------------------
 # Interval-list utilities
 # ---------------------------------------------------------------------------

@@ -74,13 +74,6 @@ def test_filter_vcf(tmp_path):
     assert recs[20].filters == ("PASS",)
 
 
-def test_rename_sample_in_vcf(tmp_path):
-    out = tmp_path / "r.vcf"
-    run("RenameSampleInVcf",
-        ["-I", VCF_IN, "-O", str(out), "--NEW_SAMPLE_NAME", "XX"])
-    assert vcf.VcfReader(str(out)).samples == ["XX"]
-
-
 def test_liftover_interval_list(tmp_path):
     il = tmp_path / "in.interval_list"
     il.write_text("@SQ\tSN:chrM\tLN:16569\nchrM\t101\t200\t+\tx\n")
