@@ -122,13 +122,27 @@ class GATKTool:
         self.progress.start()
         self.traverse()
         self.progress.stop()
-        for line in self.filter_stack.summary_lines():
-            print(line)
+        if self.reads is not None:  # CountingReadFilter summary (reads tools)
+            for line in self.filter_stack.summary_lines():
+                print(line)
         result = self.on_traversal_success()
         self.close_tool()
         return result
 
     def _reads_over_targets(self):
+        if not self.intervals_arg:
+            # no -L: stream the whole file incl. the unmapped tail, like
+            # GATK's ReadWalker traversal over an unrestricted reads source
+            contig_of = {s.index: s.name for s in self.reads.header.sequences}
+            for read in self.reads:
+                if self.transformer is not None:
+                    read = self.transformer(read)
+                    if read is None:
+                        continue
+                if self.filter_stack(read):
+                    yield Interval(contig_of.get(read.ref_id, "*"),
+                                   max(read.pos, 0), max(read.end, 1)), read
+            return
         for target in self.targets:
             for read in self.reads.query(target.contig, target.start, target.end):
                 if self.transformer is not None:

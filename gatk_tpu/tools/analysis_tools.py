@@ -14,6 +14,7 @@ import argparse
 import numpy as np
 
 from ..cli import UserError, register_tool
+from ..engine import walkers
 from ..engine import intervals as iv
 from ..io import bam, fasta, vcf
 
@@ -182,31 +183,54 @@ def variants_to_table(argv):
     p.add_argument("-F", "--fields", action="append", default=[])
     p.add_argument("-GF", "--genotype-fields", action="append", default=[])
     args = p.parse_args(argv)
+    w = _VariantsToTableWalker(variant_path=args.variant)
+    w.args = args
+    w.run()
+    return 0
 
-    reader = vcf.VcfReader(args.variant)
-    std = {"CHROM": lambda v: v.contig, "POS": lambda v: str(v.pos + 1),
-           "ID": lambda v: v.id, "REF": lambda v: v.ref,
-           "ALT": lambda v: ",".join(v.alts), "QUAL": lambda v: vcf.format_qual(v.qual),
-           "FILTER": lambda v: ";".join(v.filters) if v.filters else ".",
-           "TYPE": lambda v: "SNP" if v.is_snp() else ("INDEL" if v.is_indel() else "OTHER")}
-    header = list(args.fields) + [f"{s}.{g}" for s in reader.samples for g in args.genotype_fields]
-    rows = [header]
-    for v in reader:
+
+class _VariantsToTableWalker(walkers.VariantWalker):
+    """VariantsToTable as a VariantWalker (tools/walkers/variantutils/
+    VariantsToTable.java extends VariantWalker)."""
+
+    tool_name = "VariantsToTable"
+    default_read_filters = ()
+
+    _STD = {"CHROM": lambda v: v.contig, "POS": lambda v: str(v.pos + 1),
+            "ID": lambda v: v.id, "REF": lambda v: v.ref,
+            "ALT": lambda v: ",".join(v.alts),
+            "QUAL": lambda v: vcf.format_qual(v.qual),
+            "FILTER": lambda v: ";".join(v.filters) if v.filters else ".",
+            "TYPE": lambda v: "SNP" if v.is_snp() else
+            ("INDEL" if v.is_indel() else "OTHER")}
+
+    def on_traversal_start(self):
+        args = self.args
+        self.samples = self.variant_reader.samples
+        header = list(args.fields) + [f"{s}.{g}" for s in self.samples
+                                      for g in args.genotype_fields]
+        self.rows = [header]
+
+    def apply(self, v):
+        args = self.args
         row = []
         for f in args.fields:
-            if f in std:
-                row.append(std[f](v))
+            if f in self._STD:
+                row.append(self._STD[f](v))
             else:
                 val = v.info.get(f, "NA")
-                row.append("NA" if val is None else ("true" if val is True else str(val)))
-        for si in range(len(reader.samples)):
+                row.append("NA" if val is None else
+                           ("true" if val is True else str(val)))
+        for si in range(len(self.samples)):
             for g in args.genotype_fields:
-                row.append(str(v.samples[si].get(g, "NA")) if si < len(v.samples) else "NA")
-        rows.append(row)
-    with open(args.output, "w") as fh:
-        fh.write("\n".join("\t".join(r) for r in rows) + "\n")
-    print(f"wrote {len(rows) - 1} rows")
-    return 0
+                row.append(str(v.samples[si].get(g, "NA"))
+                           if si < len(v.samples) else "NA")
+        self.rows.append(row)
+
+    def on_traversal_success(self):
+        with open(self.args.output, "w") as fh:
+            fh.write("\n".join("\t".join(r) for r in self.rows) + "\n")
+        print(f"wrote {len(self.rows) - 1} rows")
 
 
 @register_tool("ReadsPipeline")

@@ -13,6 +13,7 @@ import os
 import numpy as np
 
 from ..cli import register_tool
+from ..engine import walkers
 from ..engine import intervals as iv
 from ..io import fasta
 
@@ -86,16 +87,32 @@ def fasta_reference_maker(argv):
     p.add_argument("-L", "--intervals", action="append", required=True)
     p.add_argument("--line-width", type=int, default=60)
     args = p.parse_args(argv)
-    ref = fasta.FastaReference(args.reference)
-    lengths = {n: ref.contig_length(n) for n in ref.contigs()}
-    records = []
-    for i, s in enumerate(args.intervals, start=1):
-        t = iv.parse_interval(s, lengths)
-        seq = ref.fetch(t.contig, t.start, t.end)
-        records.append((f"{i} {t.contig}:{t.start + 1}-{t.end}", seq))
-    _write_fasta(args.output, records, args.line_width)
-    _write_fai(args.output, records, args.line_width)
+    w = _FastaReferenceMakerWalker(reference_path=args.reference,
+                                   intervals=args.intervals)
+    w.args = args
+    w.run()
     return 0
+
+
+class _FastaReferenceMakerWalker(walkers.IntervalWalker):
+    """FastaReferenceMaker as an IntervalWalker (the reference class extends
+    ReferenceWalker; one output record per -L interval)."""
+
+    tool_name = "FastaReferenceMaker"
+    requires_reference = True
+    default_read_filters = ()
+
+    def on_traversal_start(self):
+        self.records = []
+
+    def apply(self, t):
+        seq = self.reference.fetch(t.contig, t.start, t.end)
+        self.records.append(
+            (f"{len(self.records) + 1} {t.contig}:{t.start + 1}-{t.end}", seq))
+
+    def on_traversal_success(self):
+        _write_fasta(self.args.output, self.records, self.args.line_width)
+        _write_fai(self.args.output, self.records, self.args.line_width)
 
 
 @register_tool("FastaAlternateReferenceMaker")

@@ -15,6 +15,7 @@ import argparse
 import numpy as np
 
 from ..cli import register_tool
+from ..engine import walkers
 from ..io import sam
 
 
@@ -111,11 +112,6 @@ def _flow_score(read, ref_window, ref_start, pos, alt_base, flow_order):
 @register_tool("FlowFeatureMapper")
 def flow_feature_mapper(argv):
     """Map per-read SNV features to a VCF (FlowFeatureMapper.java)."""
-    from ..io import bam as bamio
-    from ..io import fasta
-    from ..io import vcf as vcfio
-    from ..io.vcf import Variant
-
     p = argparse.ArgumentParser(description="FlowFeatureMapper")
     p.add_argument("-I", "--input", required=True)
     p.add_argument("-R", "--reference", required=True)
@@ -128,65 +124,95 @@ def flow_feature_mapper(argv):
     p.add_argument("--flow-order", default="TGCA")
     p.add_argument("--include-qc-failed-reads", action="store_true")
     args = p.parse_args(argv)
-
-    reader = bamio.BamReader(args.input)
-    ref = fasta.FastaReference(args.reference)
-    lengths = {s.name: s.length for s in reader.header.sequences}
-    from ..engine import intervals as iv
-
-    targets = (iv.parse_intervals_arg(args.intervals, lengths) if args.intervals
-               else [iv.Interval(s.name, 0, s.length)
-                     for s in reader.header.sequences])
-    before = args.snv_identical_bases
-    after = args.snv_identical_bases_after or before
-    records = []
-    n_reads = n_filtered = 0
-    for t in targets:
-        ref_window = ref.fetch(t.contig, 0, lengths[t.contig])
-        for read in reader.query(t.contig, t.start, t.end):
-            if read.is_unmapped or read.is_secondary or read.is_supplementary:
-                continue
-            if read.is_duplicate or (read.flag & 0x200 and not args.include_qc_failed_reads):
-                n_filtered += 1
-                continue
-            n_reads += 1
-            edist = _edit_distance_and_mismatches(read, ref_window, 0)
-            for pos, ro, rb, ab in _snv_features(read, ref_window, 0, before, after):
-                if not (t.start <= pos < t.end):
-                    continue
-                score = _flow_score(read, ref_window, 0, pos, ab, args.flow_order)
-                if not (args.min_score <= score <= args.max_score):
-                    continue
-                records.append(Variant(
-                    contig=t.contig, pos=pos, ref=chr(rb), alts=(chr(ab),),
-                    qual=round(score, 4), filters=(),
-                    info={
-                        "X_CIGAR": sam.cigar_to_string(read.cigar_ops, read.cigar_lens), "X_EDIST": str(edist),
-                        "X_FC1": str(edist), "X_FLAGS": str(read.flag),
-                        "X_INDEX": str(ro), "X_LENGTH": str(len(read.bases)),
-                        "X_MAPQ": str(read.mapq), "X_RN": read.name,
-                        "X_SCORE": f"{score:.4f}",
-                    }))
-    records.sort(key=lambda v: (v.contig, v.pos, v.info["X_RN"]))
-    extra = [f'##INFO=<ID={k},Number=1,Type={t_},Description="{d}">'
-             for k, t_, d in (
-                 ("X_CIGAR", "String", "cigar of the read"),
-                 ("X_EDIST", "Integer", "read edit distance to the reference"),
-                 ("X_FC1", "Integer", "number of mismatching bases"),
-                 ("X_FLAGS", "Integer", "read flags"),
-                 ("X_INDEX", "Integer", "feature offset in the read"),
-                 ("X_LENGTH", "Integer", "read length"),
-                 ("X_MAPQ", "Integer", "read mapping quality"),
-                 ("X_RN", "String", "read name"),
-                 ("X_SCORE", "Float", "feature score"))]
-    w = vcfio.VcfWriter(args.output, [], extra_header_lines=extra,
-                        write_format=False)
-    for v in records:
-        w.write(v)
-    w.close()
-    print(f"mapped {len(records)} features from {n_reads} reads "
-          f"({n_filtered} filtered) -> {args.output}")
+    w = _FlowFeatureMapperWalker(reads_path=args.input,
+                                 reference_path=args.reference,
+                                 intervals=args.intervals)
+    w.args = args
+    w.run()
     return 0
+
+
+class _FlowFeatureMapperWalker(walkers.ReadWalker):
+    """FlowFeatureMapper as a ReadWalker (tools/walkers/featuremapping/
+    FlowFeatureMapper.java extends ReadWalker)."""
+
+    tool_name = "FlowFeatureMapper"
+    requires_reference = True
+    default_read_filters = ()
+
+    def on_traversal_start(self):
+        self.records = []
+        self.n_reads = 0
+        self.n_filtered = 0
+        self._ref_cache = {}
+        self.lengths = {s.name: s.length for s in self.reads.header.sequences}
+        args = self.args
+        self.before = args.snv_identical_bases
+        self.after = args.snv_identical_bases_after or self.before
+
+    def _ref_window(self, contig):
+        if contig not in self._ref_cache:
+            self._ref_cache[contig] = self.reference.fetch(
+                contig, 0, self.lengths[contig])
+        return self._ref_cache[contig]
+
+    def apply(self, read, ref_context):
+        args = self.args
+        if read.is_unmapped or read.is_secondary or read.is_supplementary:
+            return
+        if read.is_duplicate or (read.flag & 0x200 and not args.include_qc_failed_reads):
+            self.n_filtered += 1
+            return
+        self.n_reads += 1
+        from ..io.vcf import Variant
+
+        t = ref_context.target if hasattr(ref_context, "target") else None
+        contig = ref_context.contig
+        ref_window = self._ref_window(contig)
+        edist = _edit_distance_and_mismatches(read, ref_window, 0)
+        tgt = next((x for x in self.targets if x.contig == contig), None)
+        for pos, ro, rb, ab in _snv_features(read, ref_window, 0, self.before,
+                                             self.after):
+            if tgt is not None and not (tgt.start <= pos < tgt.end):
+                continue
+            score = _flow_score(read, ref_window, 0, pos, ab, args.flow_order)
+            if not (args.min_score <= score <= args.max_score):
+                continue
+            self.records.append(Variant(
+                contig=contig, pos=pos, ref=chr(rb), alts=(chr(ab),),
+                qual=round(score, 4), filters=(),
+                info={
+                    "X_CIGAR": sam.cigar_to_string(read.cigar_ops, read.cigar_lens), "X_EDIST": str(edist),
+                    "X_FC1": str(edist), "X_FLAGS": str(read.flag),
+                    "X_INDEX": str(ro), "X_LENGTH": str(len(read.bases)),
+                    "X_MAPQ": str(read.mapq), "X_RN": read.name,
+                    "X_SCORE": f"{score:.4f}",
+                }))
+
+    def on_traversal_success(self):
+        from ..io import vcf as vcfio
+
+        args = self.args
+        records = sorted(self.records,
+                         key=lambda v: (v.contig, v.pos, v.info["X_RN"]))
+        extra = [f'##INFO=<ID={k},Number=1,Type={t_},Description="{d}">'
+                 for k, t_, d in (
+                     ("X_CIGAR", "String", "cigar of the read"),
+                     ("X_EDIST", "Integer", "read edit distance to the reference"),
+                     ("X_FC1", "Integer", "number of mismatching bases"),
+                     ("X_FLAGS", "Integer", "read flags"),
+                     ("X_INDEX", "Integer", "feature offset in the read"),
+                     ("X_LENGTH", "Integer", "read length"),
+                     ("X_MAPQ", "Integer", "read mapping quality"),
+                     ("X_RN", "String", "read name"),
+                     ("X_SCORE", "Float", "feature score"))]
+        w = vcfio.VcfWriter(args.output, [], extra_header_lines=extra,
+                            write_format=False)
+        for v in records:
+            w.write(v)
+        w.close()
+        print(f"mapped {len(records)} features from {self.n_reads} reads "
+              f"({self.n_filtered} filtered) -> {args.output}")
 
 
 # ---------------------------------------------------------------------------

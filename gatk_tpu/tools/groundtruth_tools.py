@@ -11,6 +11,7 @@ import argparse
 import numpy as np
 
 from ..cli import register_tool
+from ..engine import walkers
 
 ERROR_PROB_BAND_1LESS, ERROR_PROB_BAND_KEY, ERROR_PROB_BAND_1MORE = 0, 1, 2
 
@@ -131,24 +132,40 @@ def add_flow_base_quality(argv):
     p.add_argument("--replace-quality-mode", action="store_true")
     p.add_argument("--flow-order", default="TGCA")
     args = p.parse_args(argv)
+    w = _AddFlowBaseQualityWalker(reads_path=args.input,
+                                  reference_path=args.reference)
+    w.args = args
+    w.run()
+    return 0
 
-    from ..io import bam as bamio, fasta
-    from ..io.cram import open_reads
-    from ..ops import flow as flow_mod
 
-    ref = fasta.FastaReference(args.reference) if args.reference else None
-    rd = open_reads(args.input, reference=ref)
-    flow_order = args.flow_order
-    for rg in rd.header.read_groups:
-        if "FO" in rg:
-            flow_order = rg["FO"][: len(args.flow_order)] or flow_order
-            break
-    fol = _calc_flow_order_length(flow_order)
-    w = bamio.BamWriter(args.output, rd.header)
-    n = 0
-    for r in rd:
-        fread = flow_mod.flow_read_from_sam(r, flow_order)
-        err = generate_base_error_probability(fread, fol, args.minimal_error_rate)
+class _AddFlowBaseQualityWalker(walkers.ReadWalker):
+    """AddFlowBaseQuality as a ReadWalker (groundtruth/AddFlowBaseQuality.java
+    extends ReadWalker)."""
+
+    tool_name = "AddFlowBaseQuality"
+    default_read_filters = ()
+
+    def on_traversal_start(self):
+        from ..io import bam as bamio
+        from ..ops import flow as flow_mod
+
+        self._flow_mod = flow_mod
+        args = self.args
+        self.flow_order = args.flow_order
+        for rg in self.reads.header.read_groups:
+            if "FO" in rg:
+                self.flow_order = rg["FO"][: len(args.flow_order)] or self.flow_order
+                break
+        self.fol = _calc_flow_order_length(self.flow_order)
+        self.writer = bamio.BamWriter(args.output, self.reads.header)
+        self.n = 0
+
+    def apply(self, r, ref_context):
+        args = self.args
+        fread = self._flow_mod.flow_read_from_sam(r, self.flow_order)
+        err = generate_base_error_probability(fread, self.fol,
+                                              args.minimal_error_rate)
         phred = np.where(err <= 0, args.maximal_quality_score,
                          np.minimum(args.maximal_quality_score,
                                     (-10 * np.log10(np.maximum(err, 1e-30))).astype(int)))
@@ -163,11 +180,12 @@ def add_flow_base_quality(argv):
         else:
             tags["XQ"] = "".join(chr(q + 33) for q in phred)
         r.tags = tags
-        w.write(r)
-        n += 1
-    w.close()
-    print(f"AddFlowBaseQuality: wrote {n} reads to {args.output}")
-    return 0
+        self.writer.write(r)
+        self.n += 1
+
+    def close_tool(self):
+        self.writer.close()
+        print(f"AddFlowBaseQuality: wrote {self.n} reads to {self.args.output}")
 
 
 @register_tool("GroundTruthScorer")

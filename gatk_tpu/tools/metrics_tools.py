@@ -16,6 +16,7 @@ import math
 import numpy as np
 
 from ..cli import register_tool
+from ..engine import walkers
 from ..io import sam
 
 
@@ -107,6 +108,33 @@ def insert_size_statistics(hist: dict, deviations=10.0):
                 mean=mean, sd=sd, pairs=int(total), widths=widths)
 
 
+class _InsertSizeWalker(walkers.ReadWalker):
+    """CollectInsertSizeMetrics traversal as a ReadWalker (picard
+    InsertSizeMetricsCollector over first-of-pair proper records)."""
+
+    tool_name = "CollectInsertSizeMetrics"
+    default_read_filters = ()
+    include_duplicates = False
+
+    def on_traversal_start(self):
+        self.hists = {}  # orientation -> {size: count}
+
+    def apply(self, r, ref_context):
+        if (not r.is_paired or r.is_unmapped or r.mate_is_unmapped
+                or not r.is_first_of_pair or r.is_secondary or r.is_supplementary
+                or (r.is_duplicate and not self.include_duplicates) or r.tlen == 0):
+            return
+        mate_reverse = bool(r.flag & sam.MATE_REVERSE)
+        if r.is_reverse == mate_reverse:
+            orient = "TANDEM"
+        else:
+            leftmost_forward = (not r.is_reverse) if r.tlen > 0 else (not mate_reverse)
+            orient = "FR" if leftmost_forward else "RF"
+        self.hists.setdefault(orient, {})
+        size = abs(r.tlen)
+        self.hists[orient][size] = self.hists[orient].get(size, 0) + 1
+
+
 @register_tool("CollectInsertSizeMetrics")
 def collect_insert_size_metrics(argv):
     """Insert size distribution metrics (median/MAD/mean/width percentiles)."""
@@ -121,21 +149,10 @@ def collect_insert_size_metrics(argv):
     p.add_argument("--minimum-pct", type=float, default=0.05)
     args = p.parse_args(argv)
 
-    hists = {}  # orientation -> {size: count}
-    for r in bamio.BamReader(args.input):
-        if (not r.is_paired or r.is_unmapped or r.mate_is_unmapped
-                or not r.is_first_of_pair or r.is_secondary or r.is_supplementary
-                or (r.is_duplicate and not args.include_duplicates) or r.tlen == 0):
-            continue
-        mate_reverse = bool(r.flag & sam.MATE_REVERSE)
-        if r.is_reverse == mate_reverse:
-            orient = "TANDEM"
-        else:
-            leftmost_forward = (not r.is_reverse) if r.tlen > 0 else (not mate_reverse)
-            orient = "FR" if leftmost_forward else "RF"
-        hists.setdefault(orient, {})
-        size = abs(r.tlen)
-        hists[orient][size] = hists[orient].get(size, 0) + 1
+    walker = _InsertSizeWalker(reads_path=args.input)
+    walker.include_duplicates = args.include_duplicates
+    walker.run()
+    hists = walker.hists
 
     total = sum(sum(h.values()) for h in hists.values())
     orients = [o for o, h in hists.items()

@@ -12,6 +12,7 @@ import os
 import numpy as np
 
 from ..cli import register_tool
+from ..engine import walkers
 from ..io import bam, fasta, sam, vcf
 from ..utils.errors import UserError
 
@@ -395,39 +396,56 @@ def filter_sam_reads(argv):
     p.add_argument("--READ_LIST_FILE", default=None)
     p.add_argument("--INTERVAL_LIST", default=None)
     args = p.parse_args(argv)
-    names = set()
-    if args.READ_LIST_FILE:
-        names = {ln.strip() for ln in open(args.READ_LIST_FILE) if ln.strip()}
-    ivs = []
-    if args.INTERVAL_LIST:
-        for line in open(args.INTERVAL_LIST):
-            if line.startswith("@") or not line.strip():
-                continue
-            f = line.split("\t")
-            ivs.append((f[0], int(f[1]) - 1, int(f[2])))
-    r = bam.BamReader(args.input)
-    contig_of = {s.index: s.name for s in r.header.sequences}
-    w = bam.BamWriter(args.output, r.header)
-    n = kept = 0
+    w = _FilterSamReadsWalker(reads_path=args.input)
+    w.args = args
+    w.run()
+    return 0
 
-    def in_intervals(rd):
-        c = contig_of.get(rd.ref_id)
-        return any(c == ic and rd.pos < e and rd.end > s for ic, s, e in ivs)
 
-    for rd in r:
-        n += 1
-        f = args.FILTER
-        keep = ((f == "includeReadList" and rd.name in names)
-                or (f == "excludeReadList" and rd.name not in names)
+class _FilterSamReadsWalker(walkers.ReadWalker):
+    """FilterSamReads as a ReadWalker traversal."""
+
+    tool_name = "FilterSamReads"
+    default_read_filters = ()
+
+    def on_traversal_start(self):
+        args = self.args
+        self.names = set()
+        if args.READ_LIST_FILE:
+            self.names = {ln.strip() for ln in open(args.READ_LIST_FILE)
+                          if ln.strip()}
+        self.ivs = []
+        if args.INTERVAL_LIST:
+            for line in open(args.INTERVAL_LIST):
+                if line.startswith("@") or not line.strip():
+                    continue
+                f = line.split("\t")
+                self.ivs.append((f[0], int(f[1]) - 1, int(f[2])))
+        self.contig_of = {s.index: s.name for s in self.reads.header.sequences}
+        self.writer = bam.BamWriter(args.output, self.reads.header)
+        self.n = 0
+        self.kept = 0
+
+    def _in_intervals(self, rd):
+        c = self.contig_of.get(rd.ref_id)
+        return any(c == ic and rd.pos < e and rd.end > s
+                   for ic, s, e in self.ivs)
+
+    def apply(self, rd, ref_context):
+        self.n += 1
+        f = self.args.FILTER
+        keep = ((f == "includeReadList" and rd.name in self.names)
+                or (f == "excludeReadList" and rd.name not in self.names)
                 or (f == "includeAligned" and not rd.is_unmapped)
                 or (f == "excludeAligned" and rd.is_unmapped)
-                or (f == "includePairedIntervals" and in_intervals(rd)))
+                or (f == "includePairedIntervals" and self._in_intervals(rd)))
         if keep:
-            w.write(rd)
-            kept += 1
-    w.close()
-    print(f"kept {kept} of {n} reads")
-    return 0
+            self.writer.write(rd)
+            self.kept += 1
+
+    def close_tool(self):
+        self.writer.close()
+        print(f"kept {self.kept} of {self.n} reads")
 
 
 @register_tool("SamFormatConverter")

@@ -14,6 +14,7 @@ import argparse
 import numpy as np
 
 from ..cli import UserError, register_tool
+from ..engine import walkers
 from ..io import sam
 from ..io.reads import Read
 
@@ -347,8 +348,6 @@ def _repair_tags(family):
 @register_tool("SplitNCigarReads")
 def split_n_cigar_reads(argv):
     """Split reads with N in their cigar (spanning splice junctions) into exon segments."""
-    from ..io import bam as bamio, fasta
-
     p = argparse.ArgumentParser(description="SplitNCigarReads")
     p.add_argument("-I", "--input", required=True)
     p.add_argument("-R", "--reference", default=None)
@@ -362,49 +361,66 @@ def split_n_cigar_reads(argv):
     p.add_argument("--do-not-fix-overhangs", action="store_true")
     p.add_argument("--process-secondary-alignments", action="store_true")
     args = p.parse_args(argv)
-
-    reference = fasta.FastaReference(args.reference) if args.reference else None
-    reader = bamio.BamReader(args.input)
-    names = [s.name for s in reader.header.sequences]
-
-    eng = SplitNCigarEngine(
-        reference=reference, fix_ndn=args.refactor_cigar_string,
-        skip_mq_transform=args.skip_mapping_quality_transform,
-        max_mismatches_in_overhang=args.max_mismatches_in_overhang,
-        max_bases_in_overhang=args.max_bases_in_overhang,
-        do_not_fix_overhangs=args.do_not_fix_overhangs,
-        process_secondary=args.process_secondary_alignments)
-
-    for read in reader:
-        if read.is_unmapped:
-            eng.families.append([read])
-            continue
-        eng.process_read(read, names[read.ref_id])
-
-    out_reads = []
-    for family in eng.families:
-        family = eng._fix_family(family)
-        _repair_tags(family)
-        if len(family) > 1:
-            contig = names[family[0].ref_id]
-            entries = [f"{contig},{r.pos + 1},{'-' if r.is_reverse else '+'},"
-                       f"{cigar_str(r)},{r.mapq},{r.tags.get('NM', '*')};"
-                       for r in family]
-            for i, r in enumerate(family):
-                if i > 0:
-                    r.flag |= sam.SUPPLEMENTARY
-                others = [entries[j] for j in ([0] if i else []) +
-                          [j for j in range(1, len(family)) if j != i]]
-                r.tags["SA"] = "".join(others)
-        out_reads.extend(family)
-
-    out_reads.sort(key=lambda r: (r.ref_id if r.ref_id >= 0 else 1 << 30, r.pos))
-    w = bamio.BamWriter(args.output, reader.header)
-    for r in out_reads:
-        w.write(r)
-    w.close()
-    print(f"wrote {len(out_reads)} reads to {args.output}")
+    w = _SplitNCigarWalker(reads_path=args.input, reference_path=args.reference,
+                           intervals=args.intervals)
+    w.args = args
+    w.run()
     return 0
+
+
+class _SplitNCigarWalker(walkers.ReadWalker):
+    """SplitNCigarReads as a ReadWalker (tools/walkers/rnaseq/
+    SplitNCigarReads.java extends ReadWalker)."""
+
+    tool_name = "SplitNCigarReads"
+    default_read_filters = ()
+
+    def on_traversal_start(self):
+        args = self.args
+        self.names = [s.name for s in self.reads.header.sequences]
+        self.eng = SplitNCigarEngine(
+            reference=self.reference, fix_ndn=args.refactor_cigar_string,
+            skip_mq_transform=args.skip_mapping_quality_transform,
+            max_mismatches_in_overhang=args.max_mismatches_in_overhang,
+            max_bases_in_overhang=args.max_bases_in_overhang,
+            do_not_fix_overhangs=args.do_not_fix_overhangs,
+            process_secondary=args.process_secondary_alignments)
+
+    def apply(self, read, ref_context):
+        if read.is_unmapped:
+            self.eng.families.append([read])
+            return
+        self.eng.process_read(read, self.names[read.ref_id])
+
+    def on_traversal_success(self):
+        from ..io import bam as bamio
+
+        args = self.args
+        eng = self.eng
+        names = self.names
+        out_reads = []
+        for family in eng.families:
+            family = eng._fix_family(family)
+            _repair_tags(family)
+            if len(family) > 1:
+                contig = names[family[0].ref_id]
+                entries = [f"{contig},{r.pos + 1},{'-' if r.is_reverse else '+'},"
+                           f"{cigar_str(r)},{r.mapq},{r.tags.get('NM', '*')};"
+                           for r in family]
+                for i, r in enumerate(family):
+                    if i > 0:
+                        r.flag |= sam.SUPPLEMENTARY
+                    others = [entries[j] for j in ([0] if i else []) +
+                              [j for j in range(1, len(family)) if j != i]]
+                    r.tags["SA"] = "".join(others)
+            out_reads.extend(family)
+
+        out_reads.sort(key=lambda r: (r.ref_id if r.ref_id >= 0 else 1 << 30, r.pos))
+        w = bamio.BamWriter(args.output, self.reads.header)
+        for r in out_reads:
+            w.write(r)
+        w.close()
+        print(f"wrote {len(out_reads)} reads to {args.output}")
 
 
 @register_tool("ASEReadCounter")

@@ -13,6 +13,7 @@ import struct
 import numpy as np
 
 from ..cli import register_tool
+from ..engine import walkers
 from ..io import bam, bgzf, sam
 
 
@@ -573,24 +574,41 @@ def split_sam_by_number_of_reads(argv):
 def clip_reads(argv):
     """Clip read cycles / low-qual tails (tools/ClipReads.java: --QT qual
     trimming, --CT cycle ranges; soft-clip representation)."""
-    from ..engine import clipping
-
     p = argparse.ArgumentParser(description="ClipReads")
     p.add_argument("-I", "--input", required=True)
     p.add_argument("-O", "--output", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
     p.add_argument("-QT", "--q-trimming-threshold", type=int, default=-1)
     p.add_argument("-CT", "--cycles-to-trim", default=None,
                    help="e.g. 1-5,140-151 (1-based cycle ranges)")
     args = p.parse_args(argv)
-    reader = bam.BamReader(args.input)
-    w = bam.BamWriter(args.output, reader.header)
-    ranges = []
-    if args.cycles_to_trim:
-        for part in args.cycles_to_trim.split(","):
-            lo, hi = part.split("-")
-            ranges.append((int(lo) - 1, int(hi)))
-    n = 0
-    for r in reader:
+    w = _ClipReadsWalker(reads_path=args.input, intervals=args.intervals)
+    w.args = args
+    w.run()
+    return 0
+
+
+class _ClipReadsWalker(walkers.ReadWalker):
+    """ClipReads as a ReadWalker (tools/ClipReads.java extends ReadWalker)."""
+
+    tool_name = "ClipReads"
+    default_read_filters = ()
+
+    def on_traversal_start(self):
+        from ..engine import clipping
+
+        self._clip = clipping
+        args = self.args
+        self.writer = bam.BamWriter(args.output, self.reads.header)
+        self.ranges = []
+        if args.cycles_to_trim:
+            for part in args.cycles_to_trim.split(","):
+                lo, hi = part.split("-")
+                self.ranges.append((int(lo) - 1, int(hi)))
+        self.n = 0
+
+    def apply(self, r, ref_context):
+        args = self.args
         if args.q_trimming_threshold >= 0 and len(r.quals):
             # clip the longest low-qual suffix (ClipReads QUAL mode)
             q = r.quals
@@ -598,18 +616,19 @@ def clip_reads(argv):
             while keep > 0 and q[keep - 1] <= args.q_trimming_threshold:
                 keep -= 1
             if keep == 0:
-                continue
+                return
             if keep < len(q):
-                r = clipping.hard_clip_by_read_coords(r, keep, len(q) - 1)
-        for lo, hi in ranges:
+                r = self._clip.hard_clip_by_read_coords(r, keep, len(q) - 1)
+        for lo, hi in self.ranges:
             if lo < len(r.bases):
                 r.quals = r.quals.copy()
                 r.quals[lo:hi] = 2  # mask cycles at Q2 (soft representation)
-        w.write(r)
-        n += 1
-    w.close()
-    print(f"wrote {n} reads")
-    return 0
+        self.writer.write(r)
+        self.n += 1
+
+    def close_tool(self):
+        self.writer.close()
+        print(f"wrote {self.n} reads")
 
 
 @register_tool("BamIndexStats")

@@ -14,6 +14,7 @@ import os
 import numpy as np
 
 from ..cli import UserError, register_tool
+from ..engine import walkers
 from ..io import sam
 
 
@@ -27,26 +28,40 @@ def _revcomp_bytes(arr):
 @register_tool("SamToFastq")
 def sam_to_fastq(argv):
     """Convert a BAM/SAM to FASTQ (pairs split into F/F2 when requested)."""
-    from ..io import bam as bamio
-
     p = argparse.ArgumentParser(description="SamToFastq")
     p.add_argument("-I", "--input", required=True)
     p.add_argument("-F", "--fastq", required=True)
     p.add_argument("-F2", "--second-end-fastq", default=None)
     p.add_argument("--include-non-pf-reads", default="false")
     args = p.parse_args(argv)
+    w = _SamToFastqWalker(reads_path=args.input)
+    w.args = args
+    w.run()
+    return 0
 
-    def opener(path):
-        return gzip.open(path, "wt") if path.endswith(".gz") else open(path, "w")
 
-    out1 = opener(args.fastq)
-    out2 = opener(args.second_end_fastq) if args.second_end_fastq else None
-    n = 0
-    for r in bamio.BamReader(args.input):
+class _SamToFastqWalker(walkers.ReadWalker):
+    """SamToFastq as a ReadWalker (picard SamToFastq read traversal)."""
+
+    tool_name = "SamToFastq"
+    default_read_filters = ()
+
+    def on_traversal_start(self):
+        args = self.args
+
+        def opener(path):
+            return gzip.open(path, "wt") if path.endswith(".gz") else open(path, "w")
+
+        self.out1 = opener(args.fastq)
+        self.out2 = opener(args.second_end_fastq) if args.second_end_fastq else None
+        self.n = 0
+
+    def apply(self, r, ref_context):
+        args = self.args
         if r.is_secondary or r.is_supplementary:
-            continue
+            return
         if r.fails_vendor_quality and args.include_non_pf_reads.lower() != "true":
-            continue
+            return
         bases = r.bases
         quals = r.quals
         if r.is_reverse:
@@ -54,16 +69,17 @@ def sam_to_fastq(argv):
             quals = quals[::-1]
         rec = (f"@{r.name}\n{bases.tobytes().decode()}\n+\n"
                f"{(quals + 33).astype(np.uint8).tobytes().decode()}\n")
-        if out2 is not None and r.is_paired and (r.flag & sam.SECOND_OF_PAIR):
-            out2.write(rec)
+        if self.out2 is not None and r.is_paired and (r.flag & sam.SECOND_OF_PAIR):
+            self.out2.write(rec)
         else:
-            out1.write(rec)
-        n += 1
-    out1.close()
-    if out2:
-        out2.close()
-    print(f"wrote {n} reads")
-    return 0
+            self.out1.write(rec)
+        self.n += 1
+
+    def close_tool(self):
+        self.out1.close()
+        if self.out2:
+            self.out2.close()
+        print(f"wrote {self.n} reads")
 
 
 @register_tool("FastqToSam")

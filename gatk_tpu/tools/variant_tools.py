@@ -11,6 +11,7 @@ import os
 import re
 
 from ..cli import UserError, register_tool
+from ..engine import walkers
 from ..engine import intervals as iv
 from ..io import bam, fasta, vcf
 
@@ -51,44 +52,63 @@ def select_variants(argv):
         if t not in _SELECT_TYPES:
             raise UserError(f"unknown variant type {t}; one of {sorted(_SELECT_TYPES)}")
 
-    reader = vcf.VcfReader(args.variant)
-    targets = None
-    if args.intervals:
-        targets = [iv.parse_interval(s) for s in args.intervals]
-    sample_idx = None
-    out_samples = reader.samples
-    if args.sample_name:
-        missing = [s for s in args.sample_name if s not in reader.samples]
-        if missing:
-            raise UserError(f"samples not in VCF: {missing}")
-        sample_idx = [reader.samples.index(s) for s in args.sample_name]
-        out_samples = args.sample_name
+    walker = _SelectVariantsWalker(variant_path=args.variant, intervals=args.intervals)
+    walker.args = args
+    walker.run()
+    return 0
 
-    out = []
-    for v in reader:
-        if targets is not None and not any(
-            t.contig == v.contig and v.pos < t.end and v.end > t.start for t in targets
-        ):
-            continue
+
+class _SelectVariantsWalker(walkers.VariantWalker):
+    """SelectVariants as a VariantWalker (tools/walkers/variantutils/
+    SelectVariants.java extends VariantWalker)."""
+
+    tool_name = "SelectVariants"
+    default_read_filters = ()
+
+    def on_traversal_start(self):
+        args = self.args
+        reader = self.variant_reader
+        self.sample_idx = None
+        out_samples = reader.samples
+        if args.sample_name:
+            missing = [s for s in args.sample_name if s not in reader.samples]
+            if missing:
+                raise UserError(f"samples not in VCF: {missing}")
+            self.sample_idx = [reader.samples.index(s) for s in args.sample_name]
+            out_samples = args.sample_name
+        self.writer = vcf.VcfWriter(args.output, out_samples,
+                                    extra_header_lines=reader.header_lines)
+        self.n = 0
+
+    def _variants(self):
+        # SelectVariants uses overlap (not start-containment) interval matching
+        targets = self.targets if self.intervals_arg else None
+        for v in self.variant_reader:
+            if targets is not None and not any(
+                    t.contig == v.contig and v.pos < t.end and v.end > t.start
+                    for t in targets):
+                continue
+            yield v
+
+    def apply(self, v):
+        args = self.args
         vt = _variant_type(v)
         if args.select_type_to_include and vt not in args.select_type_to_include:
-            continue
+            return
         if vt in args.select_type_to_exclude:
-            continue
+            return
         if args.exclude_filtered and v.filters and v.filters != ("PASS",):
-            continue
+            return
         if args.exclude_non_variants and vt == "NO_VARIATION":
-            continue
-        if sample_idx is not None:
-            v.samples = [v.samples[i] for i in sample_idx]
-        out.append(v)
+            return
+        if self.sample_idx is not None:
+            v.samples = [v.samples[i] for i in self.sample_idx]
+        self.writer.write(v)
+        self.n += 1
 
-    w = vcf.VcfWriter(args.output, out_samples, extra_header_lines=reader.header_lines)
-    for v in out:
-        w.write(v)
-    w.close()
-    print(f"selected {len(out)} variants")
-    return 0
+    def close_tool(self):
+        self.writer.close()
+        print(f"selected {self.n} variants")
 
 
 _EXPR_RE = re.compile(r"^\s*(\w+)\s*(<=|>=|<|>|==|!=)\s*(-?[\d.eE+]+)\s*$")
