@@ -53,6 +53,105 @@ def _parse_record(data, off):
     return read, rec_end
 
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """ctypes binding to native/readprep bam_parse_records (the batched C++
+    record splitter; ~3x the pure-python per-record parse)."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+
+    so = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..",
+                      "native", "readprep", "libreadprep_native.so")
+    if not os.path.exists(so) or os.environ.get("GATK_TPU_NO_NATIVE"):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        c = ctypes
+        u8 = np.ctypeslib.ndpointer(np.uint8)
+        i32 = np.ctypeslib.ndpointer(np.int32)
+        i64 = np.ctypeslib.ndpointer(np.int64)
+        lib.bam_parse_records.restype = c.c_int64
+        lib.bam_parse_records.argtypes = [
+            u8, c.c_int64, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
+            c.c_int64, c.c_int64, i32, i64, u8, i64, u8, i32, i64, u8, u8,
+            i64, u8, c.POINTER(c.c_int64)]
+    except (OSError, AttributeError):
+        return None
+    _NATIVE = lib
+    return lib
+
+
+def _parse_records_batch(data, off, end):
+    """Yield Reads for every record in data[off:end) via the native batch
+    splitter; returns None when the native library is unavailable."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    import ctypes
+
+    arr = np.frombuffer(data, np.uint8)
+    nbytes = end - off
+    cap_rec = nbytes // 36 + 2
+    name_cap = nbytes + 1
+    cig_cap = nbytes // 4 + 2
+    seq_cap = 2 * nbytes + 2
+    tag_cap = nbytes + 1
+    out = []
+    while off < end:
+        core = np.empty((cap_rec, 8), np.int32)
+        name_off = np.empty(cap_rec + 1, np.int64)
+        name_buf = np.empty(name_cap, np.uint8)
+        cig_off = np.empty(cap_rec + 1, np.int64)
+        cig_ops = np.empty(cig_cap, np.uint8)
+        cig_lens = np.empty(cig_cap, np.int32)
+        seq_off = np.empty(cap_rec + 1, np.int64)
+        seq_buf = np.empty(seq_cap, np.uint8)
+        qual_buf = np.empty(seq_cap, np.uint8)
+        tag_off = np.empty(cap_rec + 1, np.int64)
+        tag_buf = np.empty(tag_cap, np.uint8)
+        consumed = ctypes.c_int64()
+        n = lib.bam_parse_records(
+            arr, np.int64(off), np.int64(end), np.int64(cap_rec),
+            np.int64(name_cap), np.int64(cig_cap), np.int64(seq_cap),
+            np.int64(tag_cap), core, name_off, name_buf, cig_off, cig_ops,
+            cig_lens, seq_off, seq_buf, qual_buf, tag_off, tag_buf,
+            ctypes.byref(consumed))
+        if n <= 0:
+            break
+        # freeze the shared buffers: slices become read-only views, so any
+        # in-place mutation downstream raises (same contract as the old
+        # frombuffer-on-bytes views)
+        for a in (cig_ops, cig_lens, seq_buf, qual_buf):
+            a.flags.writeable = False
+        names = name_buf[: name_off[n]].tobytes()
+        tags_blob = tag_buf[: tag_off[n]].tobytes()
+        make = Read.make
+        for i in range(n):
+            c0 = core[i]
+            end_cache = int(c0[7])
+            r = make(
+                names[name_off[i]: name_off[i + 1]].decode(),
+                int(c0[2]), int(c0[0]), int(c0[1]), int(c0[3]),
+                cig_ops[cig_off[i]: cig_off[i + 1]],
+                cig_lens[cig_off[i]: cig_off[i + 1]],
+                seq_buf[seq_off[i]: seq_off[i + 1]],
+                qual_buf[seq_off[i]: seq_off[i + 1]],
+                int(c0[4]), int(c0[5]), int(c0[6]),
+                parse_tags(tags_blob[tag_off[i]: tag_off[i + 1]]))
+            r.__dict__["_end_cache"] = end_cache
+            out.append(r)
+        if consumed.value == off:
+            break  # no progress (malformed trailing bytes)
+        off = consumed.value
+    return out
+
+
 class BaiIndex:
     """BAM binning+linear index (.bai), per the SAM spec section 5.2."""
 
@@ -194,6 +293,10 @@ class BamReader:
         data = self._full_data()
         off = self._records_start
         n = len(data)
+        batch = _parse_records_batch(data, off, n)
+        if batch is not None:
+            yield from batch
+            return
         while off < n:
             read, off = _parse_record(data, off)
             yield read
@@ -218,6 +321,14 @@ class BamReader:
                 buf = self._bgzf.read_range(chunk_beg, chunk_end)
                 off = 0
                 n = len(buf)
+                batch = _parse_records_batch(buf, off, n)
+                if batch is not None:
+                    for read in batch:
+                        if read.ref_id != rid or read.pos >= end:
+                            continue
+                        if read.is_unmapped or read.end > start:
+                            yield read
+                    continue
                 while off + 4 <= n:
                     read, off = _parse_record(buf, off)
                     if read.ref_id != rid or read.pos >= end:

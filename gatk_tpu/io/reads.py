@@ -143,34 +143,61 @@ _TAG_FMT = {
 }
 
 
+_TAG_KEY_CACHE: dict = {}
+
+
 def parse_tags(buf: bytes) -> dict:
-    """Parse BAM auxiliary tags into a python dict."""
+    """Parse BAM auxiliary tags into a python dict (hot per-record path:
+    interned 2-char keys, int.from_bytes instead of struct for scalars)."""
     tags = {}
     off = 0
     n = len(buf)
+    from_bytes = int.from_bytes
     while off + 3 <= n:
-        key = buf[off : off + 2].decode("ascii", "replace")
+        kraw = buf[off : off + 2]
+        key = _TAG_KEY_CACHE.get(kraw)
+        if key is None:
+            key = _TAG_KEY_CACHE.setdefault(kraw, kraw.decode("ascii", "replace"))
         tp = buf[off + 2]
         off += 3
-        if tp in _TAG_FMT:
-            fmt, sz = _TAG_FMT[tp]
-            (val,) = struct.unpack_from(fmt, buf, off)
-            if tp == ord("A"):
-                val = val.decode("ascii")
-            off += sz
-        elif tp in (ord("Z"), ord("H")):
-            endz = buf.index(b"\x00", off)
-            val = buf[off:endz].decode("ascii", "replace")
+        if tp == 90 or tp == 72:  # Z / H
+            endz = buf.index(0, off)
+            tags[key] = buf[off:endz].decode("ascii", "replace")
             off = endz + 1
-        elif tp == ord("B"):
+        elif tp == 105:  # i
+            tags[key] = from_bytes(buf[off : off + 4], "little", signed=True)
+            off += 4
+        elif tp == 67:  # C
+            tags[key] = buf[off]
+            off += 1
+        elif tp == 99:  # c
+            v = buf[off]
+            tags[key] = v - 256 if v > 127 else v
+            off += 1
+        elif tp == 83:  # S
+            tags[key] = from_bytes(buf[off : off + 2], "little")
+            off += 2
+        elif tp == 115:  # s
+            tags[key] = from_bytes(buf[off : off + 2], "little", signed=True)
+            off += 2
+        elif tp == 73:  # I
+            tags[key] = from_bytes(buf[off : off + 4], "little")
+            off += 4
+        elif tp == 102:  # f
+            (tags[key],) = struct.unpack_from("<f", buf, off)
+            off += 4
+        elif tp == 65:  # A
+            tags[key] = chr(buf[off])
+            off += 1
+        elif tp == 66:  # B
             sub = buf[off]
-            cnt = struct.unpack_from("<I", buf, off + 1)[0]
+            cnt = from_bytes(buf[off + 1 : off + 5], "little")
             fmt, sz = _TAG_FMT[sub]
-            val = np.frombuffer(buf, dtype=np.dtype(fmt[1]), count=cnt, offset=off + 5).copy()
+            tags[key] = np.frombuffer(buf, dtype=np.dtype(fmt[1]), count=cnt,
+                                      offset=off + 5).copy()
             off += 5 + cnt * sz
         else:
             raise ValueError(f"unknown tag type {chr(tp)} for {key}")
-        tags[key] = val
     return tags
 
 

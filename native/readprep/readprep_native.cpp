@@ -200,3 +200,101 @@ int64_t pileup_expand(const uint8_t* cat_bases, const uint8_t* cat_quals,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Batch BAM record parse (io/bam.py _parse_record, vectorized): splits raw
+// uncompressed BAM records in data[off, end) into SoA buffers — core fields,
+// concatenated names / cigars / ASCII bases / quals / raw tag blobs with
+// offset arrays. Returns the number of records parsed; stops early if any
+// buffer would overflow (caller retries with bigger caps) and writes the
+// byte offset reached to *consumed.
+int64_t bam_parse_records(const uint8_t* data, int64_t off, int64_t end,
+                          int64_t cap_records, int64_t name_cap,
+                          int64_t cig_cap, int64_t seq_cap, int64_t tag_cap,
+                          int32_t* core,  // (cap_records, 8)
+                          int64_t* name_off, uint8_t* name_buf,
+                          int64_t* cig_off, uint8_t* cig_ops, int32_t* cig_lens,
+                          int64_t* seq_off, uint8_t* seq_buf, uint8_t* qual_buf,
+                          int64_t* tag_off, uint8_t* tag_buf,
+                          int64_t* consumed) {
+  static const char NT16[] = "=ACMGRSVTWYHKDBN";
+  int64_t n = 0;
+  int64_t np = 0, cp = 0, sp = 0, tp = 0;
+  name_off[0] = cig_off[0] = seq_off[0] = tag_off[0] = 0;
+  while (off + 4 <= end && n < cap_records) {
+    const int32_t block_size = *reinterpret_cast<const int32_t*>(data + off);
+    const int64_t rec_end = off + 4 + block_size;
+    if (rec_end > end) break;
+    const uint8_t* p = data + off + 4;
+    const int32_t ref_id = reinterpret_cast<const int32_t*>(p)[0];
+    const int32_t pos = reinterpret_cast<const int32_t*>(p)[1];
+    const uint32_t l_rn_mapq_bin = reinterpret_cast<const uint32_t*>(p)[2];
+    const uint32_t ncig_flag = reinterpret_cast<const uint32_t*>(p)[3];
+    const int32_t l_seq = reinterpret_cast<const int32_t*>(p)[4];
+    const int32_t next_ref = reinterpret_cast<const int32_t*>(p)[5];
+    const int32_t next_pos = reinterpret_cast<const int32_t*>(p)[6];
+    const int32_t tlen = reinterpret_cast<const int32_t*>(p)[7];
+    const int32_t l_read_name = l_rn_mapq_bin & 0xFF;
+    const int32_t mapq = (l_rn_mapq_bin >> 8) & 0xFF;
+    const int32_t n_cigar = ncig_flag & 0xFFFF;
+    const int32_t flag = ncig_flag >> 16;
+    const uint8_t* q = p + 32;
+    const int64_t name_len = l_read_name - 1;
+    const int64_t n_seq_bytes = (l_seq + 1) / 2;
+    const int64_t tag_len = rec_end - (int64_t)(q - data) - l_read_name -
+                            4LL * n_cigar - n_seq_bytes - l_seq;
+    if (np + name_len > name_cap || cp + n_cigar > cig_cap ||
+        sp + l_seq > seq_cap || tp + tag_len > tag_cap)
+      break;
+    // name (without trailing NUL)
+    std::memcpy(name_buf + np, q, name_len);
+    np += name_len;
+    q += l_read_name;
+    // cigar + reference end
+    int64_t ref_len = 0;
+    for (int32_t k = 0; k < n_cigar; k++) {
+      const uint32_t cv = reinterpret_cast<const uint32_t*>(q)[k];
+      const uint8_t op = cv & 0xF;
+      const int32_t ln = cv >> 4;
+      cig_ops[cp + k] = op;
+      cig_lens[cp + k] = ln;
+      // M/D/N/=/X consume reference
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) ref_len += ln;
+    }
+    cp += n_cigar;
+    q += 4LL * n_cigar;
+    // bases 4-bit -> ASCII
+    for (int32_t k = 0; k < l_seq; k++) {
+      const uint8_t b = q[k >> 1];
+      seq_buf[sp + k] = (uint8_t)NT16[(k & 1) ? (b & 0xF) : (b >> 4)];
+    }
+    q += n_seq_bytes;
+    std::memcpy(qual_buf + sp, q, l_seq);
+    sp += l_seq;
+    q += l_seq;
+    // raw tag blob
+    if (tag_len > 0) std::memcpy(tag_buf + tp, q, tag_len);
+    tp += tag_len > 0 ? tag_len : 0;
+
+    int32_t* c = core + n * 8;
+    c[0] = ref_id;
+    c[1] = pos;
+    c[2] = flag;
+    c[3] = mapq;
+    c[4] = next_ref;
+    c[5] = next_pos;
+    c[6] = tlen;
+    c[7] = pos + (int32_t)ref_len;  // 0-based exclusive alignment end
+    n++;
+    name_off[n] = np;
+    cig_off[n] = cp;
+    seq_off[n] = sp;
+    tag_off[n] = tp;
+    off = rec_end;
+  }
+  *consumed = off;
+  return n;
+}
+
+}  // extern "C"
