@@ -174,3 +174,57 @@ def test_as_annotation_classes_compute():
     assert float(out["AS_MQRankSum"]) < 0  # alt MQ 50 < ref MQ 60
     assert float(out["AS_BaseQRankSum"]) < 0
     assert "AS_FS" in out and "AS_SOR" in out and "AS_ReadPosRankSum" in out
+
+
+MITO = ("/root/reference/src/test/resources/org/broadinstitute/hellbender/"
+        "tools/mutect/mito")
+
+
+@pytest.mark.slow
+def test_hc_gvcf_as_raw_shapes(tmp_path):
+    """HC -ERC GVCF -G AS_StandardAnnotation emits the reference's GVCF-mode
+    raw forms (expected.testGVCFMode.gatk4.alleleSpecific.g.vcf shapes):
+    per-alt z singletons with an empty ref section and NaN NON_REF, AS_RAW_MQ
+    over all alleles, AS_SB_TABLE with a 0,0 NON_REF row, per-sample SB."""
+    import os
+
+    if not os.path.exists(f"{MITO}/NA12878.bam"):
+        pytest.skip("mito unavailable")
+    from gatk_tpu.cli import TOOL_REGISTRY
+
+    out = tmp_path / "as.g.vcf"
+    rc = TOOL_REGISTRY["HaplotypeCaller"](
+        ["-I", f"{MITO}/NA12878.bam",
+         "-R", f"{MITO}/Homo_sapiens_assembly38.mt_only.fasta",
+         "-L", "chrM:140-170", "-ERC", "GVCF",
+         "--max-reads-per-alignment-start", "3",
+         "-G", "AS_StandardAnnotation", "-O", str(out)])
+    assert not rc
+    var_lines = [l for l in open(out)
+                 if not l.startswith("#") and "AS_SB_TABLE" in l]
+    assert var_lines, "no AS-annotated variant records emitted"
+    f = var_lines[0].rstrip("\n").split("\t")
+    info = dict(kv.split("=", 1) for kv in f[7].split(";") if "=" in kv)
+    n_alleles = 1 + len(f[4].split(","))  # ref + alts (incl NON_REF)
+    # AS_SB_TABLE covers every allele; NON_REF row is 0,0
+    sb_rows = info["AS_SB_TABLE"].split("|")
+    assert len(sb_rows) == n_alleles
+    assert sb_rows[-1] == "0,0"
+    # AS_RAW_MQ: %.2f per allele, NON_REF 0.00
+    mq = info["AS_RAW_MQ"].split("|")
+    assert len(mq) == n_alleles and mq[-1] == "0.00"
+    # rank-sum raws: leading empty ref section, z,1 singletons or NaN,
+    # NaN for NON_REF
+    for key in ("AS_RAW_BaseQRankSum", "AS_RAW_MQRankSum",
+                "AS_RAW_ReadPosRankSum"):
+        secs = info[key].split("|")
+        assert len(secs) == n_alleles
+        assert secs[0] == ""          # ref section is empty
+        assert secs[-1] == "NaN"      # NON_REF
+        for sec in secs[1:-1]:
+            assert sec == "NaN" or sec.endswith(",1"), (key, sec)
+    # per-sample SB FORMAT field present with 4 comma-separated counts
+    fmt = f[8].split(":")
+    assert "SB" in fmt
+    sb_val = f[9].split(":")[fmt.index("SB")]
+    assert len(sb_val.split(",")) == 4
