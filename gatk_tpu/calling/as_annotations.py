@@ -122,12 +122,18 @@ def parse_histogram_sections(raw: str, n_alleles: int):
     return hists
 
 
-def format_histogram_sections(hists) -> str:
-    """makeRawAnnotationString/makeCombinedAnnotationString: skip the ref
-    section's content (empty leading section), 'NaN' for empty alt sections."""
+def format_histogram_sections(hists, combined: bool = False) -> str:
+    """makeRawAnnotationString (combined=False: empty alt sections print as
+    'NaN', the empty Histogram's toString) vs makeCombinedAnnotationString
+    (combined=True: empty sections print as '')."""
     out = []
     for i, h in enumerate(hists):
-        out.append("" if i == 0 else h.to_string())
+        if i == 0:
+            out.append("")
+        elif combined and h.is_empty():
+            out.append("")
+        else:
+            out.append(h.to_string())
     return RAW_DELIM.join(out)
 
 
@@ -253,7 +259,7 @@ def combine_raw_fields(sample_infos, sample_allele_lists, merged_alleles):
                 if a in idx:
                     combined[idx[a]].merge(h)
         if any_present:
-            out[key] = format_histogram_sections(combined)
+            out[key] = format_histogram_sections(combined, combined=True)
     # AS_RAW_MQ sums
     sums = [0.0] * n
     any_mq = False
@@ -294,7 +300,8 @@ def subset_raw_fields(info, old_alleles, new_alleles):
             continue
         hists = parse_histogram_sections(info[key], len(old_alleles))
         out[key] = format_histogram_sections(
-            [hists[idx[a]] if a in idx else ZHistogram() for a in new_alleles])
+            [hists[idx[a]] if a in idx else ZHistogram() for a in new_alleles],
+            combined=True)
     if "AS_RAW_MQ" in info:
         vals = parse_raw_mq(info["AS_RAW_MQ"], len(old_alleles))
         out["AS_RAW_MQ"] = format_raw_mq(

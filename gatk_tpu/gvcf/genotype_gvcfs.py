@@ -42,7 +42,8 @@ def _pl_index_map(old_alleles, new_alleles, ploidy=2):
 
 def regenotype_records_at_site(records, samples, af_calc=None, ploidy=2,
                                standard_confidence=STANDARD_CONFIDENCE,
-                               include_non_variants=False):
+                               include_non_variants=False,
+                               keep_combined_raw=False):
     """records: per-sample (variant, sample_dict) at one site with identical
     ref/alts (pre-merged); returns a re-genotyped Variant or None.
 
@@ -266,7 +267,8 @@ def regenotype_records_at_site(records, samples, af_calc=None, ploidy=2,
         for key in asmod.RAW_RANKSUM_KEYS:
             if key in combined:
                 h = asmod.parse_histogram_sections(combined[key], n_full)
-                sub[key] = asmod.format_histogram_sections([h[i] for i in sel])
+                sub[key] = asmod.format_histogram_sections(
+                    [h[i] for i in sel], combined=True)
         if "AS_RAW_MQ" in combined:
             vals = asmod.parse_raw_mq(combined["AS_RAW_MQ"], n_full)
             sub["AS_RAW_MQ"] = asmod.format_raw_mq([vals[i] for i in sel])
@@ -294,6 +296,12 @@ def regenotype_records_at_site(records, samples, af_calc=None, ploidy=2,
             per_allele_qual = [int(round(max(0.0, -10.0 * q)))
                                for q in af.log10_p_ref_by_allele]
         fin = asmod.finalize_all(sub, alleles, ad_sums, per_allele_qual=None)
+        if keep_combined_raw:
+            # -keep-combined: retain the subset raw annotations + AS_QUAL
+            # (GenotypeGVCFs --keep-combined-raw-annotations)
+            fin.update(sub)
+            if per_allele_qual is not None:
+                fin["AS_QUAL"] = ",".join(str(q) for q in per_allele_qual)
         if per_allele_qual is not None:
             qdv = []
             for ai in range(1, n_final):

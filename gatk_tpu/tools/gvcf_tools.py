@@ -20,6 +20,10 @@ def genotype_gvcfs_tool(argv):
                    type=float, default=30.0)
     p.add_argument("--include-non-variant-sites", action="store_true")
     p.add_argument("--sample-ploidy", type=int, default=2)
+    p.add_argument("-keep-combined", "--keep-combined-raw-annotations",
+                   dest="keep_combined", action="store_true",
+                   help="retain the combined raw AS_* annotations (and "
+                        "AS_QUAL) alongside the finalized values")
     args = p.parse_args(argv)
 
     from ..utils.javarandom import reset_random_generator
@@ -46,6 +50,7 @@ def genotype_gvcfs_tool(argv):
             records, reader.samples, ploidy=args.sample_ploidy,
             standard_confidence=args.standard_min_confidence_threshold_for_calling,
             include_non_variants=args.include_non_variant_sites,
+            keep_combined_raw=args.keep_combined,
         )
         if res is not None:
             out.append(res)

@@ -176,6 +176,26 @@ def test_as_annotation_classes_compute():
     assert "AS_FS" in out and "AS_SOR" in out and "AS_ReadPosRankSum" in out
 
 
+def test_genotype_gvcfs_keep_combined_matches_golden(tmp_path):
+    """-keep-combined retains the subset raw AS_* annotations + AS_QUAL;
+    every AS_ value matches AS_Annotations.keepRawCombined.expected.vcf."""
+    from gatk_tpu.cli import TOOL_REGISTRY
+
+    out = tmp_path / "kc.vcf"
+    rc = TOOL_REGISTRY["GenotypeGVCFs"](
+        ["-V", f"{GG}/NA12878.AS.chr20snippet.g.vcf", "-O", str(out),
+         "-keep-combined"])
+    assert not rc
+    exp = _as_info(f"{GG}/AS_Annotations.keepRawCombined.expected.vcf",
+                   extra=())
+    got = _as_info(str(out), extra=())
+    mismatches = [(site, key, val, got.get(site, {}).get(key))
+                  for site, fields in exp.items()
+                  for key, val in fields.items()
+                  if got.get(site, {}).get(key) != val]
+    assert not mismatches, mismatches[:10]
+
+
 MITO = ("/root/reference/src/test/resources/org/broadinstitute/hellbender/"
         "tools/mutect/mito")
 
