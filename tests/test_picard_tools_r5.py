@@ -337,3 +337,177 @@ def test_umi_aware_mark_duplicates(tmp_path):
     assert not got["b"].is_duplicate  # distinct UMI cluster
     dups = sum(1 for r in got.values() if r.is_duplicate)
     assert dups == 1  # one of a/c marked within the merged cluster
+
+
+# ---------------------------------------------------------------------------
+# tranche 2
+# ---------------------------------------------------------------------------
+
+def test_view_sam(tmp_path, capsys):
+    p = _mini_bam(tmp_path, [_read("a", 10), _read("b", 5, flag=sam.UNMAPPED)])
+    run("ViewSam", ["-I", p, "--ALIGNMENT_STATUS", "Aligned"])
+    out = capsys.readouterr().out
+    assert "\na\t" in "\n" + out and "\nb\t" not in "\n" + out
+    assert "@SQ\tSN:c0" in out
+
+
+def test_compare_sams(tmp_path):
+    p1 = _mini_bam(tmp_path, [_read("a", 10), _read("b", 50)], name="x.bam")
+    p2 = _mini_bam(tmp_path, [_read("a", 10), _read("b", 50)], name="y.bam")
+    assert TOOL_REGISTRY["CompareSAMs"]([p1, p2]) == 0
+    p3 = _mini_bam(tmp_path, [_read("a", 10), _read("b", 60)], name="z.bam")
+    assert TOOL_REGISTRY["CompareSAMs"]([p1, p3]) == 1
+
+
+def test_check_terminator_block(tmp_path):
+    p = _mini_bam(tmp_path, [_read("a", 10)])
+    assert TOOL_REGISTRY["CheckTerminatorBlock"](["-I", p]) == 0
+    trunc = tmp_path / "trunc.bam"
+    trunc.write_bytes(open(p, "rb").read()[:-28])
+    assert TOOL_REGISTRY["CheckTerminatorBlock"](["-I", str(trunc)]) == 100
+
+
+def test_fix_vcf_header(tmp_path):
+    src = tmp_path / "in.vcf"
+    w = vcf.VcfWriter(str(src), ["S"])
+    w.write(vcf.Variant(contig="chrM", pos=9, ref="A", alts=("G",), qual=10.0,
+                        filters=("weird_filter",), info={"MYKEY": "1"},
+                        fmt_keys=("GT", "XX"),
+                        samples=[{"GT": "0/1", "XX": "z"}]))
+    w.close()
+    out = tmp_path / "fixed.vcf"
+    run("FixVcfHeader", ["-I", str(src), "-O", str(out)])
+    hdr = open(out).read()
+    assert "##INFO=<ID=MYKEY" in hdr
+    assert "##FORMAT=<ID=XX" in hdr
+    assert "##FILTER=<ID=weird_filter" in hdr
+
+
+def test_gather_gvcfs(tmp_path):
+    parts = []
+    for i, pos in enumerate(((5, 10), (10, 20))):
+        pth = tmp_path / f"s{i}.vcf"
+        w = vcf.VcfWriter(str(pth), ["S"])
+        for p0 in pos:
+            w.write(vcf.Variant(contig="chrM", pos=p0, ref="A", alts=("G",),
+                                qual=10.0, filters=(), info={},
+                                fmt_keys=("GT",), samples=[{"GT": "0/1"}]))
+        w.close()
+        parts.append(str(pth))
+    out = tmp_path / "g.vcf"
+    run("GatherGvcfs", ["-I", parts[0], "-I", parts[1], "-O", str(out)])
+    poss = [v.pos for v in vcf.VcfReader(str(out))]
+    assert poss == [5, 10, 20]  # overlap at 10 clipped once
+
+
+def test_collect_variant_calling_metrics(tmp_path):
+    db = tmp_path / "dbsnp.vcf"
+    w = vcf.VcfWriter(str(db), [])
+    w.write(vcf.Variant(contig="chrM", pos=10, ref="A", alts=("G",), qual=None,
+                        filters=(), info={}, fmt_keys=(), samples=[]))
+    w.close()
+    call = tmp_path / "c.vcf"
+    w = vcf.VcfWriter(str(call), [])
+    for pos, ref, alt in ((10, "A", "G"), (20, "C", "A"), (30, "A", "AT")):
+        w.write(vcf.Variant(contig="chrM", pos=pos, ref=ref, alts=(alt,),
+                            qual=30.0, filters=(), info={}, fmt_keys=(),
+                            samples=[]))
+    w.close()
+    out = tmp_path / "vc"
+    run("CollectVariantCallingMetrics",
+        ["-I", str(call), "--DBSNP", str(db), "-O", str(out)])
+    body = open(str(out) + ".variant_calling_summary_metrics").read()
+    row = [l for l in body.splitlines() if l and l[0].isdigit()][0].split("\t")
+    assert row[0] == "2" and row[1] == "1" and row[6] == "1"
+
+
+def test_extract_sequences_and_nonn(tmp_path):
+    mito_fa = f"{MITO}/Homo_sapiens_assembly38.mt_only.fasta"
+    il = tmp_path / "x.interval_list"
+    il.write_text("chrM\t1\t10\t+\tfirst10\n")
+    out = tmp_path / "sub.fasta"
+    run("ExtractSequences", ["--INTERVAL_LIST", str(il), "-R", mito_fa,
+                             "-O", str(out)])
+    lines = open(out).read().splitlines()
+    assert lines[0] == ">first10" and len(lines[1]) == 10
+    run("NonNFastaSize", ["-I", str(out), "-O", str(tmp_path / "n.txt")])
+    assert int(open(tmp_path / "n.txt").read()) == 10
+
+
+def test_add_comments_and_replace_header(tmp_path):
+    p = _mini_bam(tmp_path, [_read("a", 10)])
+    out = tmp_path / "co.bam"
+    run("AddCommentsToBam", ["-I", p, "-O", str(out), "-C", "hello world"])
+    assert "@CO\thello world" in bam.BamReader(str(out)).header.text
+    out2 = tmp_path / "rh.bam"
+    run("ReplaceSamHeader", ["-I", p, "--HEADER", str(out), "-O", str(out2)])
+    assert "@CO\thello world" in bam.BamReader(str(out2)).header.text
+    assert [r.name for r in bam.BamReader(str(out2))] == ["a"]
+
+
+def test_add_oa_tag(tmp_path):
+    p = _mini_bam(tmp_path, [_read("a", 10)])
+    out = tmp_path / "oa.bam"
+    run("AddOATag", ["-I", p, "-O", str(out)])
+    rd = next(iter(bam.BamReader(str(out))))
+    assert rd.tags["OA"].startswith("c0,11,+,20M,60")
+
+
+def test_revert_oq_add_mate_cigar(tmp_path):
+    r1 = _read("a", 10, flag=sam.PAIRED | sam.FIRST_OF_PAIR)
+    r1.tags["OQ"] = "I" * 20  # Q40
+    r2 = _read("a", 100, flag=sam.PAIRED | sam.SECOND_OF_PAIR, n=30)
+    p = _mini_bam(tmp_path, [r1, r2])
+    out = tmp_path / "rq.bam"
+    run("RevertOriginalBaseQualitiesAndAddMateCigar",
+        ["-I", p, "-O", str(out)])
+    got = {(r.flag & 0xC0): r for r in bam.BamReader(str(out))}
+    assert (got[0x40].quals == 40).all()
+    assert got[0x40].tags["MC"] == "30M"
+    assert got[0x80].tags["MC"] == "20M"
+
+
+def test_collect_jumping_library_metrics(tmp_path):
+    # inward (FR) pair: leftmost forward
+    r = _read("a", 10, flag=sam.PAIRED | sam.FIRST_OF_PAIR | sam.MATE_REVERSE)
+    r.mate_ref_id = 0
+    r.mate_pos = 200
+    p = _mini_bam(tmp_path, [r])
+    out = tmp_path / "jump.txt"
+    run("CollectJumpingLibraryMetrics", ["-I", p, "-O", str(out)])
+    body = open(out).read()
+    row = [l for l in body.splitlines() if l and l[0].isdigit()][0].split("\t")
+    assert row[1] == "1"  # NONJUMP (inward)
+
+
+def test_compare_metrics(tmp_path):
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("## header A\nX\t1\n")
+    b.write_text("## header B\nX\t1\n")
+    assert TOOL_REGISTRY["CompareMetrics"]([str(a), str(b)]) == 0
+    b.write_text("## header B\nX\t2\n")
+    assert TOOL_REGISTRY["CompareMetrics"]([str(a), str(b)]) == 1
+
+
+def test_cluster_crosscheck_metrics(tmp_path):
+    m = tmp_path / "cc.txt"
+    m.write_text("LEFT_SAMPLE\tRIGHT_SAMPLE\tLOD_SCORE\n"
+                 "s1\ts2\t12.0\n"
+                 "s1\ts3\t-30.0\n"
+                 "s2\ts3\t-28.0\n")
+    out = tmp_path / "clusters.txt"
+    run("ClusterCrosscheckMetrics", ["-I", str(m), "-O", str(out)])
+    body = open(out).read()
+    assert "s1,s2" in body and "s3" in body
+
+
+def test_wgs_metrics_variants_and_markdup_routes(tmp_path):
+    p = _mini_bam(tmp_path, [_read("a", 10), _read("b", 10)])
+    out = tmp_path / "raw.txt"
+    run("CollectRawWgsMetrics", ["-I", p, "-O", str(out)])
+    assert "MEAN_COVERAGE" in open(out).read()
+    md = tmp_path / "md.bam"
+    run("SimpleMarkDuplicatesWithMateCigar",
+        ["-I", p, "-O", str(md), "-M", str(tmp_path / "m.txt")])
+    assert sum(1 for r in bam.BamReader(str(md)) if r.is_duplicate) == 1
