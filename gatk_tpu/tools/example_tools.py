@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 
 from ..cli import register_tool
+from ..engine import walkers
 
 
 def _out(args):
@@ -358,4 +359,146 @@ def example_multi_feature_walker(argv):
         n += 1
     fh.write(f"{n} features from {len(args.feature)} inputs\n")
     _close(fh)
+    return 0
+
+
+@register_tool("ExamplePostTraversalPythonExecutor")
+def example_post_traversal_python_executor(argv):
+    """Example: walker output post-processed by a spawned python script
+    (tools/examples/ExamplePostTraversalPythonExecutor.java — the
+    PythonScriptExecutor batch-subprocess boundary, utils/python/
+    PythonScriptExecutor.java)."""
+    import argparse
+    import subprocess
+    import sys
+    import tempfile
+
+    p = argparse.ArgumentParser(description="ExamplePostTraversalPythonExecutor")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-P", "--pythonOutputFile", required=True)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    args = p.parse_args(argv)
+
+    class _W(walkers.ReadWalker):
+        tool_name = "ExamplePostTraversalPythonExecutor"
+        default_read_filters = ()
+
+        def on_traversal_start(self):
+            self.fh = open(args.output, "w")
+            self.contig_of = {s.index: s.name
+                              for s in self.reads.header.sequences}
+
+        def apply(self, read, ref_context):
+            self.fh.write(
+                f"Read at {self.contig_of.get(read.ref_id, '*')}:"
+                f"{read.pos + 1}-{read.end}:\n"
+                f"{read.bases.tobytes().decode()}\n\n")
+
+        def on_traversal_success(self):
+            self.fh.close()
+            # the reference ships copyInputFileToOutputFile.py as a resource
+            # and execs it via PythonScriptExecutor; same subprocess boundary
+            with tempfile.NamedTemporaryFile("w", suffix=".py",
+                                             delete=False) as script:
+                script.write(
+                    "import sys\n"
+                    "with open(sys.argv[1]) as src, open(sys.argv[2], 'w') as dst:\n"
+                    "    dst.write(src.read())\n")
+                path = script.name
+            rc = subprocess.run(
+                [sys.executable, path, args.output, args.pythonOutputFile]
+            ).returncode
+            if rc:
+                raise RuntimeError(f"python post-processing failed ({rc})")
+
+    _W(reads_path=args.input, intervals=args.intervals).run()
+    return 0
+
+
+@register_tool("ExampleStreamingPythonExecutor")
+def example_streaming_python_executor(argv):
+    """Example: reads streamed in batches to a persistent python subprocess
+    over a FIFO with per-batch acknowledgement (tools/examples/
+    ExampleStreamingPythonExecutor.java; utils/python/
+    StreamingPythonScriptExecutor.java:46,152-156 data FIFO + ack protocol)."""
+    import argparse
+    import os as _os
+    import subprocess
+    import sys
+    import tempfile
+
+    p = argparse.ArgumentParser(description="ExampleStreamingPythonExecutor")
+    p.add_argument("-I", "--input", required=True)
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("--batchSize", type=int, default=1000)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    args = p.parse_args(argv)
+
+    tmpdir = tempfile.mkdtemp(prefix="gatk_tpu_fifo_")
+    data_fifo = _os.path.join(tmpdir, "data.fifo")
+    ack_fifo = _os.path.join(tmpdir, "ack.fifo")
+    _os.mkfifo(data_fifo)
+    _os.mkfifo(ack_fifo)
+    # persistent consumer: reads length-prefixed batches from the data FIFO,
+    # appends to the output, writes one ack byte per batch
+    consumer_src = f"""
+import sys
+out = open({args.output!r}, 'w')
+data = open({data_fifo!r}, 'rb')
+ack = open({ack_fifo!r}, 'wb')
+while True:
+    hdr = data.readline()
+    if not hdr:
+        break
+    n = int(hdr)
+    if n < 0:
+        break
+    out.write(data.read(n).decode())
+    out.flush()
+    ack.write(b'A')
+    ack.flush()
+out.close()
+"""
+    proc = subprocess.Popen([sys.executable, "-c", consumer_src])
+    data = open(data_fifo, "wb")
+    ack = open(ack_fifo, "rb")
+
+    class _W(walkers.ReadWalker):
+        tool_name = "ExampleStreamingPythonExecutor"
+        default_read_filters = ()
+
+        def on_traversal_start(self):
+            self.batch = []
+            self.contig_of = {s.index: s.name
+                              for s in self.reads.header.sequences}
+
+        def _flush(self):
+            if not self.batch:
+                return
+            payload = "".join(self.batch).encode()
+            data.write(str(len(payload)).encode() + b"\n" + payload)
+            data.flush()
+            assert ack.read(1) == b"A", "python consumer did not acknowledge"
+            self.batch = []
+
+        def apply(self, read, ref_context):
+            self.batch.append(
+                f"Read at {self.contig_of.get(read.ref_id, '*')}:"
+                f"{read.pos + 1}-{read.end}:\n"
+                f"{read.bases.tobytes().decode()}\n")
+            if len(self.batch) >= args.batchSize:
+                self._flush()
+
+        def on_traversal_success(self):
+            self._flush()
+            data.write(b"-1\n")
+            data.close()
+            ack.close()
+            proc.wait(timeout=30)
+
+    _W(reads_path=args.input, intervals=args.intervals).run()
+    import shutil
+
+    shutil.rmtree(tmpdir, ignore_errors=True)
     return 0

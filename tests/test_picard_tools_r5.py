@@ -511,3 +511,18 @@ def test_wgs_metrics_variants_and_markdup_routes(tmp_path):
     run("SimpleMarkDuplicatesWithMateCigar",
         ["-I", p, "-O", str(md), "-M", str(tmp_path / "m.txt")])
     assert sum(1 for r in bam.BamReader(str(md)) if r.is_duplicate) == 1
+
+
+def test_python_executor_examples(tmp_path):
+    """The two Python-executor example walkers (subprocess + FIFO streaming
+    protocol surfaces of utils/python/)."""
+    run("ExamplePostTraversalPythonExecutor",
+        ["-I", BAM, "-O", str(tmp_path / "j.txt"),
+         "-P", str(tmp_path / "p.txt"), "-L", "chrM:1-150"])
+    assert open(tmp_path / "p.txt").read() == open(tmp_path / "j.txt").read()
+    assert "Read at chrM:" in open(tmp_path / "p.txt").read()
+    run("ExampleStreamingPythonExecutor",
+        ["-I", BAM, "-O", str(tmp_path / "s.txt"), "-L", "chrM:1-150",
+         "--batchSize", "100"])
+    n = sum(1 for l in open(tmp_path / "s.txt") if l.startswith("Read at"))
+    assert n > 100  # multiple acknowledged batches
