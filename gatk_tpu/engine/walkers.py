@@ -367,3 +367,79 @@ class ReferenceWalker(GATKTool):
                 w1 = min(w0 + self.window_size, target.end)
                 self.apply(ReferenceContext(self.reference, target.contig, w0, w1))
                 self.progress.update(f"{target.contig}:{w1}")
+
+
+class PairWalker(ReadWalker):
+    """apply(read, mate) per primary read pair (walkers/PairWalker.java:33-137).
+
+    Intervals are padded by --pair-padding (default 1000bp) for the traversal
+    so near-boundary mates are picked up, but a pair is only emitted when at
+    least one of its reads overlaps an ORIGINAL interval. Unpaired reads,
+    secondary/supplementary lines, and end-of-traversal orphans (in-interval
+    only) flow through apply_unpaired. Pairs are NOT in strict coordinate
+    order (the mate arrives second)."""
+
+    pair_padding = 1000
+    default_read_filters = ("WellformedReadFilter", "PrimaryLineReadFilter",
+                            "NotDuplicateReadFilter")
+
+    def __init__(self, *args, pair_padding=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        if pair_padding is not None:
+            self.pair_padding = pair_padding
+        self._pair_buffer = {}  # name -> (read, in_interval)
+        self._unpadded = None
+
+    def _init_intervals(self):
+        super()._init_intervals()
+        if self.intervals_arg:
+            self._unpadded = list(self.targets)
+            lengths = ({s.name: s.length for s in self.reads.header.sequences}
+                       if self.reads is not None else {})
+            # pad within contig, then merge contiguous (transformTraversalIntervals)
+            padded = []
+            for t in sorted(self.targets, key=lambda t: (t.contig, t.start)):
+                start = max(0, t.start - self.pair_padding)
+                end = min(lengths.get(t.contig, t.end + self.pair_padding),
+                          t.end + self.pair_padding)
+                if padded and padded[-1].contig == t.contig and \
+                        start <= padded[-1].end + 1:
+                    padded[-1] = Interval(t.contig, padded[-1].start,
+                                          max(padded[-1].end, end))
+                else:
+                    padded.append(Interval(t.contig, start, end))
+            self.targets = padded
+
+    def _in_interval(self, read):
+        if self._unpadded is None:
+            return True
+        contig_of = {s.index: s.name for s in self.reads.header.sequences}
+        contig = contig_of.get(read.ref_id)
+        return any(t.contig == contig and read.pos < t.end and read.end > t.start
+                   for t in self._unpadded)
+
+    def apply(self, read, ref_context):
+        if not read.is_paired or read.is_secondary or read.is_supplementary:
+            self.apply_unpaired(read)
+            return
+        mate = self._pair_buffer.pop(read.name, None)
+        if mate is None:
+            self._pair_buffer[read.name] = (read, self._in_interval(read))
+        elif mate[1] or self._in_interval(read):
+            self.apply_pair(mate[0], read)
+
+    def on_traversal_success(self):
+        n_unpaired = 0
+        for read, in_interval in self._pair_buffer.values():
+            if in_interval:
+                self.apply_unpaired(read)
+                n_unpaired += 1
+        if n_unpaired:
+            print(f"There were {n_unpaired} incomplete pairs.")
+        self._pair_buffer.clear()
+
+    def apply_pair(self, read, mate):
+        raise NotImplementedError
+
+    def apply_unpaired(self, read):
+        pass
