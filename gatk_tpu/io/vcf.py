@@ -78,7 +78,8 @@ class VcfReader:
             if line.startswith("##"):
                 self.header_lines.append(line)
             elif line.startswith("#CHROM"):
-                cols = line.split("\t")
+                # tolerate a trailing tab (empty trailing sample column)
+                cols = line.rstrip("\t").split("\t")
                 self.samples = cols[9:]
                 self._chrom_line = line
             elif line:

@@ -10,6 +10,8 @@ tools/spark/pipelines/ReadsPipelineSpark.java.
 from __future__ import annotations
 
 import argparse
+import math
+import re
 
 import numpy as np
 
@@ -176,17 +178,73 @@ def left_align_and_trim(argv):
 
 @register_tool("VariantsToTable")
 def variants_to_table(argv):
-    """Extract VCF fields into a TSV."""
+    """Extract VCF fields into a TSV (VariantsToTable.java:122-585; byte-level
+    quirks reproduced: htsjdk phred-qual round-trip, '[x, y]' bracket-strip
+    leading spaces on split AS fields, FT-unfiltered -> NA, molten AS skip)."""
     p = argparse.ArgumentParser(description="VariantsToTable")
     p.add_argument("-V", "--variant", required=True)
     p.add_argument("-O", "--output", required=True)
     p.add_argument("-F", "--fields", action="append", default=[])
     p.add_argument("-GF", "--genotype-fields", action="append", default=[])
+    p.add_argument("-ASF", "--as-fields", action="append", default=[])
+    p.add_argument("-ASGF", "--as-genotype-fields", action="append",
+                   default=[])
+    p.add_argument("-SMA", "--split-multi-allelic", action="store_true")
+    p.add_argument("--moltenize", action="store_true")
+    p.add_argument("-raw", "--show-filtered", action="store_true")
+    p.add_argument("-EMD", "--error-if-missing-data", action="store_true")
+    p.add_argument("-L", "--intervals", action="append", default=None)
     args = p.parse_args(argv)
-    w = _VariantsToTableWalker(variant_path=args.variant)
+    w = _VariantsToTableWalker(variant_path=args.variant,
+                               intervals=args.intervals)
     w.args = args
     w.run()
     return 0
+
+
+_NA = "NA"
+
+
+def _java_phred_qual(q):
+    """Double.toString(vc.getPhredScaledQual()): the parse/-10 store/*-10 read
+    round trip reintroduces binary noise (469.32 -> 469.32000000000005);
+    missing qual prints -10.0 (htsjdk NO_LOG10_PERROR = 1)."""
+    if q is None:
+        return "-10.0"
+    return repr(-10.0 * (q / -10.0))
+
+
+def _vc_type(v):
+    """htsjdk VariantContext.Type strings."""
+    if not v.alts:
+        return "NO_VARIATION"
+    kinds = set()
+    for a in v.alts:
+        if a.startswith("<") or a == "*" or "[" in a or "]" in a:
+            kinds.add("SYMBOLIC")
+        elif len(a) == len(v.ref):
+            kinds.add("SNP" if len(a) == 1 else "MNP")
+        else:
+            kinds.add("INDEL")
+    return kinds.pop() if len(kinds) == 1 else "MIXED"
+
+
+_TRANSITIONS = {("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")}
+
+
+def _gt_type(gt):
+    """htsjdk GenotypeType from a GT string."""
+    alleles = gt.replace("|", "/").split("/")
+    called = [a for a in alleles if a != "."]
+    if not called:
+        return "NO_CALL"
+    if len(called) != len(alleles):
+        return "MIXED"
+    if all(a == "0" for a in called):
+        return "HOM_REF"
+    if len(set(called)) == 1:
+        return "HOM_VAR"
+    return "HET"
 
 
 class _VariantsToTableWalker(walkers.VariantWalker):
@@ -196,41 +254,255 @@ class _VariantsToTableWalker(walkers.VariantWalker):
     tool_name = "VariantsToTable"
     default_read_filters = ()
 
-    _STD = {"CHROM": lambda v: v.contig, "POS": lambda v: str(v.pos + 1),
-            "ID": lambda v: v.id, "REF": lambda v: v.ref,
-            "ALT": lambda v: ",".join(v.alts),
-            "QUAL": lambda v: vcf.format_qual(v.qual),
-            "FILTER": lambda v: ";".join(v.filters) if v.filters else ".",
-            "TYPE": lambda v: "SNP" if v.is_snp() else
-            ("INDEL" if v.is_indel() else "OTHER")}
+    # ---- standard getters (VariantsToTable.java:526-575) ----
+
+    def _count_gt(self, v, want):
+        return str(sum(1 for s in v.samples
+                       if _gt_type(s.get("GT", ".")) == want))
+
+    def _getter(self, field, v):
+        if field == "CHROM":
+            return v.contig
+        if field == "POS":
+            return str(v.pos + 1)
+        if field == "REF":
+            return v.ref
+        if field == "ALT":
+            return ",".join(v.alts) if v.alts else "."
+        if field == "EVENTLENGTH":
+            max_len = 0
+            for a in v.alts:
+                ln = len(a) - len(v.ref)
+                if abs(ln) > abs(max_len):
+                    max_len = ln
+            return str(max_len)
+        if field == "QUAL":
+            return _java_phred_qual(v.qual)
+        if field == "TRANSITION":
+            if len(v.alts) == 1 and len(v.ref) == 1 and len(v.alts[0]) == 1 \
+                    and v.alts[0] not in ("*",) and not v.alts[0].startswith("<"):
+                return "1" if (v.ref, v.alts[0]) in _TRANSITIONS else "0"
+            return "-1"
+        if field == "FILTER":
+            return "PASS" if self._not_filtered(v) else ",".join(v.filters)
+        if field == "ID":
+            return v.id
+        if field == "HET":
+            return self._count_gt(v, "HET")
+        if field == "HOM-REF":
+            return self._count_gt(v, "HOM_REF")
+        if field == "HOM-VAR":
+            return self._count_gt(v, "HOM_VAR")
+        if field == "NO-CALL":
+            return self._count_gt(v, "NO_CALL")
+        if field == "TYPE":
+            return _vc_type(v)
+        if field == "VAR":
+            return str(int(self._count_gt(v, "HET")) +
+                       int(self._count_gt(v, "HOM_VAR")))
+        if field == "NSAMPLES":
+            return str(len(v.samples))
+        if field == "NCALLED":
+            return str(len(v.samples) - int(self._count_gt(v, "NO_CALL")))
+        if field == "MULTI-ALLELIC":
+            return "true" if len(v.alts) > 1 else "false"
+        if field == "SAMPLE_NAME":
+            return self.variant_reader.samples[0]
+        return None
+
+    _GETTER_NAMES = frozenset(
+        ["CHROM", "POS", "REF", "ALT", "EVENTLENGTH", "QUAL", "TRANSITION",
+         "FILTER", "ID", "HET", "HOM-REF", "HOM-VAR", "NO-CALL", "TYPE",
+         "VAR", "NSAMPLES", "NCALLED", "MULTI-ALLELIC", "SAMPLE_NAME"])
+
+    @staticmethod
+    def _not_filtered(v):
+        return not v.filters or v.filters == ("PASS",)
 
     def on_traversal_start(self):
         args = self.args
-        self.samples = self.variant_reader.samples
-        header = list(args.fields) + [f"{s}.{g}" for s in self.samples
-                                      for g in args.genotype_fields]
-        self.rows = [header]
+        rdr = self.variant_reader
+        self.fields = list(args.fields)
+        self.gfs = list(args.genotype_fields)
+        self.asfs = list(args.as_fields)
+        self.asgfs = list(args.as_genotype_fields)
+        # header Number= count types for AS splitting (A vs R)
+        self.count_type = {}
+        for line in rdr.header_lines:
+            m = re.match(r"##(INFO|FORMAT)=<ID=([^,]+),Number=([^,]+)", line)
+            if m:
+                self.count_type[(m.group(1), m.group(2))] = m.group(3)
+        # default fields: mandatory columns + header INFO ids + FORMAT (GT 1st)
+        if not (self.fields or self.gfs or self.asfs or self.asgfs):
+            self.fields = ["CHROM", "POS", "ID", "REF", "ALT", "QUAL",
+                           "FILTER"]
+            self.fields += sorted(k for t, k in self.count_type
+                                  if t == "INFO")
+            fmts = sorted(k for t, k in self.count_type if t == "FORMAT")
+            if "GT" in fmts:
+                fmts.remove("GT")
+                fmts.insert(0, "GT")
+            self.gfs = fmts
+        if self.gfs or self.asgfs:
+            self.samples = sorted(set(rdr.samples))
+            if not self.samples:
+                self.gfs, self.asgfs = [], []
+        else:
+            self.samples = []
+        self.sample_idx = {s: i for i, s in enumerate(rdr.samples)}
+        self.n_records = 0
+        self.out_lines = []
+        if args.moltenize:
+            self.out_lines.append("RecordID\tSample\tVariable\tValue")
+        else:
+            cols = self.fields + self.asfs + [
+                f"{s.replace(' ', '_')}.{g}" for s in self.samples
+                for g in self.gfs + self.asgfs]
+            self.out_lines.append("\t".join(cols))
+
+    # ---- value plumbing (addFieldValue / prettyPrintObject) ----
+
+    @staticmethod
+    def _add(val, records):
+        if len(records) == 1:
+            records[0].append(",".join(val) if isinstance(val, list)
+                              else str(val))
+        elif isinstance(val, list) and len(val) == len(records):
+            for rec, item in zip(records, val):
+                rec.append(str(item))
+        else:
+            s = ",".join(val) if isinstance(val, list) else str(val)
+            for rec in records:
+                rec.append(s)
+
+    def _missing(self, field, records, v):
+        if self.args.error_if_missing_data:
+            raise UserError(f"Missing field {field} in vc at "
+                            f"{v.contig}:{v.pos + 1}")
+        self._add(_NA, records)
+
+    def _add_as(self, parts, records, number):
+        """addAlleleSpecificFieldValue: R-type drops the ref section."""
+        if number == "R":
+            parts = parts[1:]
+        self._add(parts, records)
+
+    def _gt_string(self, v, sample):
+        gt = sample.get("GT", "./.")
+        sep = "|" if "|" in gt else "/"
+        out = []
+        for a in gt.replace("|", "/").split("/"):
+            out.append("." if a == "." else v.alleles[int(a)])
+        return sep.join(out)
+
+    def extract_fields(self, v):
+        split = self.args.split_multi_allelic
+        n = len(v.alts) if split else 1
+        records = [[] for _ in range(n)]  # SMA with 0 alts emits no rows
+        for field in self.fields:
+            if split and field == "ALT":
+                self._add(list(v.alts) if len(v.alts) > 1 else v.alts[0],
+                          records)
+            elif field in self._GETTER_NAMES:
+                self._add(self._getter(field, v), records)
+            elif field in v.info:
+                raw = v.info[field]
+                if raw is True:
+                    self._add("true", records)
+                elif "," in raw:
+                    self._add(raw.split(","), records)  # htsjdk List attr
+                else:
+                    self._add(raw, records)
+            elif field.endswith("*"):
+                pre = field[:-1]
+                vals = sorted({("true" if val is True else str(val))
+                               for key, val in v.info.items()
+                               if key.startswith(pre)})
+                self._add(",".join(vals) if vals else _NA, records)
+            else:
+                self._missing(field, records, v)
+        for field in self.asfs:
+            if field in v.info:
+                raw = str(v.info[field])
+                if split:
+                    # getAttributeAsString on a List: "[a, b]" -> strip
+                    # brackets -> split "," keeps the leading spaces
+                    parts = raw.split(",")
+                    parts = parts[:1] + [" " + p for p in parts[1:]]
+                    self._add_as(parts, records,
+                                 self.count_type.get(("INFO", field)))
+                else:
+                    self._add(raw.replace(",", ", "), records)
+            else:
+                self._missing(field, records, v)
+        if self.gfs or self.asgfs:
+            self._genotype_fields(v, records)
+        return records
+
+    def _genotype_fields(self, v, records):
+        split = self.args.split_multi_allelic
+        for name in self.samples:
+            si = self.sample_idx.get(name)
+            sample = v.samples[si] if si is not None and \
+                si < len(v.samples) else {}
+            for gf in self.gfs:
+                val = sample.get(gf)
+                if gf == "GT" and "GT" in sample:
+                    self._add(self._gt_string(v, sample), records)
+                elif val is None or val == "." or \
+                        (gf == "FT" and val == "."):
+                    self._missing(gf, records, v)
+                elif gf == "GQ":
+                    # htsjdk stores GQ as int: Math.round of the parsed value
+                    self._add(str(math.floor(float(val) + 0.5)), records)
+                else:
+                    self._add(val, records)  # raw text, never split (arrays)
+            for gf in self.asgfs:
+                val = sample.get(gf)
+                if val is None or val == ".":
+                    self._missing(gf, records, v)
+                elif split:
+                    if gf == "AD":
+                        depths = val.split(",")
+                        self._add([f"{depths[0]},{d}" for d in depths[1:]],
+                                  records)
+                    else:
+                        self._add_as(val.split(","), records,
+                                     self.count_type.get(("FORMAT", gf)))
+                else:
+                    self._add(val, records)
 
     def apply(self, v):
-        args = self.args
-        row = []
-        for f in args.fields:
-            if f in self._STD:
-                row.append(self._STD[f](v))
+        if not (self.args.show_filtered or self._not_filtered(v)):
+            return
+        self.n_records += 1
+        for rec in self.extract_fields(v):
+            if self.args.moltenize:
+                self._emit_molten(rec)
             else:
-                val = v.info.get(f, "NA")
-                row.append("NA" if val is None else
-                           ("true" if val is True else str(val)))
-        for si in range(len(self.samples)):
-            for g in args.genotype_fields:
-                row.append(str(v.samples[si].get(g, "NA"))
-                           if si < len(v.samples) else "NA")
-        self.rows.append(row)
+                self.out_lines.append("\t".join(rec))
+
+    def _emit_molten(self, rec):
+        # emitMoltenizedOutput: -F fields as "site" rows, then sample x GF
+        # rows reading the record sequentially — when -ASF fields are present
+        # their values get attributed to the GF rows (reference quirk
+        # :326-341, index++ runs straight past the AS columns)
+        idx = 0
+        for field in self.fields:
+            self.out_lines.append(
+                f"{self.n_records}\tsite\t{field}\t{rec[idx]}")
+            idx += 1
+        for name in self.samples:
+            for gf in self.gfs:
+                self.out_lines.append(
+                    f"{self.n_records}\t{name.replace(' ', '_')}\t{gf}\t"
+                    f"{rec[idx]}")
+                idx += 1
 
     def on_traversal_success(self):
         with open(self.args.output, "w") as fh:
-            fh.write("\n".join("\t".join(r) for r in self.rows) + "\n")
-        print(f"wrote {len(self.rows) - 1} rows")
+            fh.write("\n".join(self.out_lines) + "\n")
+        print(f"wrote {self.n_records} records")
 
 
 @register_tool("ReadsPipeline")
