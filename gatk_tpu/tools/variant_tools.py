@@ -34,83 +34,6 @@ def _variant_type(v):
     return kinds.pop() if len(kinds) == 1 else "MIXED"
 
 
-@register_tool("SelectVariants")
-def select_variants(argv):
-    """Select a subset of variants (by type, interval, filter status, sample)."""
-    p = argparse.ArgumentParser(description="SelectVariants")
-    p.add_argument("-V", "--variant", required=True)
-    p.add_argument("-O", "--output", required=True)
-    p.add_argument("-L", "--intervals", action="append", default=None)
-    p.add_argument("--select-type-to-include", action="append", default=[])
-    p.add_argument("--select-type-to-exclude", action="append", default=[])
-    p.add_argument("--exclude-filtered", action="store_true")
-    p.add_argument("--exclude-non-variants", action="store_true")
-    p.add_argument("-sn", "--sample-name", action="append", default=[])
-    args = p.parse_args(argv)
-
-    for t in args.select_type_to_include + args.select_type_to_exclude:
-        if t not in _SELECT_TYPES:
-            raise UserError(f"unknown variant type {t}; one of {sorted(_SELECT_TYPES)}")
-
-    walker = _SelectVariantsWalker(variant_path=args.variant, intervals=args.intervals)
-    walker.args = args
-    walker.run()
-    return 0
-
-
-class _SelectVariantsWalker(walkers.VariantWalker):
-    """SelectVariants as a VariantWalker (tools/walkers/variantutils/
-    SelectVariants.java extends VariantWalker)."""
-
-    tool_name = "SelectVariants"
-    default_read_filters = ()
-
-    def on_traversal_start(self):
-        args = self.args
-        reader = self.variant_reader
-        self.sample_idx = None
-        out_samples = reader.samples
-        if args.sample_name:
-            missing = [s for s in args.sample_name if s not in reader.samples]
-            if missing:
-                raise UserError(f"samples not in VCF: {missing}")
-            self.sample_idx = [reader.samples.index(s) for s in args.sample_name]
-            out_samples = args.sample_name
-        self.writer = vcf.VcfWriter(args.output, out_samples,
-                                    extra_header_lines=reader.header_lines)
-        self.n = 0
-
-    def _variants(self):
-        # SelectVariants uses overlap (not start-containment) interval matching
-        targets = self.targets if self.intervals_arg else None
-        for v in self.variant_reader:
-            if targets is not None and not any(
-                    t.contig == v.contig and v.pos < t.end and v.end > t.start
-                    for t in targets):
-                continue
-            yield v
-
-    def apply(self, v):
-        args = self.args
-        vt = _variant_type(v)
-        if args.select_type_to_include and vt not in args.select_type_to_include:
-            return
-        if vt in args.select_type_to_exclude:
-            return
-        if args.exclude_filtered and v.filters and v.filters != ("PASS",):
-            return
-        if args.exclude_non_variants and vt == "NO_VARIATION":
-            return
-        if self.sample_idx is not None:
-            v.samples = [v.samples[i] for i in self.sample_idx]
-        self.writer.write(v)
-        self.n += 1
-
-    def close_tool(self):
-        self.writer.close()
-        print(f"selected {self.n} variants")
-
-
 _EXPR_RE = re.compile(r"^\s*(\w+)\s*(<=|>=|<|>|==|!=)\s*(-?[\d.eE+]+)\s*$")
 
 
