@@ -117,6 +117,7 @@ def _register_builtin_tools():
     from .tools import picard_tools  # noqa: F401
     from .tools import cpx_reinterpreter  # noqa: F401
     from .tools import select_variants  # noqa: F401
+    from .tools import variant_filtration  # noqa: F401
     from .tools import hadoop_compat  # noqa: F401
     from .tools import spark_compat  # noqa: F401  (must import LAST: aliases the registry)
 

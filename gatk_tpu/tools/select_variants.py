@@ -96,7 +96,7 @@ _GT_CALL_RE = re.compile(
     r"^vc\.getGenotype\(\s*['\"]([^'\"]+)['\"]\s*\)\.(\w+)\((.*?)\)$")
 
 
-def _jexl_operand(tok, v):
+def _jexl_operand(tok, v, g=None):
     tok = tok.strip()
     m = _GT_CALL_RE.match(tok)
     if m:
@@ -106,6 +106,45 @@ def _jexl_operand(tok, v):
         return float(tok)
     if tok.startswith(("'", '"')):
         return tok.strip("'\"")
+    if g is not None:
+        # htsjdk GenotypeJEXLContext: genotype fields shadow site fields
+        if tok in ("isHom", "isHomRef", "isHomVar", "isHet", "isCalled",
+                   "isNoCall", "isMixed", "isAvailable"):
+            gt = g.get("GT", ".")
+            toks = gt_tokens(gt)
+            called = [t for t in toks if t != "."]
+            val = {
+                "isHomRef": bool(called) and len(called) == len(toks) and
+                all(t == "0" for t in called),
+                "isHomVar": bool(called) and len(called) == len(toks) and
+                all(t not in (".", "0") for t in toks) and
+                len(set(toks)) == 1,
+                "isHet": len(called) == len(toks) and len(set(toks)) > 1,
+                "isCalled": bool(called),
+                "isNoCall": not called,
+                "isMixed": bool(called) and len(called) != len(toks),
+                "isAvailable": True,
+            }
+            if tok == "isHom":
+                val["isHom"] = val["isHomRef"] or val["isHomVar"]
+            return 1.0 if val[tok] else 0.0
+        if tok == "GT":
+            return g.get("GT", ".")
+        if tok == "GQ":
+            val = g.get("GQ")
+            if val in (None, "."):
+                raise JexlMissing("GQ")
+            return float(java_round(val))  # htsjdk stores GQ as int
+        if tok == "FT":
+            val = g.get("FT")
+            if val in (None, "."):
+                raise JexlMissing("FT")
+            return val
+        if tok in g and g[tok] not in (None, "."):
+            try:
+                return float(str(g[tok]).split(",")[0])
+            except ValueError:
+                return str(g[tok])
     if tok == "QUAL":
         return v.qual if v.qual is not None else -10.0
     if tok == "FILTER":
@@ -162,7 +201,7 @@ def _genotype_call(v, sample, method, arg):
     raise UserError(f"unsupported JEXL genotype method: {method}")
 
 
-def eval_jexl(expr, v):
+def eval_jexl(expr, v, g=None):
     """Evaluate one -select expression; raises JexlMissing on absent fields."""
     expr = expr.strip()
     for or_part in expr.split("||"):
@@ -170,9 +209,9 @@ def eval_jexl(expr, v):
         for clause in or_part.split("&&"):
             clause = clause.strip()
             if clause.startswith("!"):
-                val = not _truthy(clause[1:].strip(), v)
+                val = not _truthy(clause[1:].strip(), v, g)
             else:
-                val = _truthy(clause, v)
+                val = _truthy(clause, v, g)
             if not val:
                 all_true = False
                 break
@@ -181,11 +220,11 @@ def eval_jexl(expr, v):
     return False
 
 
-def _truthy(clause, v):
+def _truthy(clause, v, g=None):
     m = _CMP_RE.match(clause)
     if m and m.group(2):
-        left = _jexl_operand(m.group(1), v)
-        right = _jexl_operand(m.group(3), v)
+        left = _jexl_operand(m.group(1), v, g)
+        right = _jexl_operand(m.group(3), v, g)
         op = m.group(2)
         if isinstance(left, bool) or isinstance(right, bool):
             pass
@@ -198,7 +237,7 @@ def _truthy(clause, v):
         return {"<": lambda: left < right, ">": lambda: left > right,
                 "<=": lambda: left <= right, ">=": lambda: left >= right,
                 "==": lambda: left == right, "!=": lambda: left != right}[op]()
-    val = _jexl_operand(clause, v)
+    val = _jexl_operand(clause, v, g)
     return bool(val)
 
 
@@ -225,7 +264,7 @@ def encode_record(v, sample_names, sample_of):
     cols = [v.contig, str(v.pos + 1), v.id or ".", v.ref,
             ",".join(v.alts) if v.alts else ".",
             vcf.format_qual(v.qual),
-            ";".join(v.filters) if v.filters else ".",
+            ";".join(sorted(v.filters)) if v.filters else ".",
             ";".join(info_parts) if info_parts else "."]
     if sample_names:
         keys = set()
@@ -256,8 +295,9 @@ def encode_record(v, sample_names, sample_of):
             fields = []
             for k in fmt:
                 val = s.get(k, ".")
-                if val in (None, ""):
-                    val = "."
+                if val in (None, "") or (val == "." and k == "FT"):
+                    # htsjdk renders an unfiltered genotype's FT as PASS
+                    val = "PASS" if k == "FT" else "."
                 elif k in ("DP", "GQ") and str(val).startswith("-"):
                     val = "."  # htsjdk: negative DP/GQ means missing
                 elif k in _INT_FORMAT_KEYS and val != ".":

@@ -64,43 +64,6 @@ def _eval_filter_expression(expr: str, v) -> bool:
     return False
 
 
-@register_tool("VariantFiltration")
-def variant_filtration(argv):
-    """Hard-filter variants by INFO-field expressions (JEXL subset)."""
-    p = argparse.ArgumentParser(description="VariantFiltration")
-    p.add_argument("-V", "--variant", required=True)
-    p.add_argument("-O", "--output", required=True)
-    p.add_argument("--filter-expression", action="append", default=[])
-    p.add_argument("--filter-name", action="append", default=[])
-    args = p.parse_args(argv)
-
-    if len(args.filter_expression) != len(args.filter_name):
-        raise UserError("must supply one --filter-name per --filter-expression")
-
-    reader = vcf.VcfReader(args.variant)
-    out = []
-    n_filtered = 0
-    for v in reader:
-        failed = [name for name, expr in zip(args.filter_name, args.filter_expression)
-                  if _eval_filter_expression(expr, v)]
-        if failed:
-            v.filters = tuple(failed)
-            n_filtered += 1
-        else:
-            v.filters = ("PASS",)
-        out.append(v)
-
-    headers = list(reader.header_lines)
-    for name, expr in zip(args.filter_name, args.filter_expression):
-        headers.append(f'##FILTER=<ID={name},Description="{expr}">')
-    w = vcf.VcfWriter(args.output, reader.samples, extra_header_lines=headers)
-    for v in out:
-        w.write(v)
-    w.close()
-    print(f"filtered {n_filtered} of {len(out)} variants")
-    return 0
-
-
 @register_tool("ValidateVariants")
 def validate_variants(argv):
     """Validate a VCF: sorted positions, allele well-formedness, ref match."""
