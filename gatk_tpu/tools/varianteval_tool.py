@@ -70,6 +70,10 @@ def variant_eval(argv):
     p.add_argument("-keep-ac0", "--keep-ac0", dest="keep_ac0",
                    action="store_true",
                    help="retain AC=0 (monomorphic-in-samples) eval sites")
+    p.add_argument("-select", "--select-exps", action="append", default=[],
+                   help="JEXL expressions for the JexlExpression stratifier")
+    p.add_argument("-select-name", "--select-names", action="append", default=[],
+                   help="names for the -select expressions")
     p.add_argument("-L", "--intervals", action="append", default=None,
                    help="traversal intervals (file or contig:start-end); sets "
                         "nProcessedLoci like the walker engine's locus count")
@@ -143,13 +147,23 @@ def variant_eval(argv):
     if not comp_tracks:
         comp_tracks = {"none": {}}
 
-    def make_stratifier(name, first_eval_samples):
+    select_exprs = list(zip(args.select_names or [], args.select_exps or []))
+
+    def make_stratifier(name, first_eval_samples, comp_name="none",
+                        eval_name="eval"):
         cls = st_mod.STRATIFIER_REGISTRY[name]
         if name == "Sample":
             return cls(first_eval_samples)
         if name == "CpG":
             return cls(ref)
-        return cls()
+        s = cls()
+        if name == "CompFeatureInput":
+            s.comp_name = comp_name
+        elif name == "EvalFeatureInput":
+            s.eval_name = eval_name
+        elif name == "JexlExpression":
+            s.expressions = select_exprs
+        return s
 
     tables: dict[str, ReportTable] = {}
     hist_rows = []
@@ -158,7 +172,8 @@ def variant_eval(argv):
         reader = vcfio.VcfReader(path)
         variants = [v for v in reader if in_intervals(v.contig, v.pos)]
         for comp_name, track in comp_tracks.items():
-            stratifiers = [make_stratifier(n, reader.samples) for n in st_names]
+            stratifiers = [make_stratifier(n, reader.samples, comp_name,
+                                           eval_name) for n in st_names]
             manager = StratificationManager(
                 stratifiers,
                 [ev_mod.EVALUATOR_REGISTRY[n] for n in ev_names])

@@ -272,9 +272,210 @@ class FunctionalClass(VariantStratifier):
         return tuple(states)
 
 
+class CompFeatureInput(VariantStratifier):
+    """Stratify by comp track name (stratifications/CompFeatureInput.java);
+    the engine runs one manager per comp track, so the state is fixed at
+    construction."""
+
+    name = "CompFeatureInput"
+    comp_name = "none"
+
+    @property
+    def all_states(self):
+        return (self.comp_name,)
+
+    def relevant_states(self, ctx):
+        return (self.comp_name,)
+
+
+class EvalFeatureInput(VariantStratifier):
+    """Stratify by eval track name (stratifications/EvalFeatureInput.java)."""
+
+    name = "EvalFeatureInput"
+    eval_name = "eval"
+
+    @property
+    def all_states(self):
+        return (self.eval_name,)
+
+    def relevant_states(self, ctx):
+        return (self.eval_name,)
+
+
+class JexlExpression(VariantStratifier):
+    """Stratify by user-select JEXL expressions (stratifications/
+    JexlExpression.java): 'none' plus each matching -select expression name."""
+
+    name = "JexlExpression"
+    # [(name, expression)] — set from -select/-select-name args
+    expressions: list = []
+
+    @property
+    def all_states(self):
+        return ("none",) + tuple(n for n, _ in self.expressions)
+
+    def relevant_states(self, ctx):
+        from .. import cli  # noqa: F401  (break the tools<->cli import cycle)
+        from ..tools.select_variants import eval_jexl
+
+        states = ["none"]
+        for nm, expr in self.expressions:
+            try:
+                if eval_jexl(expr, ctx.variant):
+                    states.append(nm)
+            except Exception:
+                pass
+        return tuple(states)
+
+
+# SnpEffUtil.EffectType child -> parent edges (varianteval/util/SnpEffUtil.java)
+_SNPEFF_PARENT = {
+    "UPSTREAM": "INTERGENIC", "DOWNSTREAM": "INTERGENIC",
+    "INTERGENIC_CONSERVED": "INTERGENIC",
+    "INTRON_CONSERVED": "INTRON", "SPLICE_SITE_ACCEPTOR": "INTRON",
+    "SPLICE_SITE_DONOR": "INTRON",
+    "EXON_DELETED": "CDS", "SYNONYMOUS_CODING": "CDS",
+    "NON_SYNONYMOUS_CODING": "CDS",
+    "SYNONYMOUS_STOP": "SYNONYMOUS_CODING", "SYNONYMOUS_START": "SYNONYMOUS_CODING",
+    "START_LOST": "NON_SYNONYMOUS_CODING", "STOP_GAINED": "NON_SYNONYMOUS_CODING",
+    "STOP_LOST": "NON_SYNONYMOUS_CODING", "CODON_CHANGE": "NON_SYNONYMOUS_CODING",
+    "CODON_INSERTION": "NON_SYNONYMOUS_CODING",
+    "CODON_DELETION": "NON_SYNONYMOUS_CODING",
+    "CODON_CHANGE_PLUS_CODON_DELETION": "NON_SYNONYMOUS_CODING",
+    "CODON_CHANGE_PLUS_CODON_INSERTION": "NON_SYNONYMOUS_CODING",
+    "FRAME_SHIFT": "NON_SYNONYMOUS_CODING",
+    "UTR_5_DELETED": "UTR_5_PRIME", "UTR_3_DELETED": "UTR_3_PRIME",
+    "START_GAINED": "UTR_5_PRIME",
+    "UTR_5_PRIME": "EXON", "UTR_3_PRIME": "EXON", "CDS": "EXON",
+    "INTRON": "TRANSCRIPT", "EXON": "TRANSCRIPT",
+    "TRANSCRIPT": "GENE", "REGULATION": "GENE",
+    "GENE": "CHROMOSOME", "INTERGENIC": "CHROMOSOME",
+}
+
+
+def _snpeff_is_subtype(child: str, parent: str) -> bool:
+    node = child
+    while node is not None:
+        if node == parent:
+            return True
+        node = _SNPEFF_PARENT.get(node)
+    return False
+
+
+class SnpEffPositionModifier(VariantStratifier):
+    """Stratify by SnpEff position modifier (stratifications/
+    SnpEffPositionModifier.java): GENE/CODING_REGION/SPLICE_SITE/STOP_GAINED/
+    STOP_LOST from the SNPEFF_EFFECT info key and the SnpEffUtil hierarchy."""
+
+    name = "SnpEffPositionModifier"
+    all_states = ("GENE", "CODING_REGION", "SPLICE_SITE", "STOP_GAINED",
+                  "STOP_LOST")
+
+    def relevant_states(self, ctx):
+        eff = ctx.variant.info.get("SNPEFF_EFFECT")
+        if not eff:
+            return ()
+        eff = str(eff)
+        states = []
+        if _snpeff_is_subtype(eff, "EXON"):
+            states.append("GENE")
+        if _snpeff_is_subtype(eff, "CDS"):
+            states.append("CODING_REGION")
+        if _snpeff_is_subtype(eff, "STOP_GAINED"):
+            states.append("STOP_GAINED")
+        if _snpeff_is_subtype(eff, "STOP_LOST"):
+            states.append("STOP_LOST")
+        if _snpeff_is_subtype(eff, "SPLICE_SITE_ACCEPTOR") or \
+                _snpeff_is_subtype(eff, "SPLICE_SITE_DONOR"):
+            states.append("SPLICE_SITE")
+        return tuple(states)
+
+
+_AMINO_ACID_CODONS = {
+    "Ile": ("ATT", "ATC", "ATA"),
+    "Leu": ("CTT", "CTC", "CTA", "CTG", "TTA", "TTG"),
+    "Val": ("GTT", "GTC", "GTA", "GTG"),
+    "Phe": ("TTT", "TTC"),
+    "Met": ("ATG",),
+    "Cys": ("TGT", "TGC"),
+    "Ala": ("GCT", "GCC", "GCA", "GCG"),
+    "Gly": ("GGT", "GGC", "GGA", "GGG"),
+    "Pro": ("CCT", "CCC", "CCA", "CCG"),
+    "Thr": ("ACT", "ACC", "ACA", "ACG"),
+    "Ser": ("TCT", "TCC", "TCA", "TCG", "AGT", "AGC"),
+    "Tyr": ("TAT", "TAC"),
+    "Trp": ("TGG",),
+    "Gln": ("CAA", "CAG"),
+    "Asn": ("AAT", "AAC"),
+    "His": ("CAT", "CAC"),
+    "Glu": ("GAA", "GAG"),
+    "Asp": ("GAT", "GAC"),
+    "Lys": ("AAA", "AAG"),
+    "Arg": ("CGT", "CGC", "CGA", "CGG", "AGA", "AGG"),
+    "Stop": ("TAA", "TAG", "TGA"),
+}
+
+
+def _degeneracy_table():
+    """aa -> frame -> '{n}-fold' (Degeneracy.java constructor)."""
+    table = {}
+    for aa, codons in _AMINO_ACID_CODONS.items():
+        for pos in range(3):
+            alleles = {c[pos] for c in codons}
+            table.setdefault(aa.lower(), {})[pos] = {
+                1: "1-fold", 2: "2-fold", 3: "3-fold", 4: "4-fold",
+                6: "6-fold"}.get(len(alleles), "1-fold")
+    return table
+
+
+class Degeneracy(VariantStratifier):
+    """Stratify coding SNPs by codon-position degeneracy (stratifications/
+    Degeneracy.java) from refseq.variantAA / refseq.frame annotations."""
+
+    name = "Degeneracy"
+    all_states = ("1-fold", "2-fold", "3-fold", "4-fold", "6-fold", "all")
+    _table = None
+
+    def relevant_states(self, ctx):
+        if Degeneracy._table is None:
+            Degeneracy._table = _degeneracy_table()
+        states = ["all"]
+        v = ctx.variant
+        info = v.info
+        aa = frame = None
+        if "refseq.functionalClass" in info:
+            aa = info.get("refseq.variantAA")
+            frame = info.get("refseq.frame", 0)
+        elif "refseq.functionalClass_1" in info:
+            # pick the most deleterious annotation (silent < missense < nonsense)
+            vtype = None
+            i = 1
+            while f"refseq.functionalClass_{i}" in info:
+                newtype = info.get(f"refseq.functionalClass_{i}")
+                if newtype is not None and (
+                        vtype is None
+                        or (vtype == "silent" and newtype != "silent")
+                        or (vtype == "missense" and newtype == "nonsense")):
+                    vtype = newtype
+                    aa = info.get(f"refseq.variantAA_{i}")
+                    frame = info.get(f"refseq.frame_{i}", frame or 0)
+                i += 1
+        if aa:
+            key = str(aa).lower()
+            deg = Degeneracy._table.get(key, {}).get(int(frame or 0))
+            if deg:
+                states.append(deg)
+        return tuple(states)
+
+
 STRATIFIER_REGISTRY.update({
     "Family": Family,
     "TandemRepeat": TandemRepeatStrat,
     "IntervalStratification": IntervalStratification,
     "FunctionalClass": FunctionalClass,
+    "CompFeatureInput": CompFeatureInput,
+    "EvalFeatureInput": EvalFeatureInput,
+    "JexlExpression": JexlExpression,
+    "SnpEffPositionModifier": SnpEffPositionModifier,
+    "Degeneracy": Degeneracy,
 })

@@ -188,3 +188,74 @@ def test_new_evaluators_and_stratifiers(tmp_path):
                   "GenotypeFilterSummary", "VariantSummary", "MetricsCollection"):
         assert table in text, table
     assert "is.repeat" in text and "not.repeat" in text
+
+
+def test_r5_stratifiers_unit():
+    """Unit behavior of the r5 stratifier tail (CompFeatureInput,
+    EvalFeatureInput, JexlExpression, SnpEffPositionModifier, Degeneracy)."""
+    from gatk_tpu.io.vcf import Variant
+    from gatk_tpu.vareval.framework import EvalContext
+    from gatk_tpu.vareval import stratifiers as st
+
+    def ctx(info=None):
+        v = Variant("20", 100, "A", ("G",), info=dict(info or {}))
+        return EvalContext(v, "SNP", False, None, False, False, [])
+
+    s = st.CompFeatureInput(); s.comp_name = "dbsnp"
+    assert s.relevant_states(ctx()) == ("dbsnp",)
+    s = st.EvalFeatureInput(); s.eval_name = "eval2"
+    assert s.relevant_states(ctx()) == ("eval2",)
+
+    j = st.JexlExpression()
+    j.expressions = [("DepthLt20", "DP < 20"), ("DepthGt20", "DP > 20")]
+    assert j.all_states == ("none", "DepthLt20", "DepthGt20")
+    assert j.relevant_states(ctx({"DP": "15"})) == ("none", "DepthLt20")
+    assert j.relevant_states(ctx({"DP": "25"})) == ("none", "DepthGt20")
+    assert j.relevant_states(ctx({})) == ("none",)
+
+    se = st.SnpEffPositionModifier()
+    # SPLICE_SITE_ACCEPTOR is an INTRON subtype, not EXON/CDS
+    assert se.relevant_states(ctx({"SNPEFF_EFFECT": "SPLICE_SITE_ACCEPTOR"})) \
+        == ("SPLICE_SITE",)
+    assert se.relevant_states(ctx({"SNPEFF_EFFECT": "STOP_GAINED"})) == (
+        "GENE", "CODING_REGION", "STOP_GAINED")
+    assert se.relevant_states(ctx({"SNPEFF_EFFECT": "UTR_5_PRIME"})) == ("GENE",)
+    assert se.relevant_states(ctx({})) == ()
+
+    d = st.Degeneracy()
+    # Leu codons {CTT,CTC,CTA,CTG,TTA,TTG}: pos 0 {C,T} -> 2-fold,
+    # pos 2 {T,C,A,G} -> 4-fold
+    assert d.relevant_states(ctx({"refseq.functionalClass": "silent",
+                                  "refseq.variantAA": "Leu",
+                                  "refseq.frame": "0"})) == ("all", "2-fold")
+    assert d.relevant_states(ctx({"refseq.functionalClass": "silent",
+                                  "refseq.variantAA": "Leu",
+                                  "refseq.frame": "2"})) == ("all", "4-fold")
+    assert d.relevant_states(ctx({"refseq.functionalClass": "missense",
+                                  "refseq.variantAA": "Met",
+                                  "refseq.frame": "1"})) == ("all", "1-fold")
+    # numbered annotations: nonsense beats missense
+    assert d.relevant_states(ctx({
+        "refseq.functionalClass_1": "missense", "refseq.variantAA_1": "Trp",
+        "refseq.frame_1": "0",
+        "refseq.functionalClass_2": "nonsense", "refseq.variantAA_2": "Gly",
+        "refseq.frame_2": "2"})) == ("all", "4-fold")
+    assert d.relevant_states(ctx({})) == ("all",)
+
+
+def test_r5_stratifiers_cli(tmp_path):
+    """-ST JexlExpression/-select wiring through the CLI."""
+    ev = str(tmp_path / "eval.vcf")
+    _write_vcf(ev, [
+        ("20", 100, ".", "A", "G", 50, "PASS", "DP=10"),
+        ("20", 200, ".", "C", "T", 50, "PASS", "DP=30"),
+    ])
+    out = str(tmp_path / "report.txt")
+    _run("VariantEval", ["--eval", ev, "-O", out, "-no-st", "-no-ev",
+                         "-EV", "CountVariants", "-ST", "JexlExpression",
+                         "-select", "DP < 20", "-select-name", "DepthSelect"])
+    text = open(out).read()
+    rows = {ln.split()[3]: ln.split() for ln in text.splitlines()
+            if ln.startswith("CountVariants ")}
+    assert rows["none"][7] == "2"      # nVariantLoci over all
+    assert rows["DepthSelect"][7] == "1"
