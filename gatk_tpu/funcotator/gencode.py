@@ -222,8 +222,11 @@ def _variant_type(ref: str, alt: str) -> str:
 
 
 def classify(contig: str, pos1: int, ref: str, alt: str, ds: GencodeDataSource,
-             transcript_mode="CANONICAL") -> Funcotation:
-    """Classify one variant against the datasource (best transcript)."""
+             transcript_mode="CANONICAL", ref_fetch=None) -> Funcotation:
+    """Classify one variant against the datasource (best transcript).
+
+    ref_fetch: optional fn(contig, start1, end1) -> genomic bases, enabling
+    5'UTR de-novo-start refinement (needs the -R reference)."""
     vt = _variant_type(ref, alt)
     end1 = pos1 + len(ref) - 1
     overlapping = ds.overlapping(contig, pos1, end1)
@@ -238,7 +241,7 @@ def classify(contig: str, pos1: int, ref: str, alt: str, ds: GencodeDataSource,
 
     candidates = [(_transcript_rank(t), t) for t in overlapping]
     candidates.sort(key=lambda x: x[0])
-    results = [(_classify_in_transcript(t, pos1, ref, alt, vt), rank, t)
+    results = [(_classify_in_transcript(t, pos1, ref, alt, vt, ref_fetch), rank, t)
                for rank, t in candidates]
     # best transcript: rank first, then severity of classification
     results.sort(key=lambda x: (x[1], -_severity(x[0].classification)))
@@ -256,15 +259,21 @@ def _transcript_rank(t: Transcript):
     return (rank, -(t.end - t.start))
 
 
-_SEVERITY = {"NONSENSE": 10, "NONSTOP": 10, "FRAME_SHIFT_INS": 9, "FRAME_SHIFT_DEL": 9,
-             "START_CODON_SNP": 9, "START_CODON_INS": 9, "START_CODON_DEL": 9,
-             "SPLICE_SITE": 8, "MISSENSE": 7, "IN_FRAME_INS": 6, "IN_FRAME_DEL": 6,
-             "SILENT": 5, "FIVE_PRIME_UTR": 4, "THREE_PRIME_UTR": 4, "INTRON": 3,
-             "FIVE_PRIME_FLANK": 2, "RNA": 2, "LINCRNA": 2, "IGR": 0}
+# GencodeFuncotation.VariantClassification severities (:777-849); LOWER is
+# more severe in the reference — _severity negates so callers keep max=worst
+_REF_SEVERITY = {
+    "COULD_NOT_DETERMINE": 99, "INTRON": 10, "FIVE_PRIME_UTR": 6,
+    "THREE_PRIME_UTR": 6, "IGR": 20, "FIVE_PRIME_FLANK": 15,
+    "THREE_PRIME_FLANK": 16, "MISSENSE": 1, "NONSENSE": 0, "NONSTOP": 0,
+    "SILENT": 5, "SPLICE_SITE": 4, "IN_FRAME_DEL": 1, "IN_FRAME_INS": 1,
+    "FRAME_SHIFT_INS": 2, "FRAME_SHIFT_DEL": 2, "START_CODON_SNP": 3,
+    "START_CODON_INS": 3, "START_CODON_DEL": 3, "DE_NOVO_START_IN_FRAME": 1,
+    "DE_NOVO_START_OUT_FRAME": 0, "RNA": 4, "LINCRNA": 4,
+}
 
 
 def _severity(c):
-    return _SEVERITY.get(c, 1)
+    return -_REF_SEVERITY.get(c, 99)
 
 
 def _changed_interval(pos1: int, ref: str, alt: str):
@@ -331,7 +340,64 @@ def _intron_splice_notation(t: Transcript, pos1: int, ref: str, alt: str) -> str
     return f"c.e{exon_no}{'+' if d >= 0 else '-'}{abs(d)}"
 
 
-def _classify_in_transcript(t: Transcript, pos1: int, ref: str, alt: str, vt) -> Funcotation:
+def _de_novo_start(t: Transcript, pos1: int, ref: str, alt: str,
+                   cds_start: int, ref_fetch):
+    """DE_NOVO_START_{IN,OUT}_FRAME detection for 5'UTR variants
+    (GencodeFuncotationFactory.createUtrFuncotation:1700-1755): build the
+    strand-corrected alt subsequence (2 leading bases + alt + trailing bases),
+    scan it for an ATG, and frame-check the hit against the end of the 5'UTR
+    sequence. Offsets replicate the reference exactly, including its
+    window-index arithmetic for indels. Returns a classification or None."""
+    W = 10  # referenceWindow (GencodeFuncotationFactory:104)
+    LEAD = 2  # numLeadingBasesForUtrAnnotationSequenceConstruction (:84)
+    reflen = len(ref)
+    is_indel = reflen != len(alt)
+    num_extra = 3 if reflen < 3 else reflen + 1
+    indel_adj = 1 if is_indel else 0
+    g0 = pos1 - W + indel_adj
+    g1 = pos1 + reflen - 1 + W
+    if g0 < 1:
+        g0 = 1
+    try:
+        bases = ref_fetch(t.contig, g0, g1).upper()
+    except Exception:
+        return None
+    if len(bases) < g1 - g0 + 1:
+        bases = bases + "N" * (g1 - g0 + 1 - len(bases))
+    if t.strand == "+":
+        s = bases
+        front_off, back_off = indel_adj, 0
+        sc_alt = alt.upper()
+    else:
+        s = revcomp(bases)
+        front_off, back_off = 0, indel_adj
+        sc_alt = revcomp(alt.upper())
+    raw = (s[W - LEAD + front_off:W] + sc_alt
+           + s[W + reflen:W + num_extra + back_off])
+    hit = None
+    for i in range(len(raw)):
+        if i + 3 >= len(raw):  # reference loop bound is strict (:1738)
+            break
+        if raw[i:i + 3] == "ATG":
+            hit = i
+            break
+    if hit is None:
+        return None
+    coding_region_offset = front_off - LEAD + hit
+    # position of the variant start (strand-corrected) in transcript coords
+    gpos = pos1 if t.strand == "+" else pos1 + reflen - 1
+    coding_start = t.genomic_to_transcript(gpos)
+    if coding_start is None:
+        return None
+    utr5_len = cds_start - 1
+    region_len = (utr5_len + num_extra) if utr5_len > 0 else 0
+    x = coding_start + coding_region_offset
+    in_frame = ((region_len - x + 1) % 3) == 0
+    return "DE_NOVO_START_IN_FRAME" if in_frame else "DE_NOVO_START_OUT_FRAME"
+
+
+def _classify_in_transcript(t: Transcript, pos1: int, ref: str, alt: str, vt,
+                            ref_fetch=None) -> Funcotation:
     out = Funcotation(hugo_symbol=t.gene_name, variant_type=vt,
                       transcript_id=t.transcript_id, strand=t.strand)
     if t.transcript_type and t.transcript_type != "protein_coding":
@@ -377,8 +443,12 @@ def _classify_in_transcript(t: Transcript, pos1: int, ref: str, alt: str, vt) ->
 
     cds_start, cds_end = cds_range
     if tpos < cds_start:
-        utr5 = t.strand == "+" or True  # tpos is in transcript coords: < CDS = 5' UTR
         out.classification = "SPLICE_SITE" if splice else "FIVE_PRIME_UTR"
+        if out.classification == "FIVE_PRIME_UTR" and t.sequence and \
+                ref_fetch is not None:
+            dn = _de_novo_start(t, pos1, ref, alt, cds_start, ref_fetch)
+            if dn:
+                out.classification = dn
         return out
     if tpos > cds_end:
         out.classification = "SPLICE_SITE" if splice else "THREE_PRIME_UTR"

@@ -66,6 +66,19 @@ def funcotator(argv):
     reader = vcfio.VcfReader(args.variant)
     records = list(reader)
 
+    ref_fetch = None
+    if args.reference:
+        from ..io import fasta as fastaio
+
+        _ref = fastaio.FastaReference(args.reference)
+
+        def ref_fetch(contig, start1, end1):
+            try:
+                end1 = min(end1, _ref.contig_length(contig))
+                return _ref.fetch(contig, start1 - 1, end1).tobytes().decode()
+            except (KeyError, ValueError):
+                return ""
+
     annotated = []
     for v in records:
         per_alt = []
@@ -76,7 +89,8 @@ def funcotator(argv):
             best = None
             for ds in sources:
                 f = gc.classify(v.contig, v.pos + 1, v.ref, alt, ds,
-                                args.transcript_selection_mode)
+                                args.transcript_selection_mode,
+                                ref_fetch=ref_fetch)
                 if best is None or gc._severity(f.classification) > gc._severity(best.classification):
                     best = f
             # secondary data sources keyed by the gencode gene/transcript

@@ -320,3 +320,41 @@ def test_intronic_splice_notation(pik3ca):
     assert r.classification == "SPLICE_SITE" and r.codon_change == "c.e20+1"
     r = gc.classify("chr3", 178948166, "T", "TT", pik3ca)
     assert r.classification == "SPLICE_SITE" and r.codon_change == "c.e20+2"
+
+
+def test_de_novo_start_refinement(pik3ca):
+    """5'UTR variants creating an upstream ATG become DE_NOVO_START_*
+    (GencodeFuncotationFactory.createUtrFuncotation:1700-1755). PIK3CA
+    exon 1 context 'GGAAGAG' (transcript pos 67-73): A>T at pos 70 makes
+    A-T-G across the variant; the frame check against the 160-base
+    (157 UTR + 3 trailing) region lands out of frame."""
+    t = pik3ca.overlapping("chr3", 178866311, 178866311)[0]
+    seq, g0 = t.sequence, 178866311
+
+    def rf(contig, a, b):  # exon 1 is genomically contiguous with the transcript
+        return seq[a - g0:b - g0 + 1]
+
+    assert seq[66:73] == "GGAAGAG"
+    gpos = g0 + 70 - 1  # transcript pos 70 ('A')
+    f = gc.classify("chr3", gpos, "A", "T", pik3ca, ref_fetch=rf)
+    assert f.classification == "DE_NOVO_START_OUT_FRAME"
+    # hand frame check: hit index 1 -> x = 70 + (0-2+1) = 69; (160-69+1)%3 == 2
+    # same variant without a reference stays 5'UTR
+    f = gc.classify("chr3", gpos, "A", "T", pik3ca)
+    assert f.classification == "FIVE_PRIME_UTR"
+    # a non-ATG-creating neighbor stays 5'UTR even with the reference
+    f = gc.classify("chr3", g0 + 30 - 1, seq[29], "T" if seq[29] != "T" else "C",
+                    pik3ca, ref_fetch=rf)
+    assert f.classification == "FIVE_PRIME_UTR"
+
+
+def test_reference_severity_ordering():
+    """_severity mirrors GencodeFuncotation.VariantClassification:777-849
+    (lower reference number = more severe): MISSENSE outranks FRAME_SHIFT,
+    DE_NOVO_START_OUT_FRAME ties NONSENSE, IGR is least severe."""
+    sv = gc._severity
+    assert sv("NONSENSE") == sv("NONSTOP") == sv("DE_NOVO_START_OUT_FRAME")
+    assert sv("MISSENSE") > sv("FRAME_SHIFT_INS")
+    assert sv("SPLICE_SITE") > sv("SILENT") > sv("FIVE_PRIME_UTR")
+    assert sv("INTRON") > sv("FIVE_PRIME_FLANK") > sv("IGR")
+    assert sv("COULD_NOT_DETERMINE") < sv("IGR")
