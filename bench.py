@@ -226,6 +226,11 @@ def _scaling_bench():
     env["GATK_TPU_PLATFORM"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["OMP_NUM_THREADS"] = "1"
+    # CPU-backend children never touch the TPU tunnel: dropping the axon
+    # sitecustomize trigger skips its PJRT registration (~1.5s/process of the
+    # measured startup)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
 
     # pin each process to one distinct core: every simulated "host" gets the
     # same fixed resource budget, so efficiency measures the distribution

