@@ -115,6 +115,7 @@ def _register_builtin_tools():
     from .tools import example_tools  # noqa: F401
     from .tools import misc_tools  # noqa: F401
     from .tools import picard_tools  # noqa: F401
+    from .tools import picard_tools2  # noqa: F401
     from .tools import cpx_reinterpreter  # noqa: F401
     from .tools import select_variants  # noqa: F401
     from .tools import variant_filtration  # noqa: F401
