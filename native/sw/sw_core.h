@@ -27,6 +27,11 @@ struct Cigar {
   int64_t score = 0;
 };
 
+template <typename BT>
+inline Cigar backtrack_cigar(const BT* btrack, int64_t si, int64_t sj,
+                             int32_t n, int32_t m, const int64_t* lastRow,
+                             const int64_t* lastCol, int32_t overhang);
+
 // one (ref x alt) alignment: fills btrack, returns cigar via backtrack
 Cigar align_one(const uint8_t* ref, int32_t n, const uint8_t* alt, int32_t m,
                 int32_t w_match, int32_t w_mismatch, int32_t w_open, int32_t w_ext,
@@ -97,7 +102,16 @@ Cigar align_one(const uint8_t* ref, int32_t n, const uint8_t* alt, int32_t m,
   // Hprev now holds row n
   for (int32_t j = 0; j <= m; ++j) lastRow[j] = Hprev[j];
 
-  // --- cigar backtrack (smith_waterman.py _calculate_cigar port) ---
+  return backtrack_cigar(btrack.data(), mp1, 1, n, m, lastRow.data(),
+                         lastCol.data(), overhang);
+}
+
+// --- cigar backtrack (smith_waterman.py _calculate_cigar port), shared by
+// the scalar and 8-lane bundle kernels. bt(i,j) = btrack[i*si + j*sj].
+template <typename BT>
+inline Cigar backtrack_cigar(const BT* btrack, int64_t si, int64_t sj,
+                             int32_t n, int32_t m, const int64_t* lastRow,
+                             const int64_t* lastCol, int32_t overhang) {
   Cigar out;
   int32_t p1, p2;
   int64_t maxscore;
@@ -140,7 +154,7 @@ Cigar align_one(const uint8_t* ref, int32_t n, const uint8_t* alt, int32_t m,
   }
   int32_t state = OP_M;
   while (true) {
-    const int32_t btr = btrack[(int64_t)p1 * mp1 + p2];
+    const int32_t btr = (int32_t)btrack[p1 * si + p2 * sj];
     int32_t new_state, step;
     if (btr > 0) {
       new_state = OP_D;
@@ -198,6 +212,105 @@ Cigar align_one(const uint8_t* ref, int32_t n, const uint8_t* alt, int32_t m,
   out.lens.assign(lens.rbegin(), lens.rend());
   out.score = maxscore;
   return out;
+}
+
+// --- 8-lane inter-task SIMD bundle -----------------------------------------
+// Runs 8 independent alignments in lockstep over the same (i, j) sweep: the
+// lane loop has no cross-lane dependencies, so g++ auto-vectorizes every cell
+// update to AVX2 while keeping bit-exact scalar tie-break semantics per lane
+// (the j-loop's horizontal-gap dependency is across j, never across lanes).
+// Lanes with m_real[l] < m pad with 0-bytes (never equal to a real base);
+// cells at j <= m_real[l] are then identical to a scalar run of that alt.
+constexpr int32_t SWL = 8;
+
+inline void align_bundle8(const uint8_t* ref, int32_t n,
+                          const uint8_t* const* alts, const int32_t* m_real,
+                          int32_t n_lanes, int32_t w_match, int32_t w_mismatch,
+                          int32_t w_open, int32_t w_ext, int32_t overhang,
+                          Cigar* out) {
+  int32_t m = 0;
+  for (int32_t l = 0; l < n_lanes; ++l) m = m_real[l] > m ? m_real[l] : m;
+  const int64_t mp1 = m + 1;
+  // interleaved padded alt matrix, widened to int32 so the lane loop maps to
+  // full 8x32-bit AVX2 vectors: altm[(j-1)*SWL + l]
+  std::vector<int32_t> altm((size_t)m * SWL, 0);
+  for (int32_t l = 0; l < n_lanes; ++l)
+    for (int32_t j = 0; j < m_real[l]; ++j) altm[(size_t)j * SWL + l] = alts[l][j];
+
+  const bool ramp = overhang == INDEL || overhang == LEADING_INDEL;
+  std::vector<int32_t> Hprev(mp1 * SWL, 0), Hcur(mp1 * SWL, 0);
+  std::vector<int32_t> best_v(mp1 * SWL, (int32_t)LOW_INIT), size_v(mp1 * SWL, 0);
+  std::vector<int32_t> btrack((size_t)(n + 1) * mp1 * SWL, 0);
+  std::vector<int32_t> lastCol8((size_t)(n + 1) * SWL, 0);
+  if (ramp)
+    for (int32_t j = 1; j <= m; ++j)
+      for (int32_t l = 0; l < SWL; ++l)
+        Hprev[(size_t)j * SWL + l] = w_open + (j - 1) * w_ext;
+  for (int32_t l = 0; l < n_lanes; ++l)
+    lastCol8[l] = Hprev[(size_t)m_real[l] * SWL + l];
+
+  const int32_t cutoff = (int32_t)MATRIX_MIN_CUTOFF;
+  for (int32_t i = 1; i <= n; ++i) {
+    const int32_t h0 = ramp ? w_open + (i - 1) * w_ext : 0;
+    int32_t best_h[SWL], size_h[SWL];
+    for (int32_t l = 0; l < SWL; ++l) {
+      Hcur[l] = h0;
+      best_h[l] = (int32_t)LOW_INIT;
+      size_h[l] = 0;
+    }
+    const int32_t ri = ref[i - 1];
+    int32_t* bt = &btrack[(size_t)i * mp1 * SWL];
+    for (int32_t j = 1; j <= m; ++j) {
+      const int32_t* __restrict__ hp = &Hprev[(size_t)j * SWL];
+      const int32_t* __restrict__ hpm = hp - SWL;
+      int32_t* __restrict__ hc = &Hcur[(size_t)j * SWL];
+      const int32_t* __restrict__ hcm = hc - SWL;
+      int32_t* __restrict__ bv = &best_v[(size_t)j * SWL];
+      int32_t* __restrict__ sv = &size_v[(size_t)j * SWL];
+      const int32_t* __restrict__ ab = &altm[(size_t)(j - 1) * SWL];
+      int32_t* __restrict__ btj = bt + (size_t)j * SWL;
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+      for (int32_t l = 0; l < SWL; ++l) {
+        const int32_t prev_gap_v = hp[l] + w_open;
+        int32_t bvl = bv[l] + w_ext;
+        int32_t svl = sv[l];
+        const bool cv = prev_gap_v > bvl;  // strict: ties keep the longer gap
+        bvl = cv ? prev_gap_v : bvl;
+        svl = cv ? 1 : svl + 1;
+        bv[l] = bvl;
+        sv[l] = svl;
+        const int32_t prev_gap_h = hcm[l] + w_open;
+        int32_t bhl = best_h[l] + w_ext;
+        int32_t shl = size_h[l];
+        const bool ch = prev_gap_h > bhl;
+        bhl = ch ? prev_gap_h : bhl;
+        shl = ch ? 1 : shl + 1;
+        best_h[l] = bhl;
+        size_h[l] = shl;
+        const int32_t step_diag = hpm[l] + (ab[l] == ri ? w_match : w_mismatch);
+        // diag >= right >= down tie-breaking
+        const bool take_diag = step_diag >= bvl && step_diag >= bhl;
+        const bool take_right = bhl >= bvl;
+        int32_t v = take_diag ? step_diag : (take_right ? bhl : bvl);
+        btj[l] = take_diag ? 0 : (take_right ? -shl : svl);
+        hc[l] = v < cutoff ? cutoff : v;
+      }
+    }
+    for (int32_t l = 0; l < n_lanes; ++l)
+      lastCol8[(size_t)i * SWL + l] = Hcur[(size_t)m_real[l] * SWL + l];
+    std::swap(Hprev, Hcur);
+  }
+
+  for (int32_t l = 0; l < n_lanes; ++l) {
+    std::vector<int64_t> lastRow(m_real[l] + 1), lastCol(n + 1);
+    for (int32_t j = 0; j <= m_real[l]; ++j)
+      lastRow[j] = Hprev[(size_t)j * SWL + l];
+    for (int32_t i = 0; i <= n; ++i) lastCol[i] = lastCol8[(size_t)i * SWL + l];
+    out[l] = backtrack_cigar(&btrack[l], mp1 * SWL, SWL, n, m_real[l],
+                             lastRow.data(), lastCol.data(), overhang);
+  }
 }
 
 }  // namespace

@@ -11,6 +11,7 @@
 //
 // Build: make -C native/sw   (g++ -O3 -fopenmp -shared -fPIC)
 
+#include <algorithm>
 #include "sw_core.h"
 
 extern "C" {
@@ -28,16 +29,22 @@ int32_t sw_align_batch(const uint8_t* ref, int32_t n, const uint8_t* alts_cat,
   int32_t rc = 0;
 #ifdef _OPENMP
   if (n_threads > 0) omp_set_num_threads(n_threads);
-#pragma omp parallel for schedule(dynamic)
 #endif
-  for (int32_t a = 0; a < n_alts; ++a) {
-    Cigar c = align_one(ref, n, alts_cat + alt_off[a], alt_len[a], w_match,
-                        w_mismatch, w_open, w_ext, overhang);
+  // bundle alignments 8 at a time, grouped by descending length so lane
+  // padding inside a bundle stays small (see align_bundle8 in sw_core.h)
+  std::vector<int32_t> order(n_alts);
+  for (int32_t a = 0; a < n_alts; ++a) order[a] = a;
+  std::sort(order.begin(), order.end(), [&](int32_t x, int32_t y) {
+    return alt_len[x] != alt_len[y] ? alt_len[x] > alt_len[y] : x < y;
+  });
+  const int32_t n_bundles = (n_alts + SWL - 1) / SWL;
+
+  auto emit = [&](int32_t a, const Cigar& c) {
     const int32_t nc = (int32_t)c.ops.size();
     if (nc > max_cigar) {
       rc = -1;
       n_cigar_out[a] = -1;
-      continue;
+      return;
     }
     std::memcpy(cigar_ops_out + (int64_t)a * max_cigar, c.ops.data(), nc);
     std::memcpy(cigar_lens_out + (int64_t)a * max_cigar, c.lens.data(),
@@ -45,6 +52,25 @@ int32_t sw_align_batch(const uint8_t* ref, int32_t n, const uint8_t* alts_cat,
     n_cigar_out[a] = nc;
     offset_out[a] = c.offset;
     score_out[a] = c.score;
+  };
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int32_t b = 0; b < n_bundles; ++b) {
+    const int32_t lo = b * SWL;
+    const int32_t n_lanes = std::min(SWL, n_alts - lo);
+    const uint8_t* lane_alts[SWL];
+    int32_t lane_m[SWL];
+    for (int32_t l = 0; l < n_lanes; ++l) {
+      const int32_t a = order[lo + l];
+      lane_alts[l] = alts_cat + alt_off[a];
+      lane_m[l] = alt_len[a];
+    }
+    Cigar cigars[SWL];
+    align_bundle8(ref, n, lane_alts, lane_m, n_lanes, w_match, w_mismatch,
+                  w_open, w_ext, overhang, cigars);
+    for (int32_t l = 0; l < n_lanes; ++l) emit(order[lo + l], cigars[l]);
   }
   return rc;
 }
