@@ -67,7 +67,11 @@ class ShardedCaller:
             # 2x cores measurably beats 1x on the mito bench (1.93s -> 1.72s
             # at 2 cores); cap at 6 to bound memory for live regions
             import os
-            host_threads = max(2, min(6, 2 * (os.cpu_count() or 2)))
+            try:
+                cpus = len(os.sched_getaffinity(0))  # respects taskset pinning
+            except AttributeError:  # pragma: no cover - non-linux
+                cpus = os.cpu_count() or 2
+            host_threads = max(2, min(6, 2 * cpus))
         self.engine = engine
         self.devices = list(devices) if devices is not None else jax.local_devices()
         # compile/load the canonical PairHMM programs in the background while
