@@ -147,3 +147,39 @@ def test_collect_rrbs_metrics(tmp_path):
     assert reads > 1000 and cpg_seen > 0
     # real (non-bisulfite) data: conversion rate is just the C>T error rate, tiny
     assert float(row[3]) < 0.05
+
+
+def test_deprecation_and_suggestions(capsys):
+    from gatk_tpu import cli
+
+    msg = cli.unknown_command_message("IndelRealigner")
+    assert "no longer included" in msg and "4.0.0.0" in msg
+    msg = cli.unknown_command_message("HaplotypeCallr")
+    assert "HaplotypeCaller" in msg
+    msg = cli.unknown_command_message("Mutect")  # >=5-char substring match
+    assert "Mutect2" in msg
+    rc = cli.main(["IndelRealigner"])
+    assert rc == 2
+
+
+def test_generate_tool_wdl(tmp_path):
+    out = tmp_path / "hc.wdl"
+    run("GenerateToolWdl", ["--tool", "HaplotypeCaller", "-O", str(out)])
+    text = open(out).read()
+    assert text.startswith("version 1.0")
+    assert "task HaplotypeCaller" in text
+    assert "python -m gatk_tpu HaplotypeCaller" in text
+    # required I/O args surface as typed inputs
+    assert "File input" in text or "Array[File] input" in text
+    assert "output" in text
+
+
+def test_generate_shell_completion(tmp_path):
+    out = tmp_path / "comp.bash"
+    run("GenerateShellCompletion", ["-O", str(out)])
+    text = open(out).read()
+    assert "HaplotypeCaller" in text and "Mutect2" in text
+    assert "complete -o default -F _gatk_tpu_complete" in text
+    # the script is valid bash
+    r = subprocess.run(["bash", "-n", str(out)], capture_output=True)
+    assert r.returncode == 0
