@@ -52,6 +52,20 @@ def split_interval_shards(targets, n_shards: int):
     return shards
 
 
+def _fault_injection_hook(target, attempt):
+    """Test-only fault injection: GATK_TPU_FAULT_INJECT="contig:start:n_fails"
+    makes the matching shard's first n_fails attempts raise, exercising the
+    retry path end-to-end without patching internals."""
+    import os
+    spec = os.environ.get("GATK_TPU_FAULT_INJECT")
+    if not spec:
+        return
+    contig, start, n_fails = spec.split(":")
+    if target.contig == contig and target.start == int(start) and \
+            attempt < int(n_fails):
+        raise RuntimeError(f"injected fault on {target} attempt {attempt}")
+
+
 class ShardedCaller:
     """Schedules per-region calling work across mesh devices.
 
@@ -139,6 +153,29 @@ class ShardedCaller:
         variants = [v for v in variants if interval.start <= v.pos < interval.end]
         return variants, summaries
 
+    # per-shard failure containment: transient device/host errors on one shard
+    # retry with fresh state instead of killing the whole traversal (the
+    # elastic-recovery half of SURVEY §5's failure-detection subsystem; the
+    # cross-process half is the shard checkpoint/resume in engine/checkpoint).
+    SHARD_MAX_ATTEMPTS = 3
+
+    def _call_interval_with_retry(self, read_source, target):
+        import logging
+        last = None
+        for attempt in range(self.SHARD_MAX_ATTEMPTS):
+            try:
+                reads = read_source(target)
+                _fault_injection_hook(target, attempt)
+                return self.call_interval(reads, target)
+            except (KeyboardInterrupt, SystemExit):
+                raise
+            except Exception as e:  # transient device/host failure: retry shard
+                last = e
+                logging.getLogger("gatk_tpu").warning(
+                    "shard %s attempt %d/%d failed: %s", target, attempt + 1,
+                    self.SHARD_MAX_ATTEMPTS, e)
+        raise last
+
     def call_targets(self, read_source, targets, contig_order=None):
         """Scatter-gather over many target intervals: per-target region planning,
         device round-robin within each target, then a coordinate-sorted gather
@@ -150,7 +187,7 @@ class ShardedCaller:
         order = {c: i for i, c in enumerate(contig_order)} if contig_order else None
         per_shard = []
         for target in targets:
-            variants, _ = self.call_interval(read_source(target), target)
+            variants, _ = self._call_interval_with_retry(read_source, target)
             per_shard.append((target, variants))
         out = []
         for target, variants in per_shard:

@@ -86,3 +86,44 @@ def test_sharded_calling_e2e_matches_single_device():
     assert [str(v) for v in v_multi] == [str(v) for v in v_single]
     called = {v.pos for v in v_multi}  # 0-based; VCF positions are pos+1
     assert {151, 262, 309} <= called, called
+
+
+def test_shard_retry_fault_injection(monkeypatch):
+    """A shard that fails transiently is retried with fresh reads and the
+    gathered output is unaffected (elastic recovery, SURVEY §5)."""
+    from gatk_tpu.calling import hc_engine
+    from gatk_tpu.engine.intervals import Interval
+    from gatk_tpu.io import bam, fasta
+    from gatk_tpu.parallel.scheduler import ShardedCaller
+    from gatk_tpu.utils.javarandom import reset_random_generator
+
+    M = ("/root/reference/src/test/resources/org/broadinstitute/hellbender/"
+         "tools/mutect/mito")
+    ref = fasta.FastaReference(f"{M}/Homo_sapiens_assembly38.mt_only.fasta")
+    rd = bam.BamReader(f"{M}/NA12878.bam")
+    args = hc_engine.HCArgs(adaptive_pruning=True, max_reads_per_alignment_start=4)
+    engine = hc_engine.HaplotypeCallerEngine(ref, "NA12878", args)
+    caller = ShardedCaller(engine)
+    targets = [Interval("chrM", 100, 250), Interval("chrM", 250, 350)]
+    pulls = []
+
+    def source(iv):
+        pulls.append(iv.start)
+        return list(rd.query("chrM", max(0, iv.start - 300), iv.end + 300))
+
+    reset_random_generator()
+    clean = caller.call_targets(source, targets)
+
+    # second shard fails twice, then succeeds on the third attempt
+    monkeypatch.setenv("GATK_TPU_FAULT_INJECT", "chrM:250:2")
+    pulls.clear()
+    reset_random_generator()
+    retried = caller.call_targets(source, targets)
+    assert pulls.count(250) == 3  # reads re-pulled per attempt
+    assert [str(v) for v in retried] == [str(v) for v in clean]
+
+    # a permanently failing shard surfaces the error after max attempts
+    monkeypatch.setenv("GATK_TPU_FAULT_INJECT", "chrM:250:99")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected fault"):
+        caller.call_targets(source, targets)
