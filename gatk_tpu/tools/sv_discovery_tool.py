@@ -473,13 +473,97 @@ def structural_variation_discovery_pipeline(argv):
                                   end=end, svlen=svlen, ctgs=set()))
                     rec["ctgs"].add(name)
 
-    _write_sv_vcf(args.output, adjacencies, ref, sample)
+    # read-pair-only imprecise deletions for links no assembled contig explains
+    precise_spans = [(contig_index.get(rec["contig"], -1), rec["pos"],
+                      rec["end"] if not isinstance(rec["end"], tuple)
+                      else rec["pos"] + 1)
+                     for rec in adjacencies.values()]
+    imprecise = _imprecise_deletions(rd, args.min_mapq, precise_spans)
+    _write_sv_vcf(args.output, adjacencies, ref, sample, imprecise=imprecise)
     print(f"SV pipeline: {n_clusters} evidence clusters, {n_contigs} assembled "
-          f"contigs, {len(adjacencies)} SV records -> {args.output}")
+          f"contigs, {len(adjacencies)} SV records + {len(imprecise)} "
+          f"imprecise deletions -> {args.output}")
     return 0
 
 
-def _write_sv_vcf(output, adjacencies, ref, sample):
+IMPRECISE_EVIDENCE_THRESHOLD = 7      # DEFAULT_IMPRECISE_VARIANT_EVIDENCE_THRESHOLD
+MAX_IMPRECISE_DELETION_SIZE = 15000   # DEFAULT_MAX_CALLABLE_IMPRECISE_DELETION_SIZE
+
+
+def _imprecise_deletions(rd, min_mapq, precise_spans,
+                         evidence_threshold=IMPRECISE_EVIDENCE_THRESHOLD,
+                         max_size=MAX_IMPRECISE_DELETION_SIZE):
+    """Imprecise deletions from read-pair-only evidence
+    (discovery/inference/ImpreciseVariantDetector.java:20-49 +
+    EvidenceTargetLink.isImpreciseDeletion:111): cluster outward-facing
+    long-fragment FR pairs into left(+)/right(-) stranded interval links; a
+    link with > threshold supporting pairs, inner distance < max_size, and no
+    overlapping assembly-based call becomes an IMPRECISE <DEL> with CIPOS /
+    CIEND from the cluster interval spreads."""
+    # library fragment-size stats (ReadMetadata's per-library zscore, reduced
+    # to a median + MAD cutoff over sampled proper pairs)
+    tlens = []
+    pairs = []
+    for r in rd:
+        if (r.is_unmapped or r.is_duplicate or r.is_secondary
+                or r.is_supplementary or r.mapq < min_mapq or not r.is_paired
+                or r.mate_is_unmapped or r.mate_ref_id != r.ref_id):
+            continue
+        if r.is_reverse or not (r.flag & 0x20):  # keep FR-forward anchor only
+            continue
+        if r.tlen <= 0:
+            continue
+        if len(tlens) < 100000:
+            tlens.append(r.tlen)
+        pairs.append((r.ref_id, int(r.pos), int(r.end), int(r.mate_pos),
+                      len(r.bases)))
+    if not tlens:
+        return []
+    arr = np.asarray(tlens, np.float64)
+    med = float(np.median(arr))
+    mad = float(np.median(np.abs(arr - med))) or 1.0
+    cutoff = med + 3 * 1.4826 * mad
+    # discordant long-fragment FR pairs: deletion-spanning candidates
+    cands = [(rid, s, e, mp, rl) for rid, s, e, mp, rl in pairs
+             if (mp + rl) - s > cutoff]
+    cands.sort()
+    out = []
+    cluster = []
+
+    def flush(cluster):
+        if len(cluster) <= evidence_threshold:
+            return
+        rid = cluster[0][0]
+        l_lo = min(c[1] for c in cluster)
+        l_hi = max(c[2] for c in cluster)
+        r_lo = min(c[3] for c in cluster)
+        r_hi = max(c[3] + c[4] for c in cluster)
+        if r_lo - l_hi <= 0 or r_hi - l_lo > max_size + (l_hi - l_lo) + (r_hi - r_lo):
+            return
+        pos = (l_lo + l_hi) // 2
+        end = (r_lo + r_hi) // 2
+        if end - pos <= 0 or end - pos >= max_size:
+            return
+        for pc_rid, pc_lo, pc_hi in precise_spans:
+            if pc_rid == rid and pc_lo <= end and pc_hi >= pos:
+                return  # an assembly-based call already explains this link
+        out.append(dict(ref_id=rid, pos=pos, end=end,
+                        svlen=-(end - pos), n_pairs=len(cluster),
+                        cipos=(l_lo - pos, l_hi - pos),
+                        ciend=(r_lo - end, r_hi - end)))
+
+    for c in cands:
+        if cluster and (c[0] != cluster[-1][0]
+                        or c[1] > cluster[-1][2]  # left intervals must overlap
+                        or abs(c[3] - cluster[-1][3]) > 1000):
+            flush(cluster)
+            cluster = []
+        cluster.append(c)
+    flush(cluster)
+    return out
+
+
+def _write_sv_vcf(output, adjacencies, ref, sample, imprecise=()):
     """Shared SV VCF writer (StructuralVariantDiscoverer output path)."""
     headers = [
         '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="Type of structural variant">',
@@ -487,6 +571,10 @@ def _write_sv_vcf(output, adjacencies, ref, sample):
         '##INFO=<ID=END,Number=1,Type=Integer,Description="End position">',
         '##INFO=<ID=CTGS,Number=.,Type=String,Description="Evidence contig names">',
         '##INFO=<ID=MATEID,Number=1,Type=String,Description="Mate breakend">',
+        '##INFO=<ID=IMPRECISE,Number=0,Type=Flag,Description="Imprecise structural variation">',
+        '##INFO=<ID=CIPOS,Number=2,Type=Integer,Description="Confidence interval around POS">',
+        '##INFO=<ID=CIEND,Number=2,Type=Integer,Description="Confidence interval around END">',
+        '##INFO=<ID=READ_PAIR_SUPPORT,Number=1,Type=Integer,Description="Supporting discordant read pairs">',
         '##ALT=<ID=DEL,Description="Deletion">',
         '##ALT=<ID=INS,Description="Insertion">',
         '##ALT=<ID=DUP,Description="Tandem duplication">',
@@ -514,6 +602,20 @@ def _write_sv_vcf(output, adjacencies, ref, sample):
         records.append(vcf.Variant(
             contig, pos, ref_base, (f"<{rec['svtype']}>",),
             id=f"{rec['svtype']}_{contig}_{pos + 1}_{rec['end']}", qual=None,
+            info=info, samples=[{"GT": "./."}], fmt_keys=("GT",)))
+    names = [name for name, _ in contigs]
+    for rec in imprecise:
+        contig = names[rec["ref_id"]]
+        pos = rec["pos"]
+        ref_base = chr(ref.fetch(contig, pos, pos + 1)[0]).upper()
+        info = {"SVTYPE": "DEL", "IMPRECISE": True, "END": str(rec["end"]),
+                "SVLEN": str(rec["svlen"]),
+                "CIPOS": f"{rec['cipos'][0]},{rec['cipos'][1]}",
+                "CIEND": f"{rec['ciend'][0]},{rec['ciend'][1]}",
+                "READ_PAIR_SUPPORT": str(rec["n_pairs"])}
+        records.append(vcf.Variant(
+            contig, pos, ref_base, ("<DEL>",),
+            id=f"DEL_IMPRECISE_{contig}_{pos + 1}_{rec['end']}", qual=None,
             info=info, samples=[{"GT": "./."}], fmt_keys=("GT",)))
     order = {name: i for i, (name, _) in enumerate(contigs)}
     records.sort(key=lambda v: (order.get(v.contig, 1 << 30), v.pos))

@@ -278,3 +278,72 @@ def test_joint_germline_cnv_segmentation(tmp_path):
     gts = dict(zip(["A", "B"], dup.samples))
     assert gts["A"]["GT"] == "0" and gts["A"]["CN"] == "2"  # ref ploidy backfill
     assert gts["B"]["CN"] == "4"
+
+
+def test_imprecise_deletion_from_read_pairs(tmp_path):
+    """A deletion supported ONLY by discordant FR read pairs (no split reads,
+    nothing to assemble) is called as an IMPRECISE <DEL> with CIPOS/CIEND
+    (ImpreciseVariantDetector.java:20-49)."""
+    import numpy as np
+
+    from gatk_tpu.cli import TOOL_REGISTRY
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    rng = np.random.default_rng(11)
+    ref_seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 12000))
+    fa = tmp_path / "imp.fa"
+    fa.write_text(f">chr1\n{ref_seq}\n")
+    del_start, del_len = 5000, 2000  # deleted on the ALT genome
+
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 12000, 0)],
+                             read_groups=[{"ID": "rg", "SM": "s1"}])
+    bam_path = str(tmp_path / "imp.bam")
+    w = bamio.BamWriter(bam_path, header)
+    reads = []
+    L, frag = 100, 400
+
+    def pair(name, pos1, pos2):
+        """FR pair: forward at pos1, reverse mate at pos2 (ref coords)."""
+        tlen = pos2 + L - pos1
+        reads.append(Read(
+            name=name, flag=0x1 | 0x2 | 0x20 | 0x40, ref_id=0, pos=pos1,
+            mapq=60, cigar_ops=np.zeros(1, np.uint8),
+            cigar_lens=np.array([L], np.int32),
+            bases=np.frombuffer(ref_seq[pos1:pos1 + L].encode(), np.uint8).copy(),
+            quals=np.full(L, 35, np.uint8), mate_ref_id=0, mate_pos=pos2,
+            tlen=tlen))
+        reads.append(Read(
+            name=name, flag=0x1 | 0x2 | 0x10 | 0x80, ref_id=0, pos=pos2,
+            mapq=60, cigar_ops=np.zeros(1, np.uint8),
+            cigar_lens=np.array([L], np.int32),
+            bases=np.frombuffer(ref_seq[pos2:pos2 + L].encode(), np.uint8).copy(),
+            quals=np.full(L, 35, np.uint8), mate_ref_id=0, mate_pos=pos1,
+            tlen=-tlen))
+
+    # background proper pairs establishing the ~400bp fragment size
+    for i in range(60):
+        p = 100 + i * 60
+        pair(f"bg{i}", p, p + frag - L)
+    # 12 deletion-spanning pairs: forward just left of the deletion, mate just
+    # right of it -> apparent fragment ~ frag + del_len
+    for i in range(12):
+        p = del_start - 250 + 5 * i
+        pair(f"dp{i}", p, p + frag - L + del_len)
+    for r in sorted(reads, key=lambda x: x.pos):
+        w.write(r)
+    w.close()
+
+    out = str(tmp_path / "imp.vcf")
+    rc = TOOL_REGISTRY["StructuralVariationDiscoveryPipelineSpark"](
+        ["-I", bam_path, "-R", str(fa), "-O", out])
+    assert rc == 0
+    recs = [l.split("\t") for l in open(out) if not l.startswith("#")]
+    imp = [r for r in recs if "IMPRECISE" in r[7]]
+    assert imp, f"no imprecise DEL: {[(r[1], r[7]) for r in recs]}"
+    info = dict(kv.split("=", 1) for kv in imp[0][7].split(";") if "=" in kv)
+    assert "CIPOS" in info and "CIEND" in info
+    assert int(info["READ_PAIR_SUPPORT"]) >= 8
+    # called span roughly brackets the true deletion
+    pos, end = int(imp[0][1]), int(info["END"])
+    assert abs(pos - del_start) < 600 and abs(end - (del_start + del_len)) < 600
