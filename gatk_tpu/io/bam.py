@@ -227,6 +227,9 @@ class BaiIndex:
 
 class BamReader:
     def __init__(self, path: str):
+        from .gatk_path import resolve
+
+        path = resolve(path)  # file:// and mirrored cloud URIs (GATKPath)
         self.path = path
         self._bgzf = bgzf.BgzfReader(path)
         self._data = None  # full uncompressed stream (lazy, for iteration)

@@ -13,6 +13,9 @@ import numpy as np
 
 class FastaReference:
     def __init__(self, path: str):
+        from .gatk_path import resolve
+
+        path = resolve(path)  # file:// and mirrored cloud URIs (GATKPath)
         self.path = path
         fai = path + ".fai"
         self.index = {}

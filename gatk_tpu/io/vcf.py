@@ -59,6 +59,9 @@ def _parse_info(s: str) -> dict:
 
 class VcfReader:
     def __init__(self, path: str):
+        from .gatk_path import resolve
+
+        path = resolve(path)  # file:// and mirrored cloud URIs (GATKPath)
         self.path = path
         with open(path, "rb") as fh:
             head = fh.read(4)

@@ -148,3 +148,30 @@ def test_bai_indexed_query_matches_full_scan():
     # reg2bins sanity: window bins include bin 0 and the 16kb leaf bin
     bins = bam.BaiIndex.reg2bins(100, 200)
     assert 0 in bins and 4681 in bins
+
+
+def test_gatk_path_uris(tmp_path, monkeypatch):
+    """GATKPath-equivalent URI handling (engine/GATKPath.java): file:// URIs
+    unwrap, cloud URIs resolve through the offline mirror map or fail with an
+    actionable UserError."""
+    import pytest
+
+    from gatk_tpu.io import gatk_path, vcf as vcfio
+    from gatk_tpu.utils.errors import UserError
+
+    p = tmp_path / "x.vcf"
+    p.write_text("##fileformat=VCFv4.2\n"
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                 "chr1\t100\t.\tA\tG\t50\tPASS\t.\n")
+    assert gatk_path.resolve(str(p)) == str(p)
+    assert gatk_path.resolve(f"file://{p}") == str(p)
+    assert len(list(vcfio.VcfReader(f"file://{p}"))) == 1
+
+    gp = gatk_path.GATKPath("gs://bucket/dir/x.vcf")
+    assert gp.scheme == "gs" and gp.is_cloud
+    with pytest.raises(UserError, match="offline"):
+        gatk_path.resolve(gp)
+    monkeypatch.setenv("GATK_TPU_URI_MIRROR",
+                       f"gs://bucket/dir=>{tmp_path}")
+    assert gatk_path.resolve(gp) == str(p)
+    assert len(list(vcfio.VcfReader("gs://bucket/dir/x.vcf"))) == 1
