@@ -142,11 +142,16 @@ def main(argv=None):
 
 
 def standard_io_parser(description: str, reference_required=True):
+    """Composed from the standard argument collections (cli_args.py — the
+    Barclay @ArgumentCollection equivalents): read input + reference + output
+    + full -L/-XL/-ip/-isr interval semantics."""
+    from . import cli_args
+
     p = argparse.ArgumentParser(description=description, add_help=True)
-    p.add_argument("-I", "--input", action="append", required=True, help="BAM input(s)")
-    p.add_argument("-R", "--reference", required=reference_required, help="reference FASTA")
-    p.add_argument("-O", "--output", required=True, help="output path")
-    p.add_argument("-L", "--intervals", action="append", default=None, help="intervals")
+    cli_args.add_read_input_args(p, required=True)
+    cli_args.add_reference_args(p, required=reference_required)
+    cli_args.add_output_args(p)
+    cli_args.add_interval_args(p)
     return p
 
 

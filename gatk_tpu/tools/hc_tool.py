@@ -144,9 +144,10 @@ def haplotype_caller(argv):
     sample = header.read_groups[0].get("SM", "SAMPLE") if header.read_groups else "SAMPLE"
 
     contig_lengths = {s.name: s.length for s in header.sequences}
-    if args.intervals:
-        targets = iv.parse_intervals_arg(args.intervals, contig_lengths)
-    else:
+    from ..cli_args import resolve_intervals
+
+    targets = resolve_intervals(args, contig_lengths)
+    if targets is None:
         targets = [iv.Interval(s.name, 0, s.length) for s in header.sequences]
     if args.shard_size:
         targets = [iv.Interval(t.contig, s, min(s + args.shard_size, t.end))

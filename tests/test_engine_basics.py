@@ -336,3 +336,38 @@ def test_region_trimmer_indel_haplotype():
     assert ev.start == 99
     # the trimmed alt is 5bp shorter than the window
     assert len(alt.bases) == (pv.end - pv.start) - 5
+
+
+def test_standard_interval_argument_collection():
+    """IntervalArgumentCollection semantics via the shared arg collections
+    (cli_args.py): -ip padding, UNION/INTERSECTION set rules, -XL subtraction
+    with -ixp padding."""
+    import argparse
+
+    from gatk_tpu import cli_args
+    from gatk_tpu.engine.intervals import Interval
+
+    cl = {"chr1": 10000, "chr2": 10000}
+
+    def resolve(argv):
+        p = argparse.ArgumentParser()
+        cli_args.add_interval_args(p)
+        return cli_args.resolve_intervals(p.parse_args(argv), cl)
+
+    assert resolve([]) is None
+    got = resolve(["-L", "chr1:101-200", "-ip", "50"])
+    assert got == [Interval("chr1", 50, 250)]
+    # UNION merges overlapping -L values
+    got = resolve(["-L", "chr1:101-200", "-L", "chr1:150-300"])
+    assert got == [Interval("chr1", 100, 300)]
+    # INTERSECTION intersects across -L values
+    got = resolve(["-L", "chr1:101-200", "-L", "chr1:150-300",
+                   "-isr", "INTERSECTION"])
+    assert got == [Interval("chr1", 149, 200)]
+    # -XL punches a hole (with -ixp padding)
+    got = resolve(["-L", "chr1:101-500", "-XL", "chr1:201-300", "-ixp", "10"])
+    assert got == [Interval("chr1", 100, 190), Interval("chr1", 310, 500)]
+    # -XL without -L excludes from whole contigs
+    got = resolve(["-XL", "chr1:1-9000"])
+    assert Interval("chr1", 9000, 10000) in got and \
+        Interval("chr2", 0, 10000) in got
