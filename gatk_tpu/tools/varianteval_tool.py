@@ -77,6 +77,11 @@ def variant_eval(argv):
     p.add_argument("-L", "--intervals", action="append", default=None,
                    help="traversal intervals (file or contig:start-end); sets "
                         "nProcessedLoci like the walker engine's locus count")
+    p.add_argument("-ped", "--pedigree", default=None,
+                   help=".ped file for Family stratification / "
+                        "MendelianViolationEvaluator")
+    p.add_argument("--mendelian-violation-qual-threshold", type=float,
+                   default=50.0)
     args = p.parse_args(argv)
 
     processed_loci = None
@@ -149,6 +154,63 @@ def variant_eval(argv):
 
     select_exprs = list(zip(args.select_names or [], args.select_exps or []))
 
+    # pedigree: families + trio rows for the Family stratifier / MV evaluator
+    # (utils/samples/SampleDB; trios with a '0' parent are silent no-ops)
+    ped_families: dict = {}
+    ped_trios: list = []
+    if args.pedigree:
+        with open(args.pedigree) as fh:
+            for ln in fh:
+                f = ln.split()
+                if len(f) < 4 or ln.startswith("#"):
+                    continue
+                fam, sid, father, mother = f[0], f[1], f[2], f[3]
+                ped_families.setdefault(fam, []).append(sid)
+                if father != "0" or mother != "0":
+                    ped_trios.append((fam, mother, father, sid))
+    ev_mod.MendelianViolationEvaluator.trios = ped_trios
+    ev_mod.MendelianViolationEvaluator.min_gq = \
+        args.mendelian_violation_qual_threshold
+    family_mode = bool(ped_families) and "Family" in (
+        args.stratification_module or [])
+    family_levels = sorted(ped_families) + ["all"] if family_mode else ()
+
+    def subset_to_samples(v, names, all_names):
+        """VariantEvalEngine.getSubsetOfVariantContext: keep the named samples
+        (input order), re-derive alleles from the remaining genotypes and
+        remap GT indices (htsjdk subContextFromSamples(deriveAlleles=true))."""
+        import copy as _copy
+
+        keep = [i for i, n in enumerate(all_names) if n in names]
+        samples = [v.samples[i] for i in keep if i < len(v.samples)]
+        used = set()
+        for g in samples:
+            for a in g.get("GT", ".").replace("|", "/").split("/"):
+                if a not in (".", ""):
+                    used.add(int(a))
+        alt_map = {0: 0}
+        new_alts = []
+        for ai in sorted(used):
+            if ai == 0:
+                continue
+            new_alts.append(v.alts[ai - 1])
+            alt_map[ai] = len(new_alts)
+        out_samples = []
+        for g in samples:
+            gt = g.get("GT", ".")
+            sep = "|" if "|" in gt else "/"
+            parts = gt.replace("|", "/").split("/")
+            new_gt = sep.join("." if a in (".", "") else str(alt_map[int(a)])
+                              for a in parts)
+            g2 = dict(g)
+            g2["GT"] = new_gt
+            out_samples.append(g2)
+        v2 = _copy.copy(v)
+        v2.alts = tuple(new_alts)
+        v2.samples = out_samples
+        v2.info = dict(v.info)
+        return v2, [all_names[i] for i in keep]
+
     def make_stratifier(name, first_eval_samples, comp_name="none",
                         eval_name="eval"):
         cls = st_mod.STRATIFIER_REGISTRY[name]
@@ -163,6 +225,8 @@ def variant_eval(argv):
             s.eval_name = eval_name
         elif name == "JexlExpression":
             s.expressions = select_exprs
+        elif name == "Family" and family_mode:
+            s.family_levels = tuple(family_levels)
         return s
 
     tables: dict[str, ReportTable] = {}
@@ -194,6 +258,21 @@ def variant_eval(argv):
                 n_no_calls = sum(
                     1 for smp in v.samples
                     if smp.get("GT", ".").startswith(".")) if "GT" in v.fmt_keys else 0
+                if family_mode:
+                    # one per-family-subsetted context per family level
+                    # (VariantEvalEngine.bindVariantContexts per-family path)
+                    for level in family_levels:
+                        names = reader.samples if level == "all" else \
+                            ped_families[level]
+                        vf, kept = subset_to_samples(v, set(names),
+                                                     reader.samples)
+                        ctx = EvalContext(
+                            vf, classify(vf), known, comp, comp_match,
+                            is_filtered, sample_genotypes(vf),
+                            n_no_calls=n_no_calls, keep_ac0=args.keep_ac0,
+                            eval_samples=kept, family_name=level)
+                        manager.update(ctx)
+                    continue
                 ctx = EvalContext(
                     v, classify(v), known, comp, comp_match, is_filtered,
                     sample_genotypes(v), n_no_calls=n_no_calls,
@@ -255,6 +334,7 @@ _TABLE_DESCRIPTIONS = {
     "CompOverlap": "The overlap between eval and comp sites",
     "CountVariants": "Counts different classes of variants in the sample",
     "TiTvVariantEvaluator": "Ti/Tv Variant Evaluator",
+    "MendelianViolationEvaluator": "Mendelian Violation Evaluator",
     "IndelSummary": "Evaluation summary for indels",
     "IndelLengthHistogram": "Indel length histogram",
     "MultiallelicSummary": "Evaluation summary for multi-allelic variants",

@@ -643,59 +643,171 @@ class VariantSummary(VariantEvaluator):
                 per_sample_counts["CNV"])
 
 
+def _gt_type(g):
+    """htsjdk GenotypeType over a per-sample dict: NO_CALL/HOM_REF/HET/HOM_VAR
+    (MIXED collapses to None — unused by the inheritance accessors)."""
+    gt = g.get("GT", ".") if g else None
+    if not gt or gt.startswith("."):
+        return "NO_CALL"
+    alleles = gt.replace("|", "/").split("/")
+    if any(a == "." for a in alleles):
+        return None  # MIXED
+    if all(a == "0" for a in alleles):
+        return "HOM_REF"
+    if len(set(alleles)) == 1:
+        return "HOM_VAR"
+    return "HET"
+
+
+def _gt_alleles(g):
+    gt = g.get("GT", ".").replace("|", "/")
+    return [a for a in gt.split("/") if a != "."]
+
+
+def _mv_is_violation(g_mom, g_dad, g_kid):
+    """MendelianViolation.isViolation(gMom, gDad, gChild) (:163-183)."""
+    tm, td, tk = _gt_type(g_mom), _gt_type(g_dad), _gt_type(g_kid)
+    if tk == "NO_CALL":
+        return False
+    if tm == "HOM_REF" and td == "HOM_REF" and tk == "HOM_REF":
+        return False
+    if tm == "NO_CALL":
+        return (td == "HOM_REF" and tk == "HOM_VAR") or \
+            (td == "HOM_VAR" and tk == "HOM_REF")
+    if td == "NO_CALL":
+        return (tm == "HOM_REF" and tk == "HOM_VAR") or \
+            (tm == "HOM_VAR" and tk == "HOM_REF")
+    am, ad, ak = _gt_alleles(g_mom), _gt_alleles(g_dad), _gt_alleles(g_kid)
+    if len(ak) < 2:
+        return False
+    k0, k1 = ak[0], ak[1]
+    return not ((k0 in am and k1 in ad) or (k1 in am and k0 in ad))
+
+
+class _MendelianViolationCounter:
+    """utils/samples/MendelianViolation.java with abortOnSampleNotFound=False,
+    completeTriosOnly=False: per-site family census + full 3-way genotype-type
+    inheritance map."""
+
+    def __init__(self, min_gq: float):
+        self.min_gq = min_gq
+        self.reset()
+
+    def reset(self):
+        self.no_call = 0
+        self.low_qual = 0
+        self.family_called = 0
+        self.var_family_called = 0
+        self.violations_total = 0
+        self.inh = {}
+
+    def _get(self, m, d, k):
+        return self.inh.get((m, d, k), 0)
+
+    def count(self, genotypes_by_name, trios):
+        """trios: [(family, mother_id, father_id, child_id)]; ids absent from
+        genotypes_by_name (e.g. '0') make the trio a silent no-op
+        (MendelianViolation.updateViolations:86-97)."""
+        self.reset()
+        for _fam, mom_id, dad_id, kid_id in trios:
+            g_mom = genotypes_by_name.get(mom_id)
+            g_dad = genotypes_by_name.get(dad_id)
+            g_kid = genotypes_by_name.get(kid_id)
+            if g_mom is None or g_dad is None or g_kid is None:
+                continue
+            tm, td, tk = _gt_type(g_mom), _gt_type(g_dad), _gt_type(g_kid)
+            mom_called = tm not in ("NO_CALL", None)
+            dad_called = td not in ("NO_CALL", None)
+            kid_called = tk not in ("NO_CALL", None)
+            if (not mom_called and not dad_called) or not kid_called:
+                self.no_call += 1
+            elif self.min_gq > 0 and (
+                    float(g_mom.get("GQ", -1)) < self.min_gq
+                    or float(g_dad.get("GQ", -1)) < self.min_gq
+                    or float(g_kid.get("GQ", -1)) < self.min_gq):
+                self.low_qual += 1
+            else:
+                self.family_called += 1
+                if not (tm == "HOM_REF" and td == "HOM_REF" and tk == "HOM_REF"):
+                    self.var_family_called += 1
+                if _mv_is_violation(g_mom, g_dad, g_kid):
+                    self.violations_total += 1
+                key = (tm, td, tk)
+                self.inh[key] = self.inh.get(key, 0) + 1
+        return self.violations_total
+
+
 class MendelianViolationEvaluator(VariantEvaluator):
-    """Trio mendelian-violation census (evaluators/MendelianViolationEvaluator.java,
-    core counts). Configure trios via set_trios([(momIdx, dadIdx, kidIdx)])."""
+    """Full trio mendelian-violation census
+    (evaluators/MendelianViolationEvaluator.java: the 32 data points of the
+    ExtendedMendelianViolation inheritance-map accessors). Configure via
+    set_trios: [(family, mother_id, father_id, child_id)] and the qual
+    threshold; genotypes are looked up by sample name in ctx.eval_samples."""
 
     name = "MendelianViolationEvaluator"
-    columns = (("nVariants", "%d"), ("nViolations", "%d"),
-               ("KidHomRef_ParentHomVar", "%d"), ("KidHet_ParentsHomRefHomRef", "%d"),
-               ("KidHomVar_ParentHomRef", "%d"))
+    columns = tuple((n, "%d") for n in (
+        "nVariants", "nSkipped", "nFamCalled", "nVarFamCalled", "nLowQual",
+        "nNoCall", "nLociViolations", "nViolations",
+        "mvRefRef_Var", "mvRefRef_Het", "mvRefHet_Var", "mvRefVar_Var",
+        "mvRefVar_Ref", "mvVarHet_Ref", "mvVarVar_Ref", "mvVarVar_Het",
+        "HomRefHomRef_HomRef", "HetHet_Het", "HetHet_HomRef", "HetHet_HomVar",
+        "HomVarHomVar_HomVar", "HomRefHomVAR_Het",
+        "HetHet_inheritedRef", "HetHet_inheritedVar",
+        "HomRefHet_inheritedRef", "HomRefHet_inheritedVar",
+        "HomVarHet_inheritedRef", "HomVarHet_inheritedVar"))
 
-    trio_indices: list = []
+    trios: list = []  # [(family, mom, dad, kid)] — set via class attribute
+    min_gq: float = 50.0
 
     def __init__(self):
-        self.n_variants = 0
-        self.n_violations = 0
-        self.homref_parenthomvar = 0
-        self.het_refref = 0
-        self.homvar_parenthomref = 0
-
-    @staticmethod
-    def _cls(g):
-        gt = sorted(g.get("GT", "./.").replace("|", "/").split("/"))
-        if "." in gt or len(gt) != 2:
-            return None
-        if gt == ["0", "0"]:
-            return "ref"
-        return "hom" if gt[0] == gt[1] else "het"
+        self.c = {n: 0 for n, _ in self.columns}
 
     def update(self, ctx):
-        if not self.trio_indices or not ctx.variant.samples:
-            return
-        self.n_variants += 1
-        for mom_i, dad_i, kid_i in self.trio_indices:
-            try:
-                mom = self._cls(ctx.variant.samples[mom_i])
-                dad = self._cls(ctx.variant.samples[dad_i])
-                kid = self._cls(ctx.variant.samples[kid_i])
-            except IndexError:
-                continue
-            if None in (mom, dad, kid):
-                continue
-            if kid == "het" and mom == "ref" and dad == "ref":
-                self.n_violations += 1
-                self.het_refref += 1
-            elif kid == "hom" and mom == "ref" and dad == "ref":
-                self.n_violations += 1
-                self.homvar_parenthomref += 1
-            elif kid == "ref" and mom == "hom" and dad == "hom":
-                self.n_violations += 1
-                self.homref_parenthomvar += 1
+        v = ctx.variant
+        if v is None or len(v.alleles) != 2 or not v.samples:
+            return  # update1 gate: vc.isBiallelic() && vc.hasGenotypes()
+        names = list(ctx.eval_samples)
+        by_name = {n: v.samples[i] for i, n in enumerate(names)
+                   if i < len(v.samples)}
+        mv = _MendelianViolationCounter(self.min_gq)
+        if mv.count(by_name, self.trios) > 0:
+            c = self.c
+            c["nLociViolations"] += 1
+            c["nViolations"] += mv.violations_total
+            g = mv._get
+            c["mvRefRef_Var"] += g("HOM_REF", "HOM_REF", "HOM_VAR")
+            c["mvRefRef_Het"] += g("HOM_REF", "HOM_REF", "HET")
+            c["mvRefHet_Var"] += g("HOM_REF", "HET", "HOM_VAR") + g("HET", "HOM_REF", "HOM_VAR")
+            c["mvRefVar_Var"] += g("HOM_REF", "HOM_VAR", "HOM_VAR") + g("HOM_VAR", "HOM_REF", "HOM_VAR")
+            c["mvRefVar_Ref"] += g("HOM_REF", "HOM_VAR", "HOM_REF") + g("HOM_VAR", "HOM_REF", "HOM_REF")
+            c["mvVarHet_Ref"] += g("HET", "HOM_VAR", "HOM_REF") + g("HOM_VAR", "HET", "HOM_REF")
+            c["mvVarVar_Ref"] += g("HOM_VAR", "HOM_VAR", "HOM_REF")
+            c["mvVarVar_Het"] += g("HOM_VAR", "HOM_VAR", "HET")
+        g = mv._get
+        c = self.c
+        c["HomRefHomRef_HomRef"] += g("HOM_REF", "HOM_REF", "HOM_REF")
+        c["HetHet_Het"] += g("HET", "HET", "HET")
+        c["HetHet_HomRef"] += g("HET", "HET", "HOM_REF")
+        c["HetHet_HomVar"] += g("HET", "HET", "HOM_VAR")
+        c["HomVarHomVar_HomVar"] += g("HOM_VAR", "HOM_VAR", "HOM_VAR")
+        c["HomRefHomVAR_Het"] += g("HOM_REF", "HOM_VAR", "HET") + g("HOM_VAR", "HOM_REF", "HET")
+        c["HetHet_inheritedRef"] += g("HET", "HET", "HET") + 2 * g("HET", "HET", "HOM_REF")
+        c["HetHet_inheritedVar"] += g("HET", "HET", "HET") + 2 * g("HET", "HET", "HOM_VAR")
+        c["HomRefHet_inheritedRef"] += g("HOM_REF", "HET", "HOM_REF") + g("HET", "HOM_REF", "HOM_REF")
+        c["HomRefHet_inheritedVar"] += g("HOM_REF", "HET", "HET") + g("HET", "HOM_REF", "HET")
+        c["HomVarHet_inheritedRef"] += g("HOM_VAR", "HET", "HET") + g("HET", "HOM_VAR", "HET")
+        c["HomVarHet_inheritedVar"] += g("HOM_VAR", "HET", "HOM_VAR") + g("HET", "HOM_VAR", "HOM_VAR")
+        if mv.family_called > 0 or mv.low_qual > 0:
+            c["nVariants"] += 1
+            c["nFamCalled"] += mv.family_called
+            c["nLowQual"] += mv.low_qual
+            c["nNoCall"] += mv.no_call
+            c["nVarFamCalled"] += mv.var_family_called
+        else:
+            c["nSkipped"] += 1
 
     def row(self):
-        return (self.n_variants, self.n_violations, self.homref_parenthomvar,
-                self.het_refref, self.homvar_parenthomref)
+        return tuple(self.c[n] for n, _ in self.columns)
 
 
 class PrintMissingComp(VariantEvaluator):

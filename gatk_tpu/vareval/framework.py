@@ -57,10 +57,11 @@ class EvalContext:
 
     __slots__ = ("variant", "vtype", "is_known", "comp", "comp_match", "is_filtered",
                  "genotypes", "ref_bases", "n_no_calls", "keep_ac0",
-                 "eval_samples")
+                 "eval_samples", "family_name")
 
     def __init__(self, variant, vtype, is_known, comp, comp_match, is_filtered,
-                 genotypes, n_no_calls=0, keep_ac0=False, eval_samples=()):
+                 genotypes, n_no_calls=0, keep_ac0=False, eval_samples=(),
+                 family_name=None):
         self.variant = variant
         self.vtype = vtype
         self.is_known = is_known
@@ -70,6 +71,7 @@ class EvalContext:
         self.n_no_calls = n_no_calls
         self.keep_ac0 = keep_ac0
         self.eval_samples = eval_samples
+        self.family_name = family_name
         self.genotypes = genotypes
 
 

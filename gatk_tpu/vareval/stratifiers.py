@@ -198,17 +198,25 @@ STANDARD_STRATIFICATIONS = ("Novelty",)
 
 
 class Family(VariantStratifier):
-    """Stratify by family (stratifications/Family.java); families configured
-    via set_families({name: [sample indices]})."""
+    """Stratify by family (stratifications/Family.java). In pedigree mode
+    (VariantEval -ped) the engine drives one per-family-subsetted context per
+    family level and this stratifier returns that level
+    (VariantEvalEngine.java:394-398); without a pedigree, membership falls
+    back to set_families({name: [sample indices]})."""
 
     name = "Family"
     families: dict = {}
+    family_levels: tuple = ()  # pedigree mode: family names + "all"
 
     @property
     def all_states(self):
+        if self.family_levels:
+            return tuple(self.family_levels)
         return ("all",) + tuple(self.families)
 
     def relevant_states(self, ctx):
+        if getattr(ctx, "family_name", None) is not None:
+            return (ctx.family_name,)
         states = ["all"]
         for fam, idxs in self.families.items():
             for i in idxs:

@@ -57,3 +57,22 @@ def test_variant_summary_ac0(keep, tmp_path):
     _run_and_compare(argv, f"testIncludingAC0 keep ac 0 = {keep}.expected.txt"
                      .replace("False", "false").replace("True", "true"),
                      tmp_path)
+
+
+def test_ve_mendelian_violation_evaluator(tmp_path):
+    _run_and_compare(
+        ["--eval", f"{D}/MendelianViolationEval.vcf",
+         "-ped", f"{D}/MendelianViolationEval.ped",
+         "-no-ev", "-no-st", "-EV", "MendelianViolationEvaluator",
+         "-L", "1:10109-10315",
+         "--mendelian-violation-qual-threshold", "0"],
+        "testVEMendelianViolationEvaluator.expected.txt", tmp_path)
+
+
+def test_mv_eval_family_strat(tmp_path):
+    _run_and_compare(
+        ["--eval", f"{D}/PhaseByTransmission.IntegrationTest.TP.vcf",
+         "-ped", f"{D}/PhaseByTransmission.IntegrationTest.goodFamilies.ped",
+         "-no-ev", "-no-st", "-ST", "Family",
+         "-EV", "MendelianViolationEvaluator"],
+        "testMVEvalFamilyStrat.expected.txt", tmp_path)
