@@ -80,6 +80,8 @@ def variant_eval(argv):
     p.add_argument("-ped", "--pedigree", default=None,
                    help=".ped file for Family stratification / "
                         "MendelianViolationEvaluator")
+    p.add_argument("-strat-intervals", "--strat-intervals", default=None,
+                   help="feature file for the IntervalStratification module")
     p.add_argument("--mendelian-violation-qual-threshold", type=float,
                    default=50.0)
     args = p.parse_args(argv)
@@ -175,6 +177,17 @@ def variant_eval(argv):
         args.stratification_module or [])
     family_levels = sorted(ped_families) + ["all"] if family_mode else ()
 
+    strat_intervals = []
+    if args.strat_intervals:
+        from ..engine.intervals import Interval as _Iv
+
+        with open(args.strat_intervals) as fh:
+            for ln in fh:
+                # tolerant BED: whitespace-separated, trailing '#' comments
+                f = ln.split("#", 1)[0].split()
+                if len(f) >= 3:
+                    strat_intervals.append(_Iv(f[0], int(f[1]), int(f[2])))
+
     def subset_to_samples(v, names, all_names):
         """VariantEvalEngine.getSubsetOfVariantContext: keep the named samples
         (input order), re-derive alleles from the remaining genotypes and
@@ -227,6 +240,11 @@ def variant_eval(argv):
             s.expressions = select_exprs
         elif name == "Family" and family_mode:
             s.family_levels = tuple(family_levels)
+        elif name == "IntervalStratification":
+            if not args.strat_intervals:
+                raise UserError("-strat-intervals must be provided when "
+                                "IntervalStratification is enabled")
+            s.intervals = strat_intervals
         return s
 
     tables: dict[str, ReportTable] = {}

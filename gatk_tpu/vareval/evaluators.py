@@ -46,7 +46,8 @@ class CountVariants(VariantEvaluator):
         t = ctx.vtype
         if t == "NO_VARIATION":
             c["nRefLoci"] += 1
-        else:
+        elif t != "SYMBOLIC":
+            # SYMBOLIC increments only nSymbolic (CountVariants.java:130-132)
             c["nVariantLoci"] += 1
         if t == "SNP":
             c["nSNPs"] += 1

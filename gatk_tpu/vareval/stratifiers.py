@@ -253,7 +253,10 @@ class IntervalStratification(VariantStratifier):
 
     def relevant_states(self, ctx):
         v = ctx.variant
-        inside = any(t.contig == v.contig and t.start <= v.pos < t.end
+        # span overlap over [start, end] incl. symbolic END
+        # (IntervalStratification.java:52 queryFeaturesIncludingOverlapping)
+        v_end = v.end
+        inside = any(t.contig == v.contig and t.start < v_end and v.pos < t.end
                      for t in self.intervals)
         return ("all", "overlaps.intervals" if inside else "outside.intervals")
 

@@ -76,3 +76,13 @@ def test_mv_eval_family_strat(tmp_path):
          "-no-ev", "-no-st", "-ST", "Family",
          "-EV", "MendelianViolationEvaluator"],
         "testMVEvalFamilyStrat.expected.txt", tmp_path)
+
+
+def test_interval_strat(tmp_path):
+    # -L 20 in the reference spec == the full b37 chr20 span
+    _run_and_compare(
+        ["--eval", f"{D}/withSymbolic.b37.vcf", "-no-ev", "-EV",
+         "CountVariants", "-no-st", "-strat-intervals",
+         f"{D}/overlapTest.bed", "-ST", "IntervalStratification",
+         "-L", "20:1-63025520"],
+        "testIntervalStrat.expected.txt", tmp_path)
