@@ -82,8 +82,13 @@ def variant_eval(argv):
                         "MendelianViolationEvaluator")
     p.add_argument("-strat-intervals", "--strat-intervals", default=None,
                    help="feature file for the IntervalStratification module")
-    p.add_argument("--mendelian-violation-qual-threshold", type=float,
+    p.add_argument("-mvq", "--mendelian-violation-qual-threshold", type=float,
                    default=50.0)
+    p.add_argument("-pedValidationType", "--pedigree-validation-type",
+                   dest="ped_validation", default="STRICT",
+                   choices=["STRICT", "SILENT"],
+                   help="STRICT: every pedigree sample must exist in the "
+                        "eval callset (PedigreeValidationType)")
     args = p.parse_args(argv)
 
     processed_loci = None
@@ -170,6 +175,17 @@ def variant_eval(argv):
                 ped_families.setdefault(fam, []).append(sid)
                 if father != "0" or mother != "0":
                     ped_trios.append((fam, mother, father, sid))
+    if args.pedigree and args.ped_validation == "STRICT":
+        # SampleDBBuilder PedigreeValidationType.STRICT: all pedigree samples
+        # must be present in the eval callset
+        eval_sample_names = set(vcfio.VcfReader(args.eval[0]).samples)
+        ped_sample_names = {s for fam in ped_families.values() for s in fam}
+        missing = sorted(ped_sample_names - eval_sample_names)
+        if missing:
+            raise UserError(
+                "Samples found in the pedigree file but not in the callset: "
+                + ", ".join(missing) + " (use -pedValidationType SILENT to "
+                "ignore)")
     ev_mod.MendelianViolationEvaluator.trios = ped_trios
     ev_mod.MendelianViolationEvaluator.min_gq = \
         args.mendelian_violation_qual_threshold

@@ -86,3 +86,23 @@ def test_interval_strat(tmp_path):
          f"{D}/overlapTest.bed", "-ST", "IntervalStratification",
          "-L", "20:1-63025520"],
         "testIntervalStrat.expected.txt", tmp_path)
+
+
+def test_pedigree_validation(tmp_path):
+    # SILENT: mismatched ped tolerated, output matches the committed golden
+    _run_and_compare(
+        ["--eval", f"{D}/PhaseByTransmission.IntegrationTest.TP.vcf",
+         "-ped", f"{D}/MendelianViolationEval.ped", "-no-ev",
+         "-EV", "MendelianViolationEvaluator", "-L", "1:10109-10315",
+         "-mvq", "0", "-no-st", "-pedValidationType", "SILENT"],
+        "testPedigreeValidation.expected.txt", tmp_path)
+    # STRICT (the default): mismatched pedigree raises a UserError
+    import pytest
+
+    from gatk_tpu.utils.errors import UserError
+    with pytest.raises(UserError, match="pedigree"):
+        TOOL_REGISTRY["VariantEval"](
+            ["--eval", f"{D}/PhaseByTransmission.IntegrationTest.TP.vcf",
+             "-ped", f"{D}/MendelianViolationEval.ped", "-no-ev",
+             "-EV", "MendelianViolationEvaluator", "-L", "1:10109-10315",
+             "-mvq", "0", "-no-st", "-O", str(tmp_path / "x.txt")])
