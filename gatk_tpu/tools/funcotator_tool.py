@@ -133,12 +133,32 @@ def funcotator(argv):
             fh.write("\t".join(MAF_COLUMNS) + "\n")
             for v, per_alt in annotated:
                 for alt, f in zip(v.alts, per_alt):
-                    end = v.pos + len(v.ref)
+                    # MAF indel conventions (mafOutput/MafOutputRendererConstants
+                    # / oncotator): trim the VCF anchor base; insertions use
+                    # ref '-' with [anchor, anchor+1], deletions use alt '-'
+                    # spanning the deleted bases
+                    ref_a, alt_a = v.ref, alt
+                    start1 = v.pos + 1
+                    k = 0
+                    while k < min(len(ref_a), len(alt_a)) and ref_a[k] == alt_a[k]:
+                        k += 1
+                    if len(alt_a) > len(ref_a) and k == len(ref_a):  # insertion
+                        maf_ref, maf_alt = "-", alt_a[k:]
+                        maf_start = start1 + k - 1  # last shared base
+                        maf_end = maf_start + 1
+                    elif len(alt_a) < len(ref_a) and k == len(alt_a):  # deletion
+                        maf_ref, maf_alt = ref_a[k:], "-"
+                        maf_start = start1 + k
+                        maf_end = maf_start + len(maf_ref) - 1
+                    else:
+                        maf_ref, maf_alt = ref_a, alt_a
+                        maf_start = start1
+                        maf_end = start1 + len(ref_a) - 1
                     fh.write("\t".join([
                         f.hugo_symbol or "Unknown", build, v.contig.lstrip("chr") or v.contig,
-                        str(v.pos + 1), str(end), "+",
+                        str(maf_start), str(maf_end), "+",
                         MAF_CLASSIFICATION.get(f.classification, f.classification),
-                        f.variant_type, v.ref, v.ref, alt, f.transcript_id,
+                        f.variant_type, maf_ref, maf_ref, maf_alt, f.transcript_id,
                         f.cdna_change, f.codon_change, f.protein_change]) + "\n")
     print(f"annotated {len(annotated)} variants -> {args.output}")
     return 0

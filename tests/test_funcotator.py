@@ -358,3 +358,44 @@ def test_reference_severity_ordering():
     assert sv("SPLICE_SITE") > sv("SILENT") > sv("FIVE_PRIME_UTR")
     assert sv("INTRON") > sv("FIVE_PRIME_FLANK") > sv("IGR")
     assert sv("COULD_NOT_DETERMINE") < sv("IGR")
+
+
+def test_funcotator_indel_maf_conventions(tmp_path, pik3ca):
+    """MAF indel conventions (MafOutputRenderer): anchor-trimmed alleles with
+    '-' placeholders and the oncotator start/end positions — every one of the
+    57 golden indel rows keys identically and matches on classification and
+    variant type. (Protein_Change strings follow GATK-Funcotator conventions,
+    which differ from the oncotator tool that produced this golden.)"""
+    out_maf = str(tmp_path / "ind.maf")
+    r = subprocess.run(
+        [sys.executable, "-m", "gatk_tpu", "Funcotator",
+         "-V", f"{FD}/PIK3CA_INDELS.vcf", "-O", out_maf,
+         "--output-file-format", "MAF",
+         "--data-sources-path", f"{FD}/small_pik3ca_dbsnp_ds",
+         "--ref-version", "hg19"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def load(path):
+        rows, header = {}, None
+        for ln in open(path):
+            if ln.startswith("#"):
+                continue
+            f = ln.rstrip("\n").split("\t")
+            if header is None:
+                header = f
+                continue
+            d = dict(zip(header, f))
+            start = d.get("Start_position") or d.get("Start_Position")
+            rows[(d["Chromosome"].lstrip("chr"), start, d["Reference_Allele"],
+                  d["Tumor_Seq_Allele2"])] = d
+        return rows
+
+    golden = load(f"{FD}/PIK3CA_INDELS.oncotatorAnnotated.maf")
+    got = load(out_maf)
+    assert len(golden) == 57
+    for key, grow in golden.items():
+        orow = got.get(key)
+        assert orow is not None, f"missing MAF row {key}"
+        for col in ("Variant_Classification", "Variant_Type"):
+            assert grow[col] == orow[col], (key, col, grow[col], orow[col])
