@@ -375,3 +375,119 @@ _TABLE_DESCRIPTIONS = {
     "ValidationReport": "Assess site accuracy and sensitivity of callset against follow-up validation assay",
     "VariantSummary": "1000 Genomes Phase I summary of variants table",
 }
+
+
+@register_tool("AlleleFrequencyQC")
+def allele_frequency_qc(argv):
+    """Array-vs-population allele-frequency concordance QC
+    (tools/walkers/varianteval/AlleleFrequencyQC.java): runs the
+    VariantAFEvaluator over comp-AF logit bins for the array callset and the
+    population callset, then a modified chi-squared over per-bin mean-AF
+    differences with constant variance; emits an AlleleFrequencyQCMetric
+    metrics file (SAMPLE, pvalue, chi-squared)."""
+    import math
+
+    import numpy as np
+
+    from ..io import vcf as vcfio
+
+    p = argparse.ArgumentParser(description="AlleleFrequencyQC")
+    p.add_argument("--eval", action="append", required=True,
+                   help="array VCF (and optionally the population VCF as a "
+                        "second eval track; added automatically if omitted)")
+    p.add_argument("--comp", required=True, help="population (expected-AF) VCF")
+    p.add_argument("-O", "--output", required=True)
+    p.add_argument("-R", "--reference", default=None)
+    p.add_argument("-L", "--intervals", action="append", default=None)
+    p.add_argument("-pvalue-threshold", "--pvalue-threshold", type=float,
+                   default=0.05)
+    p.add_argument("-allowed-variance", "--allowed-variance", type=float,
+                   default=0.01)
+    p.add_argument("-debug-file", "--debug-file", default=None)
+    args = p.parse_args(argv)
+
+    # comp records by locus; -L <compVcf> restricts traversal to comp sites
+    comp_by_pos = {}
+    for cv in vcfio.VcfReader(args.comp):
+        comp_by_pos.setdefault((cv.contig, cv.pos), cv).info
+    comp_sites = set(comp_by_pos)
+
+    # ##sampleAlias header line names the metric sample (AlleleFrequencyQC:49)
+    sample = "SAMPLE"
+    rd0 = vcfio.VcfReader(args.eval[0])
+    for h in rd0.header_lines:
+        if h.startswith("##sampleAlias="):
+            sample = h.split("=", 1)[1]
+
+    LOG_LIMIT = 30
+
+    def logit_bucket(af):
+        af = af + 1e-6
+        score = float(np.float32(-10.0 * math.log10(af / (1.0 - af))))
+        return min(LOG_LIMIT, max(-LOG_LIMIT, math.floor(score + 0.5)))
+
+    def max_af(v):
+        raw = v.info.get("AF", 0.0)
+        vals = str(raw).split(",")
+        return max(float(x) for x in vals)
+
+    tracks = list(args.eval)
+    if args.comp not in tracks:
+        tracks.append(args.comp)  # the -eval:thousand_genomes track
+    # bin -> per-track [sum_af, n_called]; all logit bins pre-exist
+    # (StratificationManager materializes the full state product)
+    acc = {b: [[0.0, 0] for _ in tracks] for b in
+           range(-LOG_LIMIT, LOG_LIMIT + 1)}
+    for ti, path in enumerate(tracks):
+        for v in vcfio.VcfReader(path):
+            if (v.contig, v.pos) not in comp_sites:
+                continue
+            if v.filters and v.filters != ("PASS",):
+                continue  # Filter stratifier: only 'called' rows feed the stat
+            if not v.is_snp():
+                continue
+            comp = comp_by_pos.get((v.contig, v.pos))
+            af = max_af(comp) if comp is not None else 0.0
+            b = logit_bucket(af)
+            cell = acc[b][ti]
+            if v.samples and "GT" in v.fmt_keys:
+                for g in v.samples:
+                    gt = g.get("GT", ".")
+                    if gt.startswith("."):
+                        continue
+                    alleles = gt.replace("|", "/").split("/")
+                    n_ref = sum(a == "0" for a in alleles)
+                    # (PLOIDY - numReferenceAlleles)/PLOIDY with Java int
+                    # division (VariantAFEvaluator.java:57) — replicated
+                    cell[0] += (2 - n_ref) // 2
+                    cell[1] += 1
+            else:
+                cell[0] += float(v.info.get("AF", 0.0) if not isinstance(
+                    v.info.get("AF", 0.0), str)
+                    else v.info["AF"].split(",")[0])
+                cell[1] += 1
+
+    variance = args.allowed_variance
+    chi_sq = 0.0
+    for b, cells in acc.items():
+        avgs = [(s / n if n else 0.0) for s, n in cells]
+        if len(avgs) >= 2:
+            chi_sq += (avgs[0] - avgs[1]) ** 2
+    chi_sq /= variance ** 2
+    from scipy.stats import chi2 as _chi2
+
+    dof = len(acc) - 1
+    pval = 1.0 - float(_chi2.cdf(chi_sq, dof))
+
+    with open(args.output, "w") as fh:
+        fh.write("## METRICS CLASS\torg.broadinstitute.hellbender.metrics."
+                 "analysis.AlleleFrequencyQCMetric\n")
+        fh.write("SAMPLE\tMETRIC_TYPE\tMETRIC_VALUE\tCHI_SQ_VALUE\n")
+        # MetricsFile rows end with a trailing tab + a final blank line
+        fh.write(f"{sample}\tAllele Frequency\t{pval:.6f}\t{chi_sq:.6f}\t\n\n")
+    if pval < args.pvalue_threshold:
+        print(f"Allele frequencies between your array VCF and the expected "
+              f"VCF do not match with a significant pvalue of {pval}")
+    print(f"AlleleFrequencyQC: chi_sq={chi_sq:.6f} pval={pval:.6f} -> "
+          f"{args.output}")
+    return 0

@@ -106,3 +106,18 @@ def test_pedigree_validation(tmp_path):
              "-ped", f"{D}/MendelianViolationEval.ped", "-no-ev",
              "-EV", "MendelianViolationEvaluator", "-L", "1:10109-10315",
              "-mvq", "0", "-no-st", "-O", str(tmp_path / "x.txt")])
+
+
+def test_allele_frequency_qc(tmp_path):
+    """AlleleFrequencyQC metrics byte-identical to the reference golden
+    (incl. the Java int-division quirk in VariantAFEvaluator.java:57)."""
+    A = ("/root/reference/src/test/resources/org/broadinstitute/hellbender/"
+         "tools/walkers/varianteval/AlleleFrequencyQC")
+    out = tmp_path / "afqc.txt"
+    rc = TOOL_REGISTRY["AlleleFrequencyQC"](
+        ["--eval", f"{A}/af.na12878_array.vcf",
+         "--comp", f"{A}/af.thousand_genomes.10sites.vcf",
+         "-L", f"{A}/af.thousand_genomes.10sites.vcf", "-O", str(out)])
+    assert not rc
+    assert out.read_text() == open(
+        f"{A}/expected/testAFQCIntegration.expected.txt").read()
