@@ -56,8 +56,13 @@ class SeedExtendAligner:
     """Index a reference once; align reads via seeds + banded SW extension."""
 
     def __init__(self, contigs, k: int = 21, seed_stride: int = 1,
-                 max_hits_per_kmer: int = 64):
-        """contigs: [(name, bases uint8/bytes)]."""
+                 max_hits_per_kmer: int = 64, use_fm: bool | None = None):
+        """contigs: [(name, bases uint8/bytes)].
+
+        use_fm: seed via the native BWT/FM-index (align/fmindex.py — variable-
+        length super-maximal exact matches, the bwa-mem seed model) instead of
+        fixed-k kmer hashing. Default: auto-on when the native library is
+        present and the reference is small enough for the O(n log^2 n) build."""
         self.k = k
         self.names = [n for n, _ in contigs]
         seqs = [np.frombuffer(bytes(s), np.uint8) if isinstance(s, (bytes, bytearray))
@@ -78,9 +83,20 @@ class SeedExtendAligner:
         self.idx_hash = hashes[order]
         self.idx_pos = pos[order]
         self.max_hits = max_hits_per_kmer
+        self.fm = None
+        if use_fm is None:
+            from . import fmindex
+
+            use_fm = fmindex.available() and len(self.ref) <= (16 << 20)
+        if use_fm:
+            from .fmindex import FMIndex
+
+            self.fm = FMIndex.build(list(zip(self.names, seqs)))
 
     def _seed_positions(self, read: np.ndarray):
         """[(diagonal, ref_pos, read_ofs)] arrays for one strand."""
+        if self.fm is not None:
+            return self._seed_positions_fm(read)
         h = _kmer_hashes(read, self.k)
         if not len(h):
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
@@ -99,6 +115,21 @@ class SeedExtendAligner:
                 rpos[o:o + c] = p
                 o += c
         return diags[:o], rpos[:o]
+
+    def _seed_positions_fm(self, read: np.ndarray):
+        """FM-index SMEM seeds -> (diagonal, ref_pos) arrays (one strand)."""
+        seeds = self.fm.seeds(read, min_len=min(self.k, max(8, len(read) // 8)),
+                              max_hits_per_seed=self.max_hits)
+        diags, rpos = [], []
+        for q_start, length, hits in seeds:
+            for ci, cpos in hits:
+                g = int(self.offsets[ci]) + cpos
+                # weight the diagonal by matched length so _best_diagonals'
+                # support ranking counts matched bases, as with fixed-k seeds
+                diags.extend([g - q_start] * max(1, length // 4))
+                rpos.append(g)
+        return (np.asarray(diags, np.int64) if diags else np.zeros(0, np.int64),
+                np.asarray(rpos, np.int64) if rpos else np.zeros(0, np.int64))
 
     def _best_diagonals(self, diags, top_n=4, band=8):
         """Cluster seed diagonals within +-band; return top cluster anchors by

@@ -183,3 +183,57 @@ def test_generate_shell_completion(tmp_path):
     # the script is valid bash
     r = subprocess.run(["bash", "-n", str(out)], capture_output=True)
     assert r.returncode == 0
+
+
+def test_fm_index_matches_naive_and_drives_aligner(tmp_path):
+    """Native BWT/FM-index (align/fmindex.py): backward search equals naive
+    string search; SMEM seeds place a mutated read correctly; SeedExtendAligner
+    produces the same alignment through FM seeds as through kmer hashing."""
+    import random
+
+    from gatk_tpu.align import fmindex
+    from gatk_tpu.align.fmindex import FMIndex
+    from gatk_tpu.align.seed_extend import SeedExtendAligner
+
+    if not fmindex.available():
+        import pytest as _p
+
+        _p.skip("libfm_native.so not built")
+    rng = random.Random(5)
+    text = bytes(rng.choice(b"ACGT") for _ in range(20000))
+    fm = FMIndex.build([("c1", np.frombuffer(text, np.uint8))])
+    for _ in range(50):
+        m = rng.randint(10, 30)
+        p = rng.randrange(len(text) - m)
+        pat = text[p:p + m]
+        naive = []
+        st = 0
+        while True:
+            k = text.find(pat, st)
+            if k < 0:
+                break
+            naive.append((0, k))
+            st = k + 1
+        n, hits = fm.search(np.frombuffer(pat, np.uint8), max_hits=200)
+        assert n == len(naive) and sorted(hits) == sorted(naive)
+    # save/load roundtrip (.fmi, the .img equivalent)
+    path = tmp_path / "ref.fmi"
+    fm.save(str(path))
+    fm2 = FMIndex.load(str(path))
+    assert fm2.search(np.frombuffer(text[500:540], np.uint8))[1] == [(0, 500)]
+
+    # aligner equivalence: FM seeds vs kmer-hash seeds on mutated reads
+    contigs = [("c1", np.frombuffer(text, np.uint8))]
+    a_fm = SeedExtendAligner(contigs, use_fm=True)
+    a_kmer = SeedExtendAligner(contigs, use_fm=False)
+    assert a_fm.fm is not None and a_kmer.fm is None
+    for _ in range(20):
+        p = rng.randrange(len(text) - 150)
+        read = bytearray(text[p:p + 150])
+        for _m in range(3):
+            i = rng.randrange(150)
+            read[i] = rng.choice(b"ACGT")
+        r1 = a_fm.align(np.frombuffer(bytes(read), np.uint8))
+        r2 = a_kmer.align(np.frombuffer(bytes(read), np.uint8))
+        assert r1 is not None and r1.pos == p and not r1.is_reverse
+        assert r2 is None or r1.pos == r2.pos
