@@ -570,5 +570,14 @@ def bwa_mem_index_image_creator(argv):
     # numpy appends .npz; normalize to the requested name
     if not out.endswith(".npz") and _os.path.exists(out + ".npz"):
         _os.replace(out + ".npz", out)
-    print(f"wrote aligner index image to {out}")
+    # sidecar BWT/FM-index (the bwa-class seed structure) when native lib built
+    from ..align import fmindex
+
+    if fmindex.available():
+        fm = fmindex.FMIndex.build(
+            [(n, np.asarray(s, np.uint8)) for n, s in contigs])
+        fm.save(out + ".fmi")
+        print(f"wrote aligner index image to {out} (+ {out}.fmi FM-index)")
+    else:
+        print(f"wrote aligner index image to {out}")
     return 0
