@@ -264,6 +264,30 @@ def _evidence_sites(rd, min_mapq):
     return {c: sorted(v) for c, v in sites.items()}
 
 
+def _merge_external_evidence(sites, path, weight):
+    """BreakpointEvidence.ExternalEvidence integration
+    (FindBreakpointEvidenceSpark.readExternalEvidence:413): externally-supplied
+    intervals enter the evidence stream with the configured weight, so
+    clusters form at those loci even when internal read evidence alone is
+    below threshold. Accepts BED (0-based) or 'contig:start-end' lines."""
+    with open(path) as fh:
+        for ln in fh:
+            ln = ln.split("#", 1)[0].strip()
+            if not ln:
+                continue
+            if ":" in ln and "\t" not in ln and " " not in ln:
+                contig, span = ln.split(":", 1)
+                s, e = span.split("-")
+                lo, hi = int(s) - 1, int(e)
+            else:
+                f = ln.split()
+                contig, lo, hi = f[0], int(f[1]), int(f[2])
+            mid = (lo + hi) // 2
+            sites.setdefault(contig, []).extend([mid] * weight)
+    for c in sites:
+        sites[c].sort()
+
+
 def _cluster_sites(positions, window, min_count):
     """Greedy 1-D clustering of evidence positions."""
     clusters = []
@@ -641,6 +665,11 @@ def find_breakpoint_evidence(argv):
                    help="evidence-interval TSV")
     p.add_argument("--min-evidence-count", type=int, default=MIN_EVIDENCE_COUNT)
     p.add_argument("--min-mapq", type=int, default=20)
+    p.add_argument("--external-evidence", default=None,
+                   help="BED/intervals of externally-supplied breakpoint "
+                        "evidence (FindBreakpointEvidenceSpark "
+                        "externalEvidenceFile)")
+    p.add_argument("--external-evidence-weight", type=int, default=10)
     p.add_argument("--aligner-index-image", default=None)  # accepted, unused
     p.add_argument("--spark-master", default=None)
     args, _unknown = p.parse_known_args(argv)
@@ -654,6 +683,9 @@ def find_breakpoint_evidence(argv):
     ref = fasta.FastaReference(args.reference)
     rd = open_reads(args.input, reference=ref)
     sites = _evidence_sites(rd, args.min_mapq)
+    if args.external_evidence:
+        _merge_external_evidence(sites, args.external_evidence,
+                                 args.external_evidence_weight)
     aligner = SeedExtendAligner(
         [(name, ref.fetch(name, 0, ref.contig_length(name)))
          for name in ref.contigs()])

@@ -347,3 +347,49 @@ def test_imprecise_deletion_from_read_pairs(tmp_path):
     # called span roughly brackets the true deletion
     pos, end = int(imp[0][1]), int(info["END"])
     assert abs(pos - del_start) < 600 and abs(end - (del_start + del_len)) < 600
+
+
+def test_external_evidence_integration(tmp_path):
+    """--external-evidence intervals seed breakpoint clusters even without
+    sufficient internal read evidence (ExternalEvidence,
+    FindBreakpointEvidenceSpark.readExternalEvidence)."""
+    import numpy as np
+
+    from gatk_tpu.cli import TOOL_REGISTRY
+    from gatk_tpu.io import bam as bamio, sam as samio
+    from gatk_tpu.io.reads import Read
+
+    rng = np.random.default_rng(4)
+    ref_seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 4000))
+    fa = tmp_path / "r.fa"
+    fa.write_text(f">chr1\n{ref_seq}\n")
+    header = samio.SamHeader(sequences=[samio.SequenceRecord("chr1", 4000, 0)],
+                             read_groups=[{"ID": "rg", "SM": "s1"}])
+    bam_path = str(tmp_path / "r.bam")
+    w = bamio.BamWriter(bam_path, header)
+    # plain well-behaved reads only: no internal breakpoint evidence
+    for i in range(30):
+        p = 1500 + 20 * i
+        w.write(Read(name=f"r{i}", flag=0, ref_id=0, pos=p, mapq=60,
+                     cigar_ops=np.zeros(1, np.uint8),
+                     cigar_lens=np.array([120], np.int32),
+                     bases=np.frombuffer(ref_seq[p:p + 120].encode(),
+                                         np.uint8).copy(),
+                     quals=np.full(120, 35, np.uint8)))
+    w.close()
+    ext = tmp_path / "ev.bed"
+    ext.write_text("chr1\t1900\t1910\n")
+
+    out = str(tmp_path / "contigs.bam")
+    tsv = str(tmp_path / "links.tsv")
+    rc = TOOL_REGISTRY["FindBreakpointEvidenceSpark"](
+        ["-I", bam_path, "-R", str(fa), "-O", out,
+         "--target-link-file", tsv])
+    assert rc == 0
+    assert "evidence_cluster" not in open(tsv).read()  # no internal evidence
+    rc = TOOL_REGISTRY["FindBreakpointEvidenceSpark"](
+        ["-I", bam_path, "-R", str(fa), "-O", out,
+         "--target-link-file", tsv, "--external-evidence", str(ext)])
+    assert rc == 0
+    body = open(tsv).read()
+    assert "evidence_cluster" in body and "chr1\t1906" in body
