@@ -63,9 +63,6 @@ def funcotator(argv):
         except FileNotFoundError:
             raise UserError("no gencode datasource found")
 
-    reader = vcfio.VcfReader(args.variant)
-    records = list(reader)
-
     ref_fetch = None
     if args.reference:
         from ..io import fasta as fastaio
@@ -79,28 +76,44 @@ def funcotator(argv):
             except (KeyError, ValueError):
                 return ""
 
-    annotated = []
-    for v in records:
-        per_alt = []
-        for alt in v.alts:
-            if alt.startswith("<") or alt == "*":
-                per_alt.append(gc.Funcotation(variant_type="NA"))
-                continue
-            best = None
-            for ds in sources:
-                f = gc.classify(v.contig, v.pos + 1, v.ref, alt, ds,
-                                args.transcript_selection_mode,
-                                ref_fetch=ref_fetch)
-                if best is None or gc._severity(f.classification) > gc._severity(best.classification):
-                    best = f
-            # secondary data sources keyed by the gencode gene/transcript
-            extra = {}
-            for fac in factories:
-                extra.update(fac.annotate(v, alt, best.hugo_symbol or None,
-                                          best.transcript_id or None))
-            best.extra_fields = extra
-            per_alt.append(best)
-        annotated.append((v, per_alt))
+    from ..engine import walkers
+
+    class FuncotatorWalker(walkers.VariantWalker):
+        """VariantWalker traversal (Funcotator.java extends VariantWalker):
+        per-record annotation with the standard lifecycle/ProgressMeter."""
+
+        tool_name = "Funcotator"
+
+        def on_traversal_start(self):
+            self.annotated = []
+
+        def apply(self, v):
+            per_alt = []
+            for alt in v.alts:
+                if alt.startswith("<") or alt == "*":
+                    per_alt.append(gc.Funcotation(variant_type="NA"))
+                    continue
+                best = None
+                for ds in sources:
+                    f = gc.classify(v.contig, v.pos + 1, v.ref, alt, ds,
+                                    args.transcript_selection_mode,
+                                    ref_fetch=ref_fetch)
+                    if best is None or gc._severity(f.classification) > \
+                            gc._severity(best.classification):
+                        best = f
+                # secondary data sources keyed by gencode gene/transcript
+                extra = {}
+                for fac in factories:
+                    extra.update(fac.annotate(v, alt, best.hugo_symbol or None,
+                                              best.transcript_id or None))
+                best.extra_fields = extra
+                per_alt.append(best)
+            self.annotated.append((v, per_alt))
+
+    walker = FuncotatorWalker(variant_path=args.variant)
+    walker.run()
+    annotated = walker.annotated
+    reader = walker.variant_reader
     factory_fields = [f for fac in factories for f in fac.field_names]
 
     build = sources[0].build
