@@ -94,8 +94,15 @@ def unknown_command_message(command: str) -> str | None:
     return "Did you mean this?\n" + "\n".join(f"        {n}" for n in sorted(best[1]))
 
 
+VERSION = "1.0.0-tpu-r5"
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "--version":
+        # Main.printVersionInfo equivalent
+        print(f"The GATK-TPU framework version: {VERSION}")
+        return 0
     if not argv or argv[0] in ("-h", "--help", "--list"):
         n_impl = len(TOOL_REGISTRY) - len(TOOL_ALIASES)
         print(f"gatk_tpu: TPU-native variant calling toolkit. "
