@@ -120,9 +120,13 @@ class AlleleFrequencyCalculator:
         self.indel_pseudocount = indel_pseudocount
         self.ploidy = ploidy
 
-    def calculate(self, allele_lengths, ref_length, sample_gls, ploidy=None):
+    def calculate(self, allele_lengths, ref_length, sample_gls, ploidy=None,
+                  span_del_index=None):
         """allele_lengths: list of allele string lengths (ref first);
         sample_gls: list of per-sample canonical-order log10 GL arrays (PL-derived).
+        span_del_index: allele index of '*' if present — P(no variant) then
+        sums genotypes over {ref, '*'} capped at 0 per sample
+        (AlleleFrequencyCalculator.java:213-222).
         Returns AFCalculationResult.
         """
         ploidy = ploidy or self.ploidy
@@ -172,7 +176,16 @@ class AlleleFrequencyCalculator:
         unnorm = gl_mat + comb[None, :] + count_mat.dot(log10_freqs)[None, :]
         norm = unnorm - log10_sum_log10(unnorm, axis=-1)[:, None]
 
-        log10_p_no_variant = float(norm[:, 0].sum())
+        if span_del_index is not None:
+            # genotypes made only of {ref, '*'} count as non-variant, with the
+            # per-sample sum capped at 0 (finite-precision guard; the cap is
+            # what makes a *-only site's QUAL an IEEE -0.0)
+            nonvar = np.array([gi for gi, g in enumerate(gts)
+                               if all(a in (0, span_del_index) for a in g)])
+            per_sample = log10_sum_log10(norm[:, nonvar], axis=-1)
+            log10_p_no_variant = float(np.minimum(0.0, per_sample).sum())
+        else:
+            log10_p_no_variant = float(norm[:, 0].sum())
 
         n_alts = n_alleles - 1
         log10_p_ref_by_allele = np.zeros(n_alts)

@@ -75,6 +75,96 @@ def homref_site_record(v, sample_order):
                    fmt_keys=fmt, samples=out_samples)
 
 
+def spanning_deletion_records(called_del, ref_fetch=None):
+    """--include-non-variant-sites '*' rows for positions inside a called
+    biallelic deletion (GenotypingEngine.java:222-241 + the
+    AlleleFrequencyCalculator:213-222 span-del QUAL capping): each covered
+    position gets alleles [base, '*'], QUAL = -10 * min(0, log10 sum of ALL
+    genotype posteriors) — i.e. +/-0.0 whose sign drives QD's '0.00' vs
+    '-0.00' — FILTER LowQual, and the deletion's genotype columns verbatim."""
+    R = called_del
+    if len(R.ref) <= 1:
+        return []
+    # the '*' stands for the longest deletion allele; other alleles are
+    # dropped by the biallelic subset (AlleleSubsettingUtils pattern)
+    dels = [(len(R.ref) - len(a), i) for i, a in enumerate(R.alts)
+            if len(a) < len(R.ref) and not a.startswith("<")]
+    if not dels:
+        return []
+    _, del_i = max(dels)
+    full_alleles = [R.ref] + list(R.alts)
+    idx_map = _pl_index_map(full_alleles, [R.ref, R.alts[del_i]], 2)
+    gls = []
+    sub_samples = []
+    for s in R.samples:
+        pl = s.get("PL", ".")
+        if pl in (".", None):
+            return []
+        full = np.array([float(x) for x in pl.split(",")])
+        pl3 = full[idx_map]
+        pl3 = pl3 - pl3.min()
+        gls.append(-pl3 / 10.0)
+        best = int(np.argmin(pl3))
+        srt = np.sort(pl3)
+        gq = int(min(srt[1] - srt[0], 99))
+        gt = ["0/0", "0/1", "1/1"][best]
+        ad = s.get("AD", ".")
+        if ad not in (".", None):
+            adv = ad.split(",")
+            ad = f"{adv[0]},{adv[del_i + 1]}"
+        sub = {"GT": gt, "AD": ad, "DP": s.get("DP", "."), "GQ": str(gq),
+               "PL": ",".join(str(int(x)) for x in pl3)}
+        sub_samples.append(sub)
+    R = Variant(contig=R.contig, pos=R.pos, ref=R.ref,
+                alts=(R.alts[del_i],), qual=R.qual, filters=R.filters,
+                info=dict(R.info), samples=sub_samples,
+                fmt_keys=("GT", "AD", "DP", "GQ", "PL"))
+    af_calc = genotyper.AlleleFrequencyCalculator()
+    af = af_calc.calculate([1, 1], 1, gls, 2, span_del_index=1)
+    qual = -10.0 * af.log10_p_no_variant  # keeps IEEE -0.0 when capped
+    ac = an = het = hom_var = called = 0
+    qd_depth = 0
+    for s in R.samples:
+        gt = s.get("GT", ".").replace("|", "/")
+        if gt.startswith("."):
+            continue
+        alleles_gt = gt.split("/")
+        an += len(alleles_gt)
+        n_alt = sum(a != "0" for a in alleles_gt)
+        ac += n_alt
+        called += 1
+        if 0 < n_alt < len(alleles_gt):
+            het += 1
+        elif n_alt == len(alleles_gt):
+            hom_var += 1
+        if n_alt and s.get("AD", ".") not in (".", None):
+            qd_depth += sum(int(x) for x in s["AD"].split(","))
+    info = {
+        "AC": str(ac),
+        "AF": format_vcf_double(ac / an) if an else ".",
+        "AN": str(an),
+        "DP": R.info.get("DP", "."),
+        "ExcessHet": f"{excess_het_phred(het, hom_var, called):.4f}",
+        "MLEAC": str(int(af.allele_counts_mle[0])),
+        "MLEAF": format_vcf_double(af.allele_counts_mle[0] / an) if an else ".",
+    }
+    if "FS" in R.info:
+        info["FS"] = R.info["FS"]
+    if "SOR" in R.info:
+        info["SOR"] = R.info["SOR"]
+    info["QD"] = f"{(qual / qd_depth if qd_depth else qual):.2f}"
+    info = {k: info[k] for k in sorted(info)}
+    out = []
+    for k in range(1, len(R.ref)):
+        out.append(Variant(
+            contig=R.contig, pos=R.pos + k, ref=R.ref[k], alts=("*",),
+            qual=0.0 if qual == 0 else float(f"{qual:.2f}"),
+            filters=("LowQual",), info=dict(info),
+            fmt_keys=("GT", "AD", "DP", "GQ", "PL"),
+            samples=[dict(s) for s in R.samples]))
+    return out
+
+
 def regenotype_records_at_site(records, samples, af_calc=None, ploidy=2,
                                standard_confidence=STANDARD_CONFIDENCE,
                                include_non_variants=False,

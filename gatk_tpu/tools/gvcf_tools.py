@@ -56,6 +56,10 @@ def genotype_gvcfs_tool(argv):
         )
         if res is not None:
             out.append(res)
+            if args.include_non_variant_sites and res.alts and \
+                    any("1" in s.get("GT", "").replace("|", "/").split("/")
+                        for s in res.samples):
+                out.extend(gg.spanning_deletion_records(res))
 
     header_lines = [
         '##INFO=<ID=AC,Number=A,Type=Integer,Description="Allele count in genotypes">',
